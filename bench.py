@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed with a count()-style action that forces full
+evaluation without driver materialization of the payload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+# Headline set: one per capability family (relational joins/aggs, window
+# top-k, search scoring, dedup, similarity, time-series windows).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_shipping_priority",
+    "q05_region_nation_revenue",
+    "q13_explode_terms",
+    "q14_window_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # Warm the JVM/session so per-query numbers measure the plan, not startup.
+    spark.range(1).count()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

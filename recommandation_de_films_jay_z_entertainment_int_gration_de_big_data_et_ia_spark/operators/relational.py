@@ -1,0 +1,157 @@
+"""Relational operator core (SURVEY.md §2.2–§2.7).
+
+Every operator here is a thin, composable DataFrame transformation built
+exclusively from Catalyst-optimizable built-ins: projections prune columns,
+predicates push into scans, small-side joins broadcast, aggregations run
+partial-then-final. Nothing collects to the driver.
+
+Scale notes are attached per operator: these run unchanged on a
+1000-executor cluster because they only ever express *logical* plans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Projections / casts (P1–P6; reference preprocessing.py:16-20)
+# ---------------------------------------------------------------------------
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """P2 column projection — Catalyst prunes the scan to these columns."""
+    return df.select(*cols)
+
+
+def rename_positional(df: DataFrame, names: Sequence[str]) -> DataFrame:
+    """P1 positional rename (reference ``toDF(*columns)``)."""
+    return df.toDF(*names)
+
+
+def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """P3 explicit casts, applied in one ``select`` (single projection node)."""
+    return df.select(
+        *[F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c) for c in df.columns]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (F1–F2; reference preprocessing.py:9, elasticsearch_ingest.py:51)
+# ---------------------------------------------------------------------------
+
+def null_drop(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """F1 ``na.drop`` — drop rows with nulls (optionally in a subset)."""
+    return df.dropna(subset=subset)
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1–J2; reference preprocessing.py:22, elasticsearch_ingest.py:70)
+# ---------------------------------------------------------------------------
+
+def join_broadcast_dim(fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "inner") -> DataFrame:
+    """Equi-join with an explicit broadcast of the dimension side.
+
+    At 100 TB the fact side never moves: broadcasting the (small) dim avoids
+    shuffling the fact table entirely. The reference relied on Catalyst's
+    auto-broadcast; the engine makes it deterministic with the hint.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """EXISTS — rows of ``left`` with a match in ``right`` (no right columns,
+    no row multiplication, map-side when right broadcasts)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """NOT EXISTS — rows of ``left`` with no match in ``right``."""
+    return left.join(right, on=on, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (U1; replaces the reference's 18× filter+union melt,
+# elasticsearch_ingest.py:48-61 — single scan instead of 18)
+# ---------------------------------------------------------------------------
+
+def unpivot(df: DataFrame, ids: Sequence[str], value_cols: Sequence[str],
+            var_name: str = "variable", value_name: str = "value") -> DataFrame:
+    """Melt wide columns into (id, variable, value) rows in ONE pass.
+
+    Uses ``stack``: one scan subtree, one Generate node — versus the
+    reference's N filter+union branches which scan the source N times.
+    """
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    expr = f"stack({len(value_cols)}, {pairs}) as (`{var_name}`, `{value_name}`)"
+    return df.selectExpr(*ids, expr)
+
+
+def one_hot_to_names(df: DataFrame, id_col: str, flag_cols: Sequence[str],
+                     out_col: str = "genres") -> DataFrame:
+    """The reference's genre rebuild (elasticsearch_ingest.py:48-67) without
+    any shuffle at all: filter+transform over an inline array of
+    (name, flag) structs — no unpivot, no groupBy, no collect_list.
+
+    ``out_col`` is sorted, so results are deterministic (SURVEY §7.3).
+    """
+    entries = F.array(*[F.struct(F.lit(c).alias("name"), F.col(c).alias("flag")) for c in flag_cols])
+    names = F.transform(F.filter(entries, lambda e: e["flag"] == "1"), lambda e: e["name"])
+    return df.select(id_col, F.array_sort(names).alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1–A2; reference elasticsearch_ingest.py:65-67,81)
+# ---------------------------------------------------------------------------
+
+def collect_list_sorted(df: DataFrame, key: str | list[str], value_col: str, out_col: str) -> DataFrame:
+    """A1 group + list-agg with deterministic (sorted) array output.
+
+    ``collect_list`` is order-nondeterministic under shuffle; ``array_sort``
+    restores determinism so results are testable (SURVEY §7.3).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).agg(F.array_sort(F.collect_list(value_col)).alias(out_col))
+
+
+def histogram(df: DataFrame, col: str) -> DataFrame:
+    """A2 value histogram — partial+final HashAggregate, no skew risk."""
+    return df.groupBy(col).count().withColumnRenamed("count", "cnt")
+
+
+# ---------------------------------------------------------------------------
+# Top-k / pagination (Q7–Q8; reference api.py:93,149,197-221)
+# ---------------------------------------------------------------------------
+
+def topk_global(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k: ``orderBy().limit()`` → Catalyst's TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows; no full sort, no full
+    shuffle — the scalable form at any data size)."""
+    return df.orderBy(*order).limit(k)
+
+
+def topk_per_group(df: DataFrame, partition_by: list[str], order: list[Column],
+                   k: int, rank_col: str = "rn") -> DataFrame:
+    """Per-group top-k via ``row_number`` window. One shuffle on the group
+    key; AQE handles skewed groups. (The reference's per-user top-10 from
+    ALS — model.py:13 — is this same shape.)"""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def paginate(df: DataFrame, order: list[Column], page: int, size: int,
+             max_size: int = 100) -> DataFrame:
+    """Offset pagination with the reference's clamps (api.py:197-207):
+    page ≥ 1, 1 ≤ size ≤ 100. Deterministic only if ``order`` is a total
+    order — callers must include a tiebreaker key."""
+    page = max(1, page)
+    size = min(max(1, size), max_size)
+    lo = (page - 1) * size
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > lo) & (F.col("_rn") <= lo + size))
+        .drop("_rn")
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+The defaults here encode the scale posture (SURVEY.md §7): AQE on for
+runtime coalesce / skew-join handling, Arrow on for any pandas boundary,
+UTC session time zone so timestamp semantics are deployment-independent,
+and a shuffle-partition count sized for the local test harness (the same
+code on a 1000-executor cluster would raise ``spark.sql.shuffle.partitions``
+or rely on AQE coalescing, which is already enabled).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast joins for dimension tables; 32 MB is conservative even for
+    # the sf0.1 dims and far below executor memory on a real cluster.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "jayz-engine", extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32 to match
+    the driver harness); an externally provided master wins.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(
+        os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    ).appName(app_name)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
