@@ -62,10 +62,10 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     min over uniformly distributed hex strings is equivalent to numeric min
     over the hash values.
     """
-    return F.array(
-        *[F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-          for i in range(num_hashes)]
-    )
+    def _perm(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    return F.array(*[F.array_min(F.transform(shingles, _perm(i))) for i in range(num_hashes)])
 
 
 def simhash_hex(tok: Column, bits: int = 16) -> Column:
@@ -78,14 +78,15 @@ def simhash_hex(tok: Column, bits: int = 16) -> Column:
     ``bits``-char '0'/'1' string.
     """
     digits = "0123456789abcdef"
+
+    def _voter(p: int):
+        return lambda acc, t: acc + F.when(
+            F.instr(F.lit(digits), F.substring(F.md5(t), p, 1)) >= 9, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     bit_cols = []
     for p in range(1, bits + 1):
-        vote = F.aggregate(
-            tok,
-            F.lit(0),
-            lambda acc, t, p=p: acc
-            + F.when(F.instr(F.lit(digits), F.substring(F.md5(t), p, 1)) >= 9, F.lit(1)).otherwise(F.lit(-1)),
-        )
+        vote = F.aggregate(tok, F.lit(0), _voter(p))
         bit_cols.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bit_cols)
 

@@ -1,0 +1,212 @@
+"""Search operators: the reference's Elasticsearch query DSL re-expressed
+as Spark-native relational operators (SURVEY.md §2.8, Q1–Q11).
+
+The reference runs these semantics inside Elasticsearch/Lucene
+(``src/api.py:91-221``); here each one is a Column predicate / scoring
+expression over plain DataFrames, built only from Catalyst-optimizable
+built-ins (no UDFs), so the same logical IR serves batch and interactive
+paths (§3.3 conclusion).
+
+Scoring spec (ours, deterministic — ES parity is directional per §7.3):
+- tokenization: lowercase, non-alphanumerics → space, split on spaces
+- fuzziness AUTO: edit distance 0 for term length ≤2, 1 for 3–5, 2 for ≥6
+  (the published ES AUTO rule)
+- BM25: k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+  (public Robertson/Sparck-Jones formulation used by Lucene)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokens
+
+
+def with_tokens(df: DataFrame, text_col: str, out: str = "toks") -> DataFrame:
+    """Materialize the token array once per row for downstream predicates."""
+    return df.withColumn(out, tokens(text_col))
+
+
+# ---------------------------------------------------------------------------
+# Predicates (Q1–Q5, Q10)
+# ---------------------------------------------------------------------------
+
+def term(col: str | Column, value) -> Column:
+    """Q2 ``term``: exact key/keyword equality."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c == F.lit(value)
+
+
+def terms_overlap(tok_col: Column, values: Sequence[str]) -> Column:
+    """Q3 ``terms``: any-overlap between a token/keyword array and the query
+    list (the genre-overlap recommender predicate, api.py:141)."""
+    return F.arrays_overlap(tok_col, F.array(*[F.lit(v) for v in values]))
+
+
+def phrase_match(text_col: str | Column, phrase: str) -> Column:
+    """Q1 ``match_phrase``: ordered contiguous token containment, realized as
+    token-boundary substring match on the normalized text. Analysis
+    (lowercase+strip punctuation) is applied to both sides, like Lucene's
+    analyzer does."""
+    import re
+
+    norm_phrase = re.sub(r"[^a-z0-9]+", " ", phrase.lower()).strip()
+    hay = F.concat(F.lit(" "), normalize_text(text_col), F.lit(" "))
+    return hay.contains(f" {norm_phrase} ")
+
+
+def keyword_match_count(tok_col: Column, words: Sequence[str], min_len: int = 4) -> Column:
+    """Q5 fallback title-similarity: how many query words (len ≥ ``min_len``,
+    api.py:124-135 uses >3) appear in the token set. Doubles as the ranking
+    score for the keyword `should` path."""
+    kept = [w for w in words if len(w) >= min_len]
+    if not kept:
+        return F.lit(0)
+    total = None
+    for w in kept:
+        hit = F.array_contains(tok_col, w).cast("int")
+        total = hit if total is None else total + hit
+    return total
+
+
+def auto_fuzziness(term_str: str) -> int:
+    """ES ``fuzziness: AUTO`` bands (public rule)."""
+    n = len(term_str)
+    return 0 if n <= 2 else (1 if n <= 5 else 2)
+
+
+def fuzzy_match(tok_col: Column, query_term: str, max_dist: int | None = None) -> Column:
+    """Q6 fuzzy term match: any token within ``max_dist`` edits (AUTO bands
+    when unset). ``levenshtein`` is a JVM built-in — no UDF."""
+    d = auto_fuzziness(query_term) if max_dist is None else max_dist
+    return F.exists(tok_col, lambda t: F.levenshtein(t, F.lit(query_term)) <= d)
+
+
+def bool_query(
+    must: Sequence[Column] = (),
+    must_not: Sequence[Column] = (),
+    should: Sequence[Column] = (),
+    minimum_should_match: int = 1,
+) -> Column:
+    """Q4 ``bool``: conjunction + negation + at-least-N-of disjunction
+    (api.py:127-145). General N via sum of boolean casts."""
+    pred = F.lit(True)
+    for m in must:
+        pred = pred & m
+    for mn in must_not:
+        pred = pred & ~mn
+    if should:
+        n_matched = None
+        for s in should:
+            c = s.cast("int")
+            n_matched = c if n_matched is None else n_matched + c
+        pred = pred & (n_matched >= minimum_should_match)
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (Q6/Q7) — fully relational: corpus statistics are
+# a 1-row aggregate broadcast-cross-joined onto the docs; everything stays
+# in whole-stage codegen. At 100 TB the stats frame is still one row.
+# ---------------------------------------------------------------------------
+
+def bm25_score(
+    df: DataFrame,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "score",
+    boost: float = 1.0,
+) -> DataFrame:
+    """Append a BM25 ``score_col`` for ``query_terms`` over ``text_col``.
+
+    df stats (N, df_t per term, total token length) are computed in ONE
+    aggregate pass and broadcast — no per-term scans, no shuffle of the
+    doc side beyond the single agg.
+    """
+    toks = "__bm25_toks"
+    docs = df.withColumn(toks, tokens(text_col)).withColumn("__dl", F.size(toks))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("bigint")).alias(f"__df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+
+    def _eq(term_str: str):
+        # NB: a factory, not a default-arg lambda — pyspark dispatches on
+        # lambda arity, so `lambda x, t=t:` would become the (elem, index)
+        # two-arg form and bind t to the array index.
+        return lambda x: x == F.lit(term_str)
+
+    total = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter(toks, _eq(t))).cast("double")
+        dfreq = F.col(f"__df_{i}").cast("double")
+        idf = F.log((F.col("__n").cast("double") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)) + F.lit(1.0))
+        denom = tf + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (F.col("__dl").cast("double") / avgdl))
+        total = total + idf * ((tf * F.lit(k1 + 1.0)) / denom)
+    scored = scored.withColumn(score_col, F.round(total * F.lit(boost), 4))
+    drop = [toks, "__dl", "__n", "__sumdl"] + [f"__df_{i}" for i in range(len(query_terms))]
+    return scored.drop(*drop)
+
+
+def multi_match_score(
+    df: DataFrame,
+    fields: dict[str, float],
+    query_terms: Sequence[str],
+    fuzzy: bool = True,
+    score_col: str = "score",
+) -> DataFrame:
+    """Q6 ``multi_match`` with per-field boosts (api.py:210-221 uses
+    ``title^3, genres``): per field, each query term contributes its boost
+    if it (fuzzily, AUTO bands) matches a token of that field; total score
+    is the sum. Presence-based scoring — deterministic and SQL-mirrorable;
+    BM25 ranking is available separately via :func:`bm25_score`."""
+    def _fuzzy(term_str: str, dist: int):
+        return lambda x: F.levenshtein(x, F.lit(term_str)) <= dist
+
+    total = F.lit(0.0)
+    for fld, boost in fields.items():
+        tcol = tokens(fld)
+        for t in query_terms:
+            d = auto_fuzziness(t) if fuzzy else 0
+            hit = F.exists(tcol, _fuzzy(t, d))
+            total = total + hit.cast("int").cast("double") * F.lit(boost)
+    return df.withColumn(score_col, F.round(total, 4))
+
+
+def more_like_this(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_id,
+    k: int = 5,
+) -> DataFrame:
+    """The reference's genre-overlap recommender (api.py:138-145): find the
+    target's token set, return the top-k other docs by token-set overlap.
+
+    Shape: 1-row target broadcast against the corpus — the corpus side
+    never shuffles; ranking is a global top-k (TakeOrderedAndProject).
+    """
+    toked = df.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(tokens(text_col))).alias("__ts"),
+    )
+    target = toked.filter(F.col(id_col) == F.lit(target_id)).select(
+        F.col("__ts").alias("__target_ts")
+    )
+    cand = toked.filter(F.col(id_col) != F.lit(target_id)).crossJoin(F.broadcast(target))
+    scored = cand.select(
+        id_col,
+        F.size(F.array_intersect("__ts", "__target_ts")).alias("overlap"),
+    ).filter(F.col("overlap") > 0)
+    return scored.orderBy(F.desc("overlap"), F.asc(id_col)).limit(k)

@@ -1,1 +1,230 @@
-"""(stub — queries register here in a later milestone)"""
+"""Search query catalog (SURVEY.md §2.8, Q1–Q11) over ``documents``.
+
+Every ES-DSL construct from the reference's API (``src/api.py:91-221``) is
+a Spark-native query with a DuckDB oracle. Both sides share one text
+analysis spec: lower → non-alphanumerics→space → trim → split on spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import search as S
+from ..sources.readers import load_table
+from .catalog import register
+
+# SQL mirror of functions.text tokenization.
+NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+TOKS_SQL = f"regexp_split_to_array({NORM_SQL}, ' +')"
+DOCS_CTE = f"WITH d AS (SELECT doc_id, text, lang, source, n_chars, {TOKS_SQL} AS toks FROM documents)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.with_tokens(load_table(spark, sf_dir, "documents"), "text", "toks")
+
+
+# ---------------------------------------------------------------------------
+# Q2 term — exact keyword equality
+# ---------------------------------------------------------------------------
+@register(
+    "q20_search_term",
+    oracle="SELECT doc_id, source FROM documents WHERE lang = 'fr'",
+)
+def q20_search_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(S.term("lang", "fr")).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Q3 terms — any-overlap set membership (genre-overlap predicate)
+# ---------------------------------------------------------------------------
+@register(
+    "q21_search_terms_overlap",
+    oracle=f"{DOCS_CTE} SELECT doc_id, lang FROM d WHERE list_has_any(toks, ['window', 'stream'])",
+)
+def q21_search_terms_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).filter(S.terms_overlap(F.col("toks"), ["window", "stream"])).select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 match_phrase — contiguous token containment
+# ---------------------------------------------------------------------------
+@register(
+    "q22_search_phrase",
+    oracle=f"SELECT doc_id FROM documents WHERE ' ' || {NORM_SQL} || ' ' LIKE '% fast sort %'",
+)
+def q22_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(S.phrase_match("text", "fast sort")).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q4 bool — must / must_not / should with minimum_should_match
+# ---------------------------------------------------------------------------
+@register(
+    "q23_search_bool",
+    oracle=f"""
+    {DOCS_CTE}
+    SELECT doc_id, source FROM d
+    WHERE lang = 'en' AND list_contains(toks, 'spark') AND NOT source = 'src0'
+      AND (CAST(list_contains(toks, 'join') AS INT) + CAST(list_contains(toks, 'merge') AS INT)
+           + CAST(list_contains(toks, 'window') AS INT)) >= 2
+    """,
+)
+def q23_search_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pred = S.bool_query(
+        must=[S.term("lang", "en"), F.array_contains("toks", "spark")],
+        must_not=[S.term("source", "src0")],
+        should=[
+            F.array_contains("toks", "join"),
+            F.array_contains("toks", "merge"),
+            F.array_contains("toks", "window"),
+        ],
+        minimum_should_match=2,
+    )
+    return d.filter(pred).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Q5 keyword match — per-word containment count as score (api.py:124-135)
+# ---------------------------------------------------------------------------
+@register(
+    "q24_search_keyword_score",
+    oracle=f"""
+    SELECT * FROM (
+      {DOCS_CTE}
+      SELECT doc_id,
+             CAST(list_contains(toks, 'customer') AS INT) + CAST(list_contains(toks, 'window') AS INT)
+             + CAST(list_contains(toks, 'stream') AS INT) AS score
+      FROM d)
+    WHERE score >= 1
+    """,
+)
+def q24_search_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    score = S.keyword_match_count(F.col("toks"), ["customer", "window", "stream", "a"], min_len=4)
+    return d.select("doc_id", score.alias("score")).filter(F.col("score") >= 1)
+
+
+# ---------------------------------------------------------------------------
+# Q6 fuzzy — levenshtein with ES AUTO bands ('sprak' → distance 1)
+# ---------------------------------------------------------------------------
+@register(
+    "q25_search_fuzzy",
+    oracle=f"""
+    {DOCS_CTE}
+    SELECT doc_id FROM d
+    WHERE len(list_filter(toks, t -> levenshtein(t, 'sprak') <= 1)) > 0
+    """,
+)
+def q25_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.filter(S.fuzzy_match(F.col("toks"), "sprak")).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q6/Q7 BM25 relevance ranking + top-k
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def _bm25_term_sql(t: str, i: int) -> str:
+    tf = f"CAST(len(list_filter(toks, t -> t = '{t}')) AS DOUBLE)"
+    idf = f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+    denom = f"({tf} + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+    return f"{idf} * (({tf} * {2.2!r}) / {denom})"
+
+
+@register(
+    "q26_search_bm25",
+    oracle=f"""
+    WITH dd AS (SELECT doc_id, {TOKS_SQL} AS toks, len({TOKS_SQL}) AS dl FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {', '.join(f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM dd)
+    SELECT doc_id,
+           ROUND(({' + '.join(_bm25_term_sql(t, i) for i, t in enumerate(_BM25_TERMS))}) * 1.0, 4) AS score
+    FROM dd CROSS JOIN stats
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def q26_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = S.bm25_score(docs, "text", list(_BM25_TERMS))
+    return scored.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Q6 multi_match with field boosts (source^3, text) + AUTO fuzziness
+# ---------------------------------------------------------------------------
+@register(
+    "q27_search_multimatch",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {TOKS_SQL} AS toks,
+                      regexp_split_to_array(trim(regexp_replace(lower(source), '[^a-z0-9]+', ' ', 'g')), ' +') AS stoks
+               FROM documents)
+    SELECT * FROM (
+    SELECT doc_id,
+           ROUND(0.0
+             + CAST(len(list_filter(stoks, t -> levenshtein(t, 'src3') <= 1)) > 0 AS INT) * 3.0
+             + CAST(len(list_filter(stoks, t -> levenshtein(t, 'spark') <= 1)) > 0 AS INT) * 3.0
+             + CAST(len(list_filter(toks, t -> levenshtein(t, 'src3') <= 1)) > 0 AS INT) * 1.0
+             + CAST(len(list_filter(toks, t -> levenshtein(t, 'spark') <= 1)) > 0 AS INT) * 1.0, 4) AS score
+    FROM d)
+    WHERE score > 0
+    """,
+)
+def q27_search_multimatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = S.multi_match_score(docs, {"source": 3.0, "text": 1.0}, ["src3", "spark"], fuzzy=True)
+    return scored.select("doc_id", "score").filter(F.col("score") > 0)
+
+
+# ---------------------------------------------------------------------------
+# more-like-this: the genre-overlap recommender shape (api.py:138-145)
+# ---------------------------------------------------------------------------
+@register(
+    "q28_more_like_this",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, list_sort(list_distinct({TOKS_SQL})) AS ts FROM documents),
+    target AS (SELECT ts AS target_ts FROM d WHERE doc_id = 0)
+    SELECT doc_id, len(list_intersect(ts, target_ts)) AS overlap
+    FROM d CROSS JOIN target
+    WHERE doc_id != 0 AND len(list_intersect(ts, target_ts)) > 0
+    ORDER BY overlap DESC, doc_id ASC
+    LIMIT 5
+    """,
+)
+def q28_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return S.more_like_this(docs, "doc_id", "text", target_id=0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Q9 match_all sample + A4 hit count + Q10 range
+# ---------------------------------------------------------------------------
+@register(
+    "q29_search_count",
+    oracle=f"{DOCS_CTE} SELECT COUNT(*) AS hits FROM d WHERE list_contains(toks, 'merge')",
+)
+def q29_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.filter(F.array_contains("toks", "merge")).agg(F.count(F.lit(1)).alias("hits"))
+
+
+@register(
+    "q30_match_all_range",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id >= 100 ORDER BY doc_id ASC LIMIT 5
+    """,
+)
+def q30_match_all_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") >= 100).select("doc_id", "n_chars").orderBy(F.asc("doc_id")).limit(5)
