@@ -73,15 +73,14 @@ def simhash_hex(tok: Column, bits: int = 16) -> Column:
 
     Spec (ours, deterministic): for each of the first ``bits`` hex positions
     p (1-based) of md5(token), a token votes +1 if the digit at p is >= '8'
-    (i.e. top bit of the nibble set) else -1, weighted by the token's count.
-    Fingerprint bit p = 1 iff the vote sum is positive. Returned as a
-    ``bits``-char '0'/'1' string.
+    in byte order (top bit of the nibble set — '8'..'9','a'..'f') else -1,
+    weighted by the token's count. Fingerprint bit p = 1 iff the vote sum is
+    positive. Returned as a ``bits``-char '0'/'1' string.
     """
-    digits = "0123456789abcdef"
 
     def _voter(p: int):
         return lambda acc, t: acc + F.when(
-            F.instr(F.lit(digits), F.substring(F.md5(t), p, 1)) >= 9, F.lit(1)
+            F.substring(F.md5(t), p, 1) >= F.lit("8"), F.lit(1)
         ).otherwise(F.lit(-1))
 
     bit_cols = []

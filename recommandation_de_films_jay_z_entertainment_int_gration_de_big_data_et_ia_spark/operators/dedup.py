@@ -1,0 +1,159 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Four families, each with the scalable Spark shape:
+- **exact**: content-hash groupBy (one shuffle on the hash; survivors by
+  min id — deterministic);
+- **MinHash + LSH**: shingle → md5-based min-wise signatures → banded
+  bucket self-join (shuffle on band keys, never all-pairs);
+- **n-gram Jaccard verify**: exact set overlap on LSH candidates only;
+- **SimHash**: per-token hash-bit voting → fingerprint; near-dup pairs by
+  block-equality join + Hamming filter.
+
+All hashing is md5-hex (portable to the DuckDB oracle); no engine-native
+``hash()`` and no Python UDFs. The reference has no dedup at all — this is
+the north-star extension surface (BASELINE.json), built Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    md5_hex,
+    minhash_signature,
+    normalize_text,
+    simhash_hex,
+    tokens,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group by content hash of the *normalized* text; emit one survivor
+    (min id) and the copy count per group. Emits every group, so callers
+    can filter ``n_copies > 1`` for dup reporting or join back on
+    ``survivor_id`` to realize the deduplicated corpus."""
+    h = md5_hex(normalize_text(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                 out: str = "shingles") -> DataFrame:
+    """Distinct n-word shingles per document."""
+    return df.select(
+        F.col(id_col), F.array_distinct(word_shingles(tokens(text_col), n)).alias(out)
+    )
+
+
+def minhash_bands(
+    df: DataFrame, id_col: str, shingle_col: str = "shingles",
+    num_hashes: int = 8, bands: int = 4,
+) -> DataFrame:
+    """(id, band, key) rows: the banded LSH index. ``num_hashes`` must be
+    divisible by ``bands``; a band's key concatenates its rows of the
+    signature. This frame is also a persistable index — at scale, write it
+    partitioned by band and bucket-joined on (band, key)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(shingle_col), num_hashes)
+    keys = F.array(
+        *[
+            F.concat(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.posexplode(keys).alias("band", "key"))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band key — the standard LSH
+    bucket self-join. Shuffles on (band, key); skewed mega-buckets are the
+    known hazard (AQE skew-join handles moderate cases; salting or bucket
+    size caps for pathological ones)."""
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles_df: DataFrame, id_col: str,
+    shingle_col: str = "shingles", score_col: str = "jaccard",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify step): joins the
+    shingle sets back (two hash joins on id) and computes
+    |A∩B| / |A∪B| in double, rounded to 4."""
+    sa = shingles_df.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__sa"))
+    sb = shingles_df.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__sb"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    jac = F.round(
+        F.size(F.array_intersect("__sa", "__sb")).cast("double")
+        / F.size(F.array_union("__sa", "__sb")).cast("double"),
+        4,
+    ).alias(score_col)
+    return joined.select("id_a", "id_b", jac).filter(F.col(score_col) >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.0,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pipeline: shingle → band → bucket
+    join → exact-Jaccard verify ≥ threshold."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    cand = lsh_candidate_pairs(minhash_bands(sh, id_col, num_hashes=num_hashes, bands=bands), id_col)
+    return jaccard_verify(cand, sh, id_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, fingerprint) — fingerprint is a bits-char '0'/'1' string."""
+    return df.select(F.col(id_col), simhash_hex(tokens(text_col), bits).alias("fingerprint"))
+
+
+def simhash_pairs(
+    fp_df: DataFrame, id_col: str, bits: int = 16, blocks: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by the block trick: fingerprints within Hamming
+    distance ≤ max_hamming must share at least one of ``blocks`` equal
+    blocks (pigeonhole, since max_hamming < blocks), so candidates come
+    from block-equality joins, then the exact Hamming filter verifies."""
+    assert bits % blocks == 0
+    width = bits // blocks
+    keys = F.array(
+        *[
+            F.concat(F.lit(f"{b}:"), F.substring("fingerprint", b * width + 1, width))
+            for b in range(blocks)
+        ]
+    )
+    blocked = fp_df.select(F.col(id_col), F.col("fingerprint"), F.explode(keys).alias("block"))
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("fingerprint").alias("__fa"), "block")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("fingerprint").alias("__fb"), "block")
+    cand = (
+        a.join(b, on="block").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "__fa", "__fb").distinct()
+    )
+    ham = F.expr(
+        f"size(filter(sequence(1, {bits}), i -> substr(__fa, i, 1) != substr(__fb, i, 1)))"
+    ).alias("hamming")
+    return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,125 @@
+"""Vector similarity search over ``array<float>`` embedding columns.
+
+Scale design (the 100 TB posture):
+- the query side is always a 1-row broadcast — the corpus never shuffles;
+- brute-force cosine top-k is a single scan + TakeOrderedAndProject
+  (the exact baseline);
+- the LSH variant buckets vectors by deterministic hyperplane sign
+  patterns so candidate generation is a bucket-equality join — the
+  standard sub-linear ANN path when the corpus is too big to scan per
+  query batch.
+
+Determinism: all float math is a left-fold in doubles over the array
+order (``F.aggregate``), which the DuckDB oracle mirrors with
+``list_reduce`` — bit-identical results, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product: elementwise double products folded in
+    array order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def query_vector(df: DataFrame, id_col: str, vec_col: str, target_id) -> DataFrame:
+    """1-row frame holding the query vector (broadcast by consumers)."""
+    return df.filter(F.col(id_col) == F.lit(target_id)).select(F.col(vec_col).alias("__qvec"))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, target_id, k: int = 10, score_col: str = "score"
+) -> DataFrame:
+    """Brute-force exact cosine top-k vs one stored vector (the baseline).
+
+    Single scan; ``orderBy().limit()`` compiles to TakeOrderedAndProject
+    (per-partition heaps, driver merges k rows) — no global sort.
+    """
+    q = query_vector(df, id_col, vec_col, target_id)
+    scored = (
+        df.filter(F.col(id_col) != F.lit(target_id))
+        .crossJoin(F.broadcast(q))
+        .select(id_col, F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias(score_col))
+    )
+    return scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec_col: Column, planes: int = 4) -> Column:
+    """Deterministic random-hyperplane LSH bucket id (sign-pattern string).
+
+    Plane p has ±1 components h_p[d] = +1 iff (d*(p+3)) mod 7 < 4 — a
+    fixed integer pattern both engines reproduce exactly (no RNG, no trig).
+    Same-bucket vectors are angular-similar with the usual SimHash-LSH
+    guarantee; more planes → smaller buckets.
+    """
+    bits = []
+    for p in range(planes):
+        signed = F.transform(
+            vec_col,
+            _plane_term(p),
+        )
+        s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _plane_term(p: int):
+    return lambda x, i: x.cast("double") * F.when(((i * (p + 3)) % 7) < 4, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+
+
+def cosine_topk_lsh(
+    df: DataFrame, id_col: str, vec_col: str, target_id, k: int = 5,
+    planes: int = 4, score_col: str = "score",
+) -> DataFrame:
+    """ANN top-k: restrict the scan to the query's LSH bucket, then exact
+    cosine rank inside it. Approximate (bucket recall < 1) but the scan is
+    ~corpus/2^planes — the scale path when brute force is too expensive."""
+    bucketed = df.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    q = bucketed.filter(F.col(id_col) == F.lit(target_id)).select(
+        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+    )
+    cand = (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter((F.col("__bucket") == F.col("__qbucket")) & (F.col(id_col) != F.lit(target_id)))
+    )
+    scored = cand.select(id_col, F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias(score_col))
+    return scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    planes: int = 4, score_col: str = "score",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: candidate
+    pairs share a sign-pattern bucket (equality join — shuffle on bucket,
+    never quadratic in the corpus), then exact cosine ≥ threshold verifies.
+    """
+    b = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("__bucket")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__bucket")
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__bucket")
+    )
+    pairs = left.join(right, on=["__bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias(score_col)
+    )
+    return scored.filter(F.col(score_col) >= threshold)

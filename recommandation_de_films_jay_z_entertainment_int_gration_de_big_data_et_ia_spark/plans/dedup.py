@@ -1,1 +1,139 @@
-"""(stub — queries register here in a later milestone)"""
+"""Dedup query catalog: exact, MinHash+LSH, n-gram Jaccard, SimHash —
+each oracle-mirrored in DuckDB SQL sharing the engine's exact hash/shingle
+spec (md5-hex, 3-word shingles, 8 hashes × 4 bands, 16-bit simhash)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources.readers import load_table
+from .catalog import register
+
+NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+TOKS_SQL = f"regexp_split_to_array({NORM_SQL}, ' +')"
+# 3-word shingles over the token array `tk` (mirrors functions.text.word_shingles).
+SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(tk)-2, 1)+1),"
+    " i -> array_to_string(tk[i:i+2], ' ')))"
+)
+NUM_HASHES, BANDS = 8, 4
+
+_SIG_COLS = ", ".join(
+    f"list_sort(list_transform(sh, s -> md5('{i}|' || s)))[1] AS h{i}" for i in range(NUM_HASHES)
+)
+_BANDS_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM sig" for b in range(BANDS)
+)
+# Shared CTE prefix producing LSH candidate pairs (id_a < id_b).
+LSH_PAIRS_CTE = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM s),
+bands AS ({_BANDS_UNION}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — demonstrated on a doubled corpus (docs ∪ re-ingested docs)
+# so survivors/copy-counts are non-trivial.
+# ---------------------------------------------------------------------------
+@register(
+    "q31_dedup_exact",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 10000, text FROM documents)
+    SELECT md5({NORM_SQL}) AS content_hash, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+    FROM u GROUP BY content_hash
+    """,
+)
+def q31_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return D.exact_dedup_groups(doubled, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+@register(
+    "q32_dedup_minhash_pairs",
+    oracle=f"{LSH_PAIRS_CTE} SELECT id_a, id_b FROM pairs",
+)
+def q32_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, "doc_id", "text", n=3)
+    return D.lsh_candidate_pairs(
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verify on the LSH candidates
+# ---------------------------------------------------------------------------
+@register(
+    "q33_dedup_jaccard_verify",
+    oracle=f"""
+    {LSH_PAIRS_CTE}
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+    FROM pairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+    """,
+)
+def q33_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints + near-dup pairs (block trick + Hamming verify)
+# ---------------------------------------------------------------------------
+def _simhash_sql(bits: int = 16) -> str:
+    votes = []
+    for p in range(1, bits + 1):
+        vote = (
+            f"list_reduce(list_transform(tk, t -> CASE WHEN substr(md5(t), {p}, 1) >= '8'"
+            f" THEN 1 ELSE -1 END), (x, y) -> x + y)"
+        )
+        votes.append(f"CASE WHEN {vote} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(votes)
+
+
+@register(
+    "q34_dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents)
+    SELECT doc_id, {_simhash_sql()} AS fingerprint FROM t
+    """,
+)
+def q34_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "q35_dedup_simhash_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    fp AS (SELECT doc_id, {_simhash_sql()} AS fingerprint FROM t),
+    blocked AS (
+      SELECT doc_id, fingerprint, CAST(b AS VARCHAR) || ':' || substr(fingerprint, b*4 + 1, 4) AS block
+      FROM fp, UNNEST([0, 1, 2, 3]) AS u(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fingerprint AS fa, b.fingerprint AS fb
+      FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           len(list_filter(range(1, 17), i -> substr(fa, i, 1) != substr(fb, i, 1))) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 17), i -> substr(fa, i, 1) != substr(fb, i, 1))) <= 3
+    """,
+)
+def q35_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash_fingerprints(docs, "doc_id", "text", bits=16)
+    return D.simhash_pairs(fp, "doc_id", bits=16, blocks=4, max_hamming=3)

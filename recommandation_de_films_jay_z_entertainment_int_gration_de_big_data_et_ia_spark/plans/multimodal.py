@@ -1,1 +1,37 @@
-"""(stub — queries register here in a later milestone)"""
+"""Multimodal query catalog: binary payload plumbing + Arrow-batched
+feature extraction (deterministic fake decode → fully oracle-checkable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..sources.readers import load_table
+from .catalog import register
+
+
+@register(
+    "q49_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           md5(substr(text, 1, 8)) AS head_fp,
+           CAST(strlen(text) % 7 AS DOUBLE) AS f0,
+           CAST(strlen(text) % 11 AS DOUBLE) AS f1,
+           CAST(strlen(text) % 13 AS DOUBLE) AS f2
+    FROM documents
+    """,
+)
+def q49_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bin_docs = MM.to_binary_docs(docs, "doc_id", "text")
+    feats = MM.extract_features(bin_docs, "doc_id")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "head_fp",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", 2).alias("f1"),
+        F.element_at("features", 3).alias("f2"),
+    )

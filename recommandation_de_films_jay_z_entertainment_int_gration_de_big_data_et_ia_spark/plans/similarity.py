@@ -1,1 +1,99 @@
-"""(stub — queries register here in a later milestone)"""
+"""Similarity-search query catalog over ``embeddings`` (array<float>[64]).
+
+The DuckDB oracles mirror the engine's float math exactly: elementwise
+double products folded left-to-right (``F.aggregate`` ↔ ``list_reduce``),
+IEEE sqrt/divide with identical parenthesization — bit-identical scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity as SIM
+from ..sources.readers import load_table
+from .catalog import register
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def _bucket_sql(v: str, planes: int = 4) -> str:
+    bits = []
+    for p in range(planes):
+        term = (
+            f"list_reduce(list_transform(range(1, len({v})+1),"
+            f" i -> CAST({v}[i] AS DOUBLE) * (CASE WHEN ((i-1) * {p + 3}) % 7 < 4"
+            f" THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN {term} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact cosine top-k (the baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "q37_embedding_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_cos_sql('v', 'qv')}, 4) AS score
+    FROM e CROSS JOIN q
+    WHERE vec_id != 0
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q37_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, "vec_id", "embedding", target_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN top-k (the scale path)
+# ---------------------------------------------------------------------------
+@register(
+    "q38_embedding_ann_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_cos_sql('v', 'qv')}, 4) AS score
+    FROM b CROSS JOIN q
+    WHERE bucket = qbucket AND vec_id != 0
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def q38_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_lsh(emb, "vec_id", "embedding", target_id=0, k=5, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (LSH bucket join + threshold)
+# ---------------------------------------------------------------------------
+@register(
+    "q39_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT id_a, id_b, score FROM (
+      SELECT id_a, id_b, ROUND({_cos_sql('va', 'vb')}, 4) AS score FROM pairs)
+    WHERE score >= 0.3
+    """,
+)
+def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3, planes=4)

@@ -1,1 +1,137 @@
-"""(stub — queries register here in a later milestone)"""
+"""Text-analysis query catalog over ``documents``: token statistics,
+language ID (stopword heuristic), quality scoring, fingerprinting.
+
+All column math (SURVEY §2.10 stance: no UDFs); every formula is specified
+here and mirrored verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, distinct_tokens_sorted, normalize_text, tokens
+from ..sources.readers import load_table
+from .catalog import register
+
+NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+TOKS_SQL = f"regexp_split_to_array({NORM_SQL}, ' +')"
+STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _stop_count() -> F.Column:
+    return F.size(F.filter(tokens("text"), lambda t: t.isin(*STOPWORDS)))
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + distinct + type/token ratio)
+# ---------------------------------------------------------------------------
+@register(
+    "q40_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents)
+    SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+           ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 4) AS ttr
+    FROM t
+    """,
+)
+def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct(tk)).cast("double") / F.size(tk).cast("double"), 4
+        ).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID — n-gram/stopword heuristic. Spec: en iff the English
+# stopword ratio exceeds 2% of tokens.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, lang,
+                 CAST(len(list_filter(tk, x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS stop_ratio
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN stop_ratio > 0.02 THEN 'en' ELSE 'other' END AS pred_lang,
+           ROUND(stop_ratio, 4) AS stop_ratio
+    FROM s
+    """,
+)
+def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = _stop_count().cast("double") / F.size(tokens("text")).cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(ratio > 0.02, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        F.round(ratio, 4).alias("stop_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length component + stopword component, equal weights.
+# score = round(0.5*least(n_tokens/100, 1) + 0.5*least(stop_ratio*10, 1), 4)
+# ---------------------------------------------------------------------------
+@register(
+    "q42_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, n_chars, len(tk) AS n_tokens,
+                 CAST(len(list_filter(tk, x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS stop_ratio
+          FROM t)
+    SELECT doc_id, n_tokens, n_chars,
+           ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                 + 0.5 * least(stop_ratio * 10.0, 1.0), 4) AS quality
+    FROM s
+    """,
+)
+def q42_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n_tokens = F.size(tk)
+    stop_ratio = _stop_count().cast("double") / n_tokens.cast("double")
+    quality = F.round(
+        F.lit(0.5) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.5) * F.least(stop_ratio * F.lit(10.0), F.lit(1.0)),
+        4,
+    )
+    return docs.select("doc_id", n_tokens.alias("n_tokens"), "n_chars", quality.alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: (a) bag-of-words content fingerprint (md5 of the
+# sorted distinct token list), (b) winnowing-style min-hash over character
+# 5-grams of the normalized text (order-sensitive rolling fingerprint).
+# ---------------------------------------------------------------------------
+@register(
+    "q43_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {NORM_SQL} AS norm, {TOKS_SQL} AS tk FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS content_fp,
+           list_sort(list_transform(range(1, greatest(len(norm)-4, 1)+1),
+                                    i -> md5(substr(norm, CAST(i AS INT), 5))))[1] AS winnow_fp
+    FROM t
+    """,
+)
+def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        normalize_text("text").alias("norm"),
+        F.md5(F.concat_ws(" ", distinct_tokens_sorted("text"))).alias("content_fp"),
+    )
+    winnow = F.expr(
+        "array_min(transform(sequence(1, greatest(length(norm)-4, 1)), i -> md5(substring(norm, i, 5))))"
+    )
+    return d.select("doc_id", "content_fp", winnow.alias("winnow_fp"))

@@ -1,1 +1,135 @@
-"""(stub — queries register here in a later milestone)"""
+"""Time-series / event-stream query catalog over ``events``.
+
+Uses Spark's native time-window operators (``F.window`` tumbling/sliding,
+``F.session_window`` gap sessions) — the *same* expressions run under
+Structured Streaming with a watermark (see ``streaming/windows.py``); here
+they're exercised in batch so the DuckDB oracle can replay them exactly.
+Window starts are surfaced as epoch seconds (BIGINT) — timezone-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+DEC = "decimal(18,4)"
+
+
+def _sum_value() -> F.Column:
+    return F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 2)
+
+
+SUM_VALUE_SQL = "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)"
+
+
+# ---------------------------------------------------------------------------
+# Tumbling 1-hour windows per event_type
+# ---------------------------------------------------------------------------
+@register(
+    "q44_tumbling_window",
+    oracle=f"""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, event_type,
+           COUNT(*) AS n_events, {SUM_VALUE_SQL} AS sum_value
+    FROM events
+    GROUP BY window_start_s, event_type
+    """,
+)
+def q44_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value().alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 1 hour long, every 30 minutes (each event in 2 windows)
+# ---------------------------------------------------------------------------
+@register(
+    "q45_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS ws, value FROM events
+      UNION ALL
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800 AS ws, value FROM events)
+    SELECT ws AS window_start_s, COUNT(*) AS n_events, {SUM_VALUE_SQL} AS sum_value
+    FROM assigned GROUP BY ws
+    """,
+)
+def q45_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value().alias("sum_value"))
+        .select(F.col("w.start").cast("long").alias("window_start_s"), "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (30-minute inactivity gap) — Spark-native
+# session_window, oracled by the classic lag/cumulative-sum construction.
+# New-session rule matches session_window: gap STRICTLY less than 30 min
+# continues a session (diff >= 1800s starts a new one).
+# ---------------------------------------------------------------------------
+@register(
+    "q46_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch(ts) AS t,
+             LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+      FROM events),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t >= 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+    numbered AS (
+      SELECT user_id, t,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_num
+      FROM flagged)
+    SELECT user_id, CAST(MIN(floor(t)) AS BIGINT) AS session_start_s,
+           COUNT(*) AS n_events,
+           CAST(MAX(floor(t)) AS BIGINT) - CAST(MIN(floor(t)) AS BIGINT) AS duration_s
+    FROM numbered GROUP BY user_id, sess_num
+    """,
+)
+def q46_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("session_start_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_s"),
+        )
+        .select("user_id", "session_start_s", "n_events", "duration_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar extraction from the props column
+# ---------------------------------------------------------------------------
+@register(
+    "q47_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q47_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

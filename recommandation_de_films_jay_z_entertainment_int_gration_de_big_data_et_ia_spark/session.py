@@ -25,6 +25,7 @@ DEFAULT_CONF: dict[str, str] = {
     # the sf0.1 dims and far below executor memory on a real cluster.
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -1,0 +1,90 @@
+"""Property tests for engine operators (SURVEY §5.2): invariants that must
+hold regardless of data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+    dedup as D,
+)
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+    relational as R,
+)
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+    search as S,
+)
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+    load_table,
+)
+
+
+def test_exact_dedup_doubled_corpus_collapses(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    doubled = docs.unionAll(docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    groups = D.exact_dedup_groups(doubled, "doc_id", "text")
+    assert groups.count() == n
+    assert groups.filter(F.col("n_copies") != 2).count() == 0
+    # survivors are the original ids (min of {id, id+10000})
+    assert groups.filter(F.col("survivor_id") >= 10_000).count() == 0
+
+
+def test_jaccard_self_pair_is_one(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    sh = D.doc_shingles(docs, "doc_id", "text", n=3)
+    pairs = sh.select(F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")).limit(20)
+    j = D.jaccard_verify(pairs, sh, "doc_id")
+    vals = [r.jaccard for r in j.collect()]
+    assert vals and all(v == 1.0 for v in vals)
+
+
+def test_fuzzy_distance_zero_equals_exact(spark, sf_dir):
+    docs = S.with_tokens(load_table(spark, sf_dir, "documents"), "text")
+    exact = docs.filter(F.array_contains("toks", "spark")).count()
+    fz = docs.filter(S.fuzzy_match(F.col("toks"), "spark", max_dist=0)).count()
+    assert exact == fz
+
+
+def test_pagination_partitions_topn(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    pages = [
+        {r.o_orderkey for r in R.paginate(orders, order, page=p, size=10).collect()}
+        for p in (1, 2, 3)
+    ]
+    top30 = {r.o_orderkey for r in R.topk_global(orders, order, 30).collect()}
+    assert set.union(*pages) == top30
+    assert sum(len(p) for p in pages) == 30  # disjoint cover
+
+
+def test_unpivot_roundtrip_identity(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    melted = R.unpivot(part, ["p_partkey"], ["p_size", "p_retailprice"], "attr", "val")
+    refat = (
+        melted.groupBy("p_partkey")
+        .pivot("attr", ["p_size", "p_retailprice"])
+        .agg(F.first("val"))
+    )
+    assert refat.exceptAll(part).count() == 0 and part.exceptAll(refat).count() == 0
+
+
+def test_topk_per_group_bounds(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    top = R.topk_per_group(orders, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3)
+    per = top.groupBy("o_custkey").count()
+    assert per.filter(F.col("count") > 3).count() == 0
+
+
+def test_bool_query_minimum_should_match_monotonic(spark, sf_dir):
+    docs = S.with_tokens(load_table(spark, sf_dir, "documents"), "text")
+    should = [F.array_contains("toks", w) for w in ("join", "merge", "window")]
+    counts = [
+        docs.filter(S.bool_query(should=should, minimum_should_match=m)).count()
+        for m in (1, 2, 3)
+    ]
+    assert counts[0] >= counts[1] >= counts[2]

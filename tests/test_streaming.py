@@ -1,0 +1,50 @@
+"""Streaming == batch equivalence: the same window expressions must give
+identical results when driven through readStream + availableNow."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+    load_table,
+)
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.stateful import (
+    running_user_counts,
+)
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.windows import (
+    run_stream_to_memory,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    assert stream.isStreaming
+    run_stream_to_memory(tumbling_counts(stream), "t_tumbling", output_mode="complete")
+    got = {
+        (r.window_start_s, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_tumbling").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r.ws, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stateful_running_counts_equal_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    counts = running_user_counts(stream.select("user_id", "ts"))
+    run_stream_to_memory(counts, "t_state", output_mode="update")
+    # update mode may emit one row per user per batch; last emit per user
+    # is the final running count (single input file → single batch here).
+    got = {r.user_id: r.n_events for r in spark.table("t_state").collect()}
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
