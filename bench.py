@@ -23,7 +23,8 @@ from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_s
 )
 
 # Headline set: one per capability family (relational joins/aggs, window
-# top-k, search scoring, dedup, similarity, time-series windows).
+# top-k, search scoring, dedup, similarity, time-series windows,
+# multimodal mapInPandas).
 HEADLINE = [
     "q01_pricing_summary",
     "q02_top_customers",
@@ -31,6 +32,12 @@ HEADLINE = [
     "q05_region_nation_revenue",
     "q13_explode_terms",
     "q14_window_topk",
+    "q26_search_bm25",
+    "q32_dedup_minhash_pairs",
+    "q37_embedding_cosine_topk",
+    "q44_tumbling_window",
+    "q46_sessionize",
+    "q49_multimodal_features",
 ]
 
 

@@ -58,14 +58,67 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
 
     Permutation *i* is simulated by hashing ``'i|shingle'`` with md5 and
     taking the lexicographic minimum — a standard min-wise scheme that is
-    exactly reproducible in SQL (``min(md5(i || '|' || s))``). Lexicographic
-    min over uniformly distributed hex strings is equivalent to numeric min
-    over the hash values.
-    """
-    def _perm(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+    exactly reproducible in SQL. Lexicographic min over uniformly
+    distributed hex strings is equivalent to numeric min over the hashes.
 
-    return F.array(*[F.array_min(F.transform(shingles, _perm(i))) for i in range(num_hashes)])
+    Hash family: permutation i = chunk ``i % 4`` (8 hex chars) of
+    ``md5(str(i // 4) + '|' + shingle)`` — 4 independent 32-bit hashes per
+    md5, so only ``ceil(num_hashes / 4)`` md5 evaluations per shingle,
+    folded to elementwise minima in a single traversal (one transform+min
+    per hash function would cost ``num_hashes`` md5 per shingle — ~3×
+    slower, measured at sf0.1).
+
+    SQL mirror (per i): ``list_sort(list_transform(sh, s ->
+    substr(md5('<i//4>|' || s), <(i%4)*8 + 1>, 8)))[1]``.
+    """
+    n_md5 = (num_hashes + 3) // 4
+
+    def _chunks(s: Column) -> Column:
+        hashes = [F.md5(F.concat(F.lit(f"{k}|"), s)) for k in range(n_md5)]
+        return F.array(
+            *[F.substring(hashes[i // 4], (i % 4) * 8 + 1, 8) for i in range(num_hashes)]
+        )
+
+    init = F.array_repeat(F.lit("~"), num_hashes)  # '~' sorts after all hex chars
+    return F.aggregate(
+        F.transform(shingles, _chunks),
+        init,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_band_keys(shingles: Column, num_hashes: int, bands: int) -> Column:
+    """Array of ``bands`` LSH band keys (concatenated signature rows).
+
+    Built inside the signature fold's ``finish`` lambda so the signature
+    accumulator is bound ONCE — extracting keys from a separate
+    ``minhash_signature`` column would re-inline (and re-evaluate) the
+    whole fold per key under projection collapsing.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    n_md5 = (num_hashes + 3) // 4
+
+    def _chunks(s: Column) -> Column:
+        hashes = [F.md5(F.concat(F.lit(f"{k}|"), s)) for k in range(n_md5)]
+        return F.array(
+            *[F.substring(hashes[i // 4], (i % 4) * 8 + 1, 8) for i in range(num_hashes)]
+        )
+
+    def _keys(acc: Column) -> Column:
+        return F.array(
+            *[
+                F.concat(*[F.element_at(acc, b * rows + r + 1) for r in range(rows)])
+                for b in range(bands)
+            ]
+        )
+
+    return F.aggregate(
+        F.transform(shingles, _chunks),
+        F.array_repeat(F.lit("~"), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        _keys,
+    )
 
 
 def simhash_hex(tok: Column, bits: int = 16) -> Column:
@@ -76,18 +129,24 @@ def simhash_hex(tok: Column, bits: int = 16) -> Column:
     in byte order (top bit of the nibble set — '8'..'9','a'..'f') else -1,
     weighted by the token's count. Fingerprint bit p = 1 iff the vote sum is
     positive. Returned as a ``bits``-char '0'/'1' string.
+
+    One md5 per token (hashes materialized first, then all ``bits`` vote
+    positions folded in a single traversal — versus one aggregate per bit,
+    which recomputes md5 ``bits`` times per token).
     """
-
-    def _voter(p: int):
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), p, 1) >= F.lit("8"), F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_cols = []
-    for p in range(1, bits + 1):
-        vote = F.aggregate(tok, F.lit(0), _voter(p))
-        bit_cols.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_cols)
+    hashes = F.transform(tok, lambda t: F.md5(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(1), F.lit(bits)), lambda p: F.substring(h, p, 1)),
+            lambda a, d: a + F.when(d >= F.lit("8"), F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.concat_ws(
+        "", F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
 
 
 def stopword_count(tok: Column) -> Column:

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     md5_hex,
-    minhash_signature,
+    minhash_band_keys,
     normalize_text,
     simhash_hex,
     tokens,
@@ -52,9 +52,15 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                  out: str = "shingles") -> DataFrame:
-    """Distinct n-word shingles per document."""
-    return df.select(
-        F.col(id_col), F.array_distinct(word_shingles(tokens(text_col), n)).alias(out)
+    """Distinct n-word shingles per document.
+
+    Tokens are materialized in their own projection first: inlining the
+    tokenizer expression into the shingle lambda would re-run the regexp
+    split once per shingle index (measured 10× slower at sf0.1).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+    return toked.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col("__tk"), n)).alias(out)
     )
 
 
@@ -65,30 +71,42 @@ def minhash_bands(
     """(id, band, key) rows: the banded LSH index. ``num_hashes`` must be
     divisible by ``bands``; a band's key concatenates its rows of the
     signature. This frame is also a persistable index — at scale, write it
-    partitioned by band and bucket-joined on (band, key)."""
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig = minhash_signature(F.col(shingle_col), num_hashes)
-    keys = F.array(
-        *[
-            F.concat(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
+    partitioned by band and bucket-joined on (band, key).
+
+    Keys come from :func:`minhash_band_keys` (single signature fold);
+    extracting per-band keys out of a signature column would re-evaluate
+    the fold once per band after projection collapsing."""
+    keys = minhash_band_keys(F.col(shingle_col), num_hashes, bands)
     return df.select(F.col(id_col), F.posexplode(keys).alias("band", "key"))
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing any band key — the standard LSH
-    bucket self-join. Shuffles on (band, key); skewed mega-buckets are the
-    known hazard (AQE skew-join handles moderate cases; salting or bucket
-    size caps for pathological ones)."""
-    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "key")
+    """Distinct (id_a < id_b) pairs sharing any band key.
+
+    Implemented as bucket-aggregate + in-bucket pair explosion rather than
+    a self-join: the (expensive) signature subtree is evaluated ONCE, there
+    is a single shuffle on (band, key), and pair generation is pure array
+    math inside each bucket. Equivalent output to the textbook self-join —
+    measured 2× faster at sf0.1 (the self-join re-computes the signature
+    pipeline for both sides and shuffles twice).
+
+    Mega-bucket hazard: pair count is quadratic in bucket size. Real
+    pipelines cap bucket size (dropping degenerate buckets — e.g. empty
+    shingle sets — is standard); the cap is left to callers so the operator
+    stays exact.
+    """
+    buckets = (
+        bands_df.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), b -> struct(a AS id_a, b AS id_b))))"
+    )
     return (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -20,8 +20,11 @@ SHINGLES_SQL = (
 )
 NUM_HASHES, BANDS = 8, 4
 
+# Mirror of functions.text.minhash_signature's chunked hash family:
+# hash i = 8-hex-char chunk (i%4) of md5('<i//4>|' || shingle).
 _SIG_COLS = ", ".join(
-    f"list_sort(list_transform(sh, s -> md5('{i}|' || s)))[1] AS h{i}" for i in range(NUM_HASHES)
+    f"list_sort(list_transform(sh, s -> substr(md5('{i // 4}|' || s), {(i % 4) * 8 + 1}, 8)))[1] AS h{i}"
+    for i in range(NUM_HASHES)
 )
 _BANDS_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM sig" for b in range(BANDS)
