@@ -38,4 +38,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import all plan modules so their queries register."""
-    from . import core, search, dedup, similarity, textstats, timeseries, ml, multimodal  # noqa: F401
+    from . import (  # noqa: F401
+        core,
+        core_ext,
+        dedup,
+        ml,
+        multimodal,
+        search,
+        similarity,
+        textstats,
+        timeseries,
+    )

@@ -1,0 +1,173 @@
+"""Extended relational surface (SURVEY.md §2.5/§2.6 notes): cube,
+intersect/except, pivot, date parts, selective scan aggregation, approx
+distinct — operators the reference lacks but a complete engine exposes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import relational as R
+from ..sources.readers import load_table
+from .catalog import register
+from .core import _dec, _money
+
+
+# ---------------------------------------------------------------------------
+# q18 — cube over two dims
+# ---------------------------------------------------------------------------
+@register(
+    "q18_cube",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE(r_name, c_mktsegment)
+    """,
+)
+def q18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = R.join_broadcast_dim(
+        R.join_broadcast_dim(cust, nation, on=[cust.c_nationkey == nation.n_nationkey]),
+        region,
+        on=[nation.n_regionkey == region.r_regionkey],
+    )
+    return (
+        joined.cube("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n",
+            "sum_bal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — intersect + except chain
+# ---------------------------------------------------------------------------
+@register(
+    "q19_intersect_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q19_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big).subtract(urgent)
+
+
+# ---------------------------------------------------------------------------
+# q52 — selective scan aggregation (TPC-H Q6 shape: every predicate must
+# reach the parquet scan as a pushed filter)
+# ---------------------------------------------------------------------------
+@register(
+    "q52_forecast_revenue",
+    oracle=f"""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS promo_revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q52_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.schema["l_shipdate"].dataType
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(t))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(t))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money(F.sum(_dec("l_extendedprice") * _dec("l_discount")), "promo_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — date part extraction + grouped revenue by month
+# ---------------------------------------------------------------------------
+@register(
+    "q53_date_parts",
+    oracle=f"""
+    SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+           CAST(date_part('month', o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+    FROM orders
+    GROUP BY yr, mo
+    """,
+)
+def q53_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(F.sum(_dec("o_totalprice")), "total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "q54_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2) AS F,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 2) AS O,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 2) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(_dec("o_totalprice")).cast("double"), 2))
+    )
+
+
+# rows-only: HyperLogLog sketches are engine-specific (Spark HLL++ vs
+# DuckDB's), so approximate counts can't hash-match an oracle; the exact
+# bound check lives in tests/test_properties.py.
+@register("q55_approx_distinct")
+def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -19,10 +19,6 @@ TOKS_SQL = f"regexp_split_to_array({NORM_SQL}, ' +')"
 STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
-def _stop_count() -> F.Column:
-    return F.size(F.filter(tokens("text"), lambda t: t.isin(*STOPWORDS)))
-
-
 # ---------------------------------------------------------------------------
 # Token counting (whitespace + distinct + type/token ratio)
 # ---------------------------------------------------------------------------
@@ -36,14 +32,15 @@ def _stop_count() -> F.Column:
     """,
 )
 def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tk = tokens("text")
+    # tokens materialized once per row — inlining the tokenizer into each
+    # stat would re-run the regexp split per expression (see dedup.py note).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("tk"))
     return docs.select(
         "doc_id",
-        F.size(tk).alias("n_tokens"),
-        F.size(F.array_distinct(tk)).alias("n_distinct"),
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
         F.round(
-            F.size(F.array_distinct(tk)).cast("double") / F.size(tk).cast("double"), 4
+            F.size(F.array_distinct("tk")).cast("double") / F.size("tk").cast("double"), 4
         ).alias("ttr"),
     )
 
@@ -67,8 +64,11 @@ def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    ratio = _stop_count().cast("double") / F.size(tokens("text")).cast("double")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("tk")
+    )
+    nstop = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+    ratio = nstop.cast("double") / F.size("tk").cast("double")
     return docs.select(
         "doc_id",
         "lang",
@@ -96,10 +96,12 @@ def q41_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q42_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    tk = tokens("text")
-    n_tokens = F.size(tk)
-    stop_ratio = _stop_count().cast("double") / n_tokens.cast("double")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", tokens("text").alias("tk")
+    )
+    n_tokens = F.size("tk")
+    nstop = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = nstop.cast("double") / n_tokens.cast("double")
     quality = F.round(
         F.lit(0.5) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
         + F.lit(0.5) * F.least(stop_ratio * F.lit(10.0), F.lit(1.0)),

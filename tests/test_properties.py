@@ -88,3 +88,21 @@ def test_bool_query_minimum_should_match_monotonic(spark, sf_dir):
         for m in (1, 2, 3)
     ]
     assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, approx[k], n)
