@@ -44,6 +44,7 @@ def load_all() -> None:
         dedup,
         ml,
         multimodal,
+        relational_ext2,
         search,
         similarity,
         textstats,

@@ -1,0 +1,158 @@
+"""Second extension batch: dedup materialization, subquery forms (the
+engine's ``spark.sql`` entry path over temp views), string functions, and
+an as-of join (SURVEY §2.4 notes the reference has none — a complete
+engine ships one)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources.readers import load_table
+from .catalog import register
+from .core import _dec, _money
+
+
+# ---------------------------------------------------------------------------
+# q36 — dedup applied: materialize the deduplicated corpus (keep-first)
+# ---------------------------------------------------------------------------
+@register(
+    "q36_dedup_apply",
+    oracle="""
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 10000, text FROM documents),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM u GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+    SELECT u.doc_id, strlen(u.text) AS n_bytes
+    FROM u JOIN survivors s ON u.doc_id = s.doc_id
+    """,
+)
+def q36_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    survivors = D.exact_dedup_groups(doubled, "doc_id", "text").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    # keep-first realization: semi-join the corpus to its survivor ids
+    return doubled.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", F.length(F.encode("text", "UTF-8")).cast("int").alias("n_bytes")
+    )
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# q56 — correlated scalar subquery (spark.sql path): orders above their
+# customer's average order value
+# ---------------------------------------------------------------------------
+# Predicate "price > 2 × customer avg" is evaluated EXACTLY as
+# price·count > 2·sum over decimals (float avg would be summation-order
+# dependent and could flip boundary rows between engines).
+_Q56_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 2) AS price
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,4))
+      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,4)))
+             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+"""
+
+
+@register("q56_scalar_subquery", oracle=_Q56_SQL)
+def q56_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_Q56_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q57 — IN / NOT IN subqueries (compiled to semi/anti joins by Catalyst)
+# ---------------------------------------------------------------------------
+@register(
+    "q57_in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+    """,
+)
+def q57_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — string function surface
+# ---------------------------------------------------------------------------
+@register(
+    "q58_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(SUBSTR(p_name, 1, 3)) AS prefix,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_padded
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q58_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 3)).alias("prefix"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — as-of join: each event annotated with the timestamp of the user's
+# most recent prior (or simultaneous) 'signup' event. Implemented as a
+# running window max — the single-table as-of form; the two-table form is
+# a union + same window (no row-by-row lookup, no range join explosion).
+# ---------------------------------------------------------------------------
+@register(
+    "q59_asof_join",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           CAST(floor(epoch(
+             MAX(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )) AS BIGINT) AS last_signup_s
+    FROM events
+    """,
+)
+def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        last_signup.cast("long").alias("last_signup_s"),
+    )
