@@ -1,0 +1,110 @@
+"""End-to-end parity against the REAL reference data and behavior:
+runs the engine's pipelines + recommendation flows on the reference's own
+MovieLens-100k files (read-only at /root/reference/data) and checks the
+known answers from SURVEY §5.2 / BASELINE.md."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark import pipelines
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+    movierec,
+)
+
+DATA = "/root/reference/data"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{DATA}/u.data"), reason="reference data not present"
+)
+
+
+@pytest.fixture(scope="module")
+def processed(spark):
+    return pipelines.preprocess(spark, f"{DATA}/u.data", f"{DATA}/u.item").cache()
+
+
+@pytest.fixture(scope="module")
+def movie_index(spark):
+    return pipelines.build_movie_index(spark, f"{DATA}/u.item").cache()
+
+
+def test_baseline_scale_facts(spark, processed):
+    # BASELINE.md: 100k ratings join-conserved, 943 users, 1682 movies,
+    # ratings in 1..5
+    assert processed.count() == 100_000
+    assert processed.select("userId").distinct().count() == 943
+    stats = processed.agg(
+        F.min("rating").alias("lo"), F.max("rating").alias("hi"),
+        F.countDistinct("movieId").alias("m"),
+    ).collect()[0]
+    assert stats.lo == 1 and stats.hi == 5
+    assert stats.m <= 1682
+
+
+def test_movie_index_known_answers(movie_index):
+    assert movie_index.count() == 1682
+    toy = movie_index.filter(F.col("movieId") == 1).collect()[0]
+    assert toy.genres == ["Animation", "Childrens", "Comedy"]
+    assert toy.num_genres == 3
+
+
+def test_processed_matches_reference_parquet(spark, processed):
+    """Row-count conservation vs the reference's own materialized output."""
+    ref = spark.read.parquet(f"{DATA}/processed_data.parquet")
+    assert processed.count() == ref.count()
+    # same (userId, movieId, rating) multiset
+    assert (
+        processed.select("userId", "movieId", "rating")
+        .exceptAll(ref.select("userId", "movieId", "rating"))
+        .count()
+        == 0
+    )
+
+
+def test_recommend_flow_toy_story(movie_index):
+    """POST /recommend equivalent (api.py:74-158) on real data."""
+    status, hits = movierec.lookup_title(movie_index, "Toy Story", size=5)
+    assert status == "unique"
+    hit = hits.collect()[0]
+    assert hit.movieId == 1
+    recs = movierec.recommend_by_genre_overlap(movie_index, hit.movieId, list(hit.genres), k=5)
+    rows = recs.collect()
+    assert len(rows) == 5
+    assert all(r.movieId != 1 for r in rows)
+    assert all(set(r.genres) & {"Animation", "Childrens", "Comedy"} for r in rows)
+    # ranking is by overlap desc: top hit shares all 3 genres
+    assert rows[0].score == 3
+
+
+def test_recommend_disambiguation_branch(movie_index):
+    status, hits = movierec.lookup_title(movie_index, "Star", size=5)
+    assert status == "ambiguous"
+    assert 1 < hits.count() <= 5
+
+
+def test_recommend_keyword_fallback(movie_index):
+    recs = movierec.recommend_by_title_keywords(movie_index, 1, "Toy Story (1995)", k=5)
+    rows = recs.collect()
+    assert rows and all(r.movieId != 1 for r in rows)
+
+
+def test_search_fuzzy_pagination(movie_index):
+    """GET /search equivalent: typo'd query still finds Star Wars; pages
+    partition the ranking."""
+    p1 = movierec.search_movies(movie_index, "stor wars", page=1, size=5).collect()
+    assert len(p1) == 5
+    titles = " ".join(r.title for r in p1).lower()
+    assert "star wars" in titles
+    p2 = movierec.search_movies(movie_index, "stor wars", page=2, size=5).collect()
+    assert {r.movieId for r in p1}.isdisjoint({r.movieId for r in p2})
+
+
+def test_als_on_real_ratings(spark, processed):
+    """model.py equivalent: seeded ALS on the real 100k ratings."""
+    recs = pipelines.train_recommendations(spark, processed, k=10)
+    per_user = recs.groupBy("userId").count()
+    assert per_user.filter(F.col("count") > 10).count() == 0
+    assert recs.count() >= 900 * 10  # nearly all 943 users get 10 recs
