@@ -1,0 +1,73 @@
+"""Third extension batch: exact percentiles and event-funnel analytics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+
+# ---------------------------------------------------------------------------
+# q60 — exact percentiles per group (Spark `percentile` ≡ DuckDB
+# `quantile_cont`: both linearly interpolate at p·(n−1))
+# ---------------------------------------------------------------------------
+@register(
+    "q60_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q60_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — signup→purchase funnel: users whose first purchase follows their
+# first signup, with conversion delay. Conditional min-aggregation — one
+# shuffle on user_id, no self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q61_event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch(ts) END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(floor(first_signup) AS BIGINT) AS first_signup_s,
+           CAST(floor(first_purchase) AS BIGINT) AS first_purchase_s,
+           CAST(floor(first_purchase) AS BIGINT) - CAST(floor(first_signup) AS BIGINT) AS delay_s
+    FROM per_user
+    WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase > first_signup
+    """,
+)
+def q61_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    return (
+        per_user.filter(F.col("fs").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") > F.col("fs")))
+        .select(
+            "user_id",
+            F.col("fs").cast("long").alias("first_signup_s"),
+            F.col("fp").cast("long").alias("first_purchase_s"),
+            (F.col("fp").cast("long") - F.col("fs").cast("long")).alias("delay_s"),
+        )
+    )

@@ -39,6 +39,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import all plan modules so their queries register."""
     from . import (  # noqa: F401
+        analytics_ext,
         core,
         core_ext,
         dedup,
