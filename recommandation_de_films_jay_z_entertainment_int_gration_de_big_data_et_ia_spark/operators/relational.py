@@ -121,6 +121,34 @@ def histogram(df: DataFrame, col: str) -> DataFrame:
     return df.groupBy(col).count().withColumnRenamed("count", "cnt")
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Two-phase skew-resistant aggregation: group by (keys, random salt)
+    first so a hot key's rows spread over ``salt_buckets`` reducers, then
+    re-aggregate the partials by the real keys.
+
+    ``aggs`` maps output column → (input column, fn) with fn ∈
+    {'sum', 'count', 'min', 'max'} (the re-aggregable functions; count
+    re-aggregates as sum). Results are identical to a direct groupBy —
+    only the shuffle distribution changes — so the same oracle SQL holds.
+    """
+    refn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(c)).alias(out)
+            for out, (c, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[getattr(F, refn[fn])(out).alias(out) for out, (_, fn) in aggs.items()]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Top-k / pagination (Q7–Q8; reference api.py:93,149,197-221)
 # ---------------------------------------------------------------------------

@@ -71,3 +71,46 @@ def q61_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("fp").cast("long") - F.col("fs").cast("long")).alias("delay_s"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q62 — skew-resistant two-phase aggregation (salting). Result is
+# identical to a plain groupBy — the oracle proves it — only the shuffle
+# distribution changes (hot keys spread over salt buckets).
+# ---------------------------------------------------------------------------
+@register(
+    "q62_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_qty,
+           l_shipdate_max
+    FROM (SELECT l_returnflag, l_quantity,
+                 MAX(l_shipdate) OVER (PARTITION BY l_returnflag) AS l_shipdate_max
+          FROM lineitem)
+    GROUP BY flag, l_shipdate_max
+    """,
+)
+def q62_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("qty_dec"),
+        "l_shipdate",
+    )
+    out = salted_agg(
+        li,
+        keys=["flag"],
+        aggs={
+            "n": ("flag", "count"),
+            "total_qty_dec": ("qty_dec", "sum"),
+            "l_shipdate_max": ("l_shipdate", "max"),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("total_qty_dec").cast("double"), 2).alias("total_qty"),
+        "l_shipdate_max",
+    )
