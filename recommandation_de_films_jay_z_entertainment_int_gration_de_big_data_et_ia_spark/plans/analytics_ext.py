@@ -114,3 +114,92 @@ def q62_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total_qty_dec").cast("double"), 2).alias("total_qty"),
         "l_shipdate_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — map construction + element access (MapType surface; absent from
+# the reference per SURVEY §1.2 but part of a complete engine)
+# ---------------------------------------------------------------------------
+@register(
+    "q63_map_ops",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q63_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates carried through a MapType column, then extracted —
+    proves map construction/access round-trips values exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events_raw"),
+        F.countDistinct("user_id").alias("n_users_raw"),
+    )
+    mapped = agg.select(
+        "event_type",
+        F.map_from_arrays(
+            F.array(F.lit("n_events"), F.lit("n_users")),
+            F.array(F.col("n_events_raw"), F.col("n_users_raw")),
+        ).alias("stats"),
+    )
+    return mapped.select(
+        "event_type",
+        F.element_at("stats", "n_events").alias("n_events"),
+        F.element_at("stats", "n_users").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — from_json / to_json round-trip (the §1.5 serving-edge JSON ops)
+# ---------------------------------------------------------------------------
+@register(
+    "q64_json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS props_norm
+    FROM events WHERE event_id < 100
+    """,
+)
+def q64_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.to_json("p").alias("props_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — window frames: running total + lead/lag deltas per customer
+# ---------------------------------------------------------------------------
+@register(
+    "q65_running_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
+           CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_order
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def q65_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(wf).cast("double"), 2
+        ).alias("running_total"),
+        F.lag("o_orderkey").over(w).cast("bigint").alias("prev_order"),
+    )
