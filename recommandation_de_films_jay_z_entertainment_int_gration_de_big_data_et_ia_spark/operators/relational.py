@@ -183,3 +183,30 @@ def paginate(df: DataFrame, order: list[Column], page: int, size: int,
         .filter((F.col("_rn") > lo) & (F.col("_rn") <= lo + size))
         .drop("_rn")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the left (probe/fact) side gets a random
+    salt in [0, salt_buckets); the right (build) side is replicated once
+    per salt value; the join key becomes (key, salt). A hot key's rows now
+    spread over ``salt_buckets`` reducers instead of one.
+
+    Results are identical to ``left.join(right, key)`` — replication is on
+    the build side only. Cost: build side × salt_buckets, so use for
+    moderate build sides with pathological probe-side skew (AQE's skew
+    join handles milder cases without the replication cost).
+    """
+    salted_left = left.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    replicated_right = right.select("*", salts)
+    cond = (salted_left[left_key] == replicated_right[right_key]) & (
+        salted_left["__salt"] == replicated_right["__salt"]
+    )
+    return salted_left.join(replicated_right, cond, how).drop("__salt")

@@ -203,3 +203,46 @@ def q65_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_total"),
         F.lag("o_orderkey").over(w).cast("bigint").alias("prev_order"),
     )
+
+
+# rows-only: drives the actual Structured Streaming path (readStream →
+# watermarked tumbling agg → availableNow drain) and returns the drained
+# result as a batch frame. Streaming execution isn't SQL-replayable by the
+# oracle, but tests/test_streaming.py proves it equals the batch q44.
+@register("q66_streaming_tumbling")
+def q66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.windows import run_stream_to_memory, stream_events, tumbling_counts
+
+    name = f"q66_sink_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(tumbling_counts(stream_events(spark, sf_dir)), name)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q67 — skew-resistant salted join: replicate the (small) build side per
+# salt bucket so one hot probe key spreads across salt_buckets reducers.
+# Result identical to the plain join — the oracle proves it.
+# ---------------------------------------------------------------------------
+@register(
+    "q67_salted_join",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q67_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey", salt_buckets=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2).alias("qty"),
+    )
