@@ -1,0 +1,75 @@
+"""Text index structures — the engine's replacement for the reference's
+Elasticsearch index (SURVEY §1.5: ES ``movies`` index → plain DataFrames +
+operators; S7 index DDL → a persistable stats table).
+
+``build_docfreq_index`` materializes the corpus statistics BM25 needs
+(term → document frequency, plus corpus totals); at scale you write it
+as parquet once per corpus snapshot and broadcast-join it per query batch
+instead of re-aggregating the corpus (what ``search.bm25_score`` does
+inline). ``bm25_with_index`` consumes it and must produce bit-identical
+scores to the inline path (guarded by tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def build_docfreq_index(df: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (docfreq, totals):
+
+    - ``docfreq(term, df)`` — one row per distinct term (explode distinct
+      tokens → count), shuffle on term;
+    - ``totals(n_docs, sum_dl)`` — 1-row corpus totals.
+
+    Both are small, persistable, and broadcastable.
+    """
+    toked = df.select(tokens(text_col).alias("__tk"))
+    docfreq = (
+        toked.select(F.explode(F.array_distinct("__tk")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    totals = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("__tk")).alias("sum_dl")
+    )
+    return docfreq, totals
+
+
+def bm25_with_index(
+    docs: DataFrame,
+    docfreq: DataFrame,
+    totals: DataFrame,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "score",
+) -> DataFrame:
+    """BM25 scoring against a prebuilt index — same formula (and bitwise
+    the same scores) as ``search.bm25_score``, but corpus statistics come
+    from the index tables instead of an inline aggregate: the corpus is
+    scanned ONCE per query batch, not twice."""
+    q_df = {r["term"]: r["df"] for r in docfreq.filter(F.col("term").isin(*query_terms)).collect()}
+    toked = docs.withColumn("__tk", tokens(text_col)).withColumn("__dl", F.size("__tk"))
+    scored = toked.crossJoin(F.broadcast(totals))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    total = F.lit(0.0)
+    for t in query_terms:
+        tf = F.size(F.filter(F.col("__tk"), _eq(t))).cast("double")
+        dfreq = F.lit(float(q_df.get(t, 0)))
+        idf = F.log(
+            (F.col("n_docs").cast("double") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (F.col("__dl").cast("double") / avgdl))
+        total = total + idf * ((tf * F.lit(k1 + 1.0)) / denom)
+    return scored.withColumn(score_col, F.round(total, 4)).drop("__tk", "__dl", "n_docs", "sum_dl")

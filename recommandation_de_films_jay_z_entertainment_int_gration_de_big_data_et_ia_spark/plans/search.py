@@ -228,3 +228,89 @@ def q29_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_match_all_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.filter(F.col("doc_id") >= 100).select("doc_id", "n_chars").orderBy(F.asc("doc_id")).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# q68 — BM25 against a prebuilt docfreq index (the S7 "index DDL"
+# replacement: stats persisted once per corpus snapshot, corpus scanned
+# once per query batch). Same oracle as q26 — scores must be identical.
+# ---------------------------------------------------------------------------
+@register(
+    "q68_search_bm25_indexed",
+    oracle=f"""
+    WITH dd AS (SELECT doc_id, {TOKS_SQL} AS toks, len({TOKS_SQL}) AS dl FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {', '.join(f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM dd)
+    SELECT doc_id,
+           ROUND(({' + '.join(_bm25_term_sql(t, i) for i, t in enumerate(_BM25_TERMS))}) * 1.0, 4) AS score
+    FROM dd CROSS JOIN stats
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def q68_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import bm25_with_index, build_docfreq_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    docfreq, totals = build_docfreq_index(docs, "text")
+    scored = bm25_with_index(docs, docfreq, totals, "text", list(_BM25_TERMS))
+    return scored.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# q69 — tf-idf top terms per document (text-analysis extension)
+# ---------------------------------------------------------------------------
+@register(
+    "q69_tfidf_top_terms",
+    oracle=f"""
+    WITH toked AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE doc_id < 50),
+    alltoked AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    tf AS (SELECT doc_id, t.term, COUNT(*) AS tf
+           FROM toked, UNNEST(toks) AS t(term) GROUP BY doc_id, t.term),
+    df AS (SELECT t.term, COUNT(*) AS df
+           FROM (SELECT list_distinct(toks) AS dt FROM alltoked), UNNEST(dt) AS t(term)
+           GROUP BY t.term),
+    n AS (SELECT COUNT(*) AS n_docs FROM alltoked),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 4) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored)
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def q69_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.textindex import build_docfreq_index
+
+    from ..functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    docfreq, totals = build_docfreq_index(docs, "text")
+    toked = docs.filter(F.col("doc_id") < 50).select("doc_id", _tokens("text").alias("tk"))
+    tf = (
+        toked.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(totals.select("n_docs")))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)

@@ -106,3 +106,27 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, approx[k], n)
+
+
+def test_bm25_indexed_equals_inline(spark, sf_dir):
+    """The prebuilt-index BM25 path must score bitwise-identically to the
+    inline-stats path."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        bm25_with_index,
+        build_docfreq_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    inline = {
+        r.doc_id: r.score
+        for r in S.bm25_score(docs, "text", terms).select("doc_id", "score").collect()
+    }
+    docfreq, totals = build_docfreq_index(docs, "text")
+    indexed = {
+        r.doc_id: r.score
+        for r in bm25_with_index(docs, docfreq, totals, "text", terms)
+        .select("doc_id", "score")
+        .collect()
+    }
+    assert inline == indexed
