@@ -137,3 +137,26 @@ def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_min(transform(sequence(1, greatest(length(norm)-4, 1)), i -> md5(substring(norm, i, 5))))"
     )
     return d.select("doc_id", "content_fp", winnow.alias("winnow_fp"))
+
+
+# ---------------------------------------------------------------------------
+# q70 — BPE-ish token counting: alongside whitespace tokens (q40), count
+# subword-style pieces with a GPT-2-like regex (letter runs | digit runs |
+# single non-alphanumeric) — the cheap proxy for budgeting LLM tokens.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+           len(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +')) AS n_ws
+    FROM documents
+    """,
+)
+def q70_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias("n_bpe"),
+        F.size(tokens("text")).alias("n_ws"),
+    )
