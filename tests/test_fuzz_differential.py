@@ -65,3 +65,65 @@ def test_normalize_and_tokenize_match_duckdb(spark, duck, texts):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=TEXTS)
+def test_minhash_band_keys_match_duckdb(spark, duck, texts):
+    """The LSH band-key construction (chunked md5 minhash) against its SQL
+    mirror from plans/dedup.py, on generated text."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.dedup import (
+        doc_shingles,
+        minhash_bands,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.dedup import (
+        SHINGLES_SQL,
+        TOKS_SQL,
+        _BANDS_UNION,
+        _SIG_COLS,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    bands = minhash_bands(doc_shingles(df, "doc_id", "text", 3), "doc_id")
+    got = sorted(tuple(r) for r in bands.collect())
+
+    duck.register("fz_view", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    duck.execute("CREATE OR REPLACE TABLE documents AS SELECT * FROM fz_view")
+    sql = f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM s)
+    SELECT doc_id, band, key FROM ({_BANDS_UNION})
+    """
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=TEXTS)
+def test_simhash_matches_duckdb(spark, duck, texts):
+    import pandas as pd
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.dedup import (
+        TOKS_SQL,
+        _simhash_sql,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = sorted((r.doc_id, r.fingerprint) for r in simhash_fingerprints(df, "doc_id", "text").collect())
+    duck.register("fz2_view", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    duck.execute("CREATE OR REPLACE TABLE documents AS SELECT * FROM fz2_view")
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents) "
+            f"SELECT doc_id, {_simhash_sql()} AS fingerprint FROM t"
+        ).fetchall()
+    )
+    assert got == want
