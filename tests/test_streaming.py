@@ -48,3 +48,43 @@ def test_stateful_running_counts_equal_batch(spark, sf_dir):
         for r in load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    run_stream_to_memory(agg, "t_sliding", output_mode="complete")
+    got = {(r.ws): r.n for r in spark.table("t_sliding").collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    want = {(r.ws): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").cast("long").alias("ss"), "n")
+    )
+    run_stream_to_memory(agg, "t_sessions", output_mode="complete")
+    got = {(r.user_id, r.ss): r.n for r in spark.table("t_sessions").collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").cast("long").alias("ss"), "n")
+    )
+    want = {(r.user_id, r.ss): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
