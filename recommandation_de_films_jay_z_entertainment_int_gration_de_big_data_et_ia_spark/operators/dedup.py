@@ -172,6 +172,6 @@ def simhash_pairs(
         a.join(b, on="block").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "__fa", "__fb").distinct()
     )
     ham = F.expr(
-        f"size(filter(sequence(1, {bits}), i -> substr(__fa, i, 1) != substr(__fb, i, 1)))"
+        f"cast(size(filter(sequence(1, {bits}), i -> substr(__fa, i, 1) != substr(__fb, i, 1))) as bigint)"
     ).alias("hamming")
     return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)

@@ -81,7 +81,7 @@ def popular_unseen(
     unseen = cand.join(seen, on=[user_col, item_col], how="left_anti")
     w = Window.partitionBy(user_col).orderBy(F.desc("popularity"), F.asc(item_col))
     return (
-        unseen.withColumn("rec_rank", F.row_number().over(w))
+        unseen.withColumn("rec_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rec_rank") <= k)
         .select(user_col, item_col, "popularity", "rec_rank")
     )

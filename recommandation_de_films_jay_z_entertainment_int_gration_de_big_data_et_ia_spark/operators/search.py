@@ -207,6 +207,6 @@ def more_like_this(
     cand = toked.filter(F.col(id_col) != F.lit(target_id)).crossJoin(F.broadcast(target))
     scored = cand.select(
         id_col,
-        F.size(F.array_intersect("__ts", "__target_ts")).alias("overlap"),
+        F.size(F.array_intersect("__ts", "__target_ts")).cast("bigint").alias("overlap"),
     ).filter(F.col("overlap") > 0)
     return scored.orderBy(F.desc("overlap"), F.asc(id_col)).limit(k)

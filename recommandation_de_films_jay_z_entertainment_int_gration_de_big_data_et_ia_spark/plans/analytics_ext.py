@@ -83,7 +83,7 @@ def q61_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag AS flag,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_qty,
-           l_shipdate_max
+           strftime(l_shipdate_max, '%Y-%m-%d') AS l_shipdate_max
     FROM (SELECT l_returnflag, l_quantity,
                  MAX(l_shipdate) OVER (PARTITION BY l_returnflag) AS l_shipdate_max
           FROM lineitem)
@@ -112,7 +112,7 @@ def q62_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag",
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("total_qty_dec").cast("double"), 2).alias("total_qty"),
-        "l_shipdate_max",
+        F.date_format("l_shipdate_max", "yyyy-MM-dd").alias("l_shipdate_max"),
     )
 
 

@@ -107,7 +107,7 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l.l_orderkey,
            ROUND(CAST({REVENUE_SQL} AS DOUBLE), 2) AS revenue,
-           o.o_orderdate, o.o_orderpriority
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -133,7 +133,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(_money(_revenue(), "revenue"))
     return R.topk_global(
-        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        agg.select(
+            "l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority"
+        ),
         [F.desc("revenue"), F.asc("l_orderkey")],
         10,
     )
@@ -359,7 +361,7 @@ def q14_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = R.topk_per_group(
         orders, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3, rank_col="rn"
     )
-    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("bigint").alias("rn"))
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ def q36_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # keep-first realization: semi-join the corpus to its survivor ids
     return doubled.join(survivors, "doc_id", "left_semi").select(
-        "doc_id", F.length(F.encode("text", "UTF-8")).cast("int").alias("n_bytes")
+        "doc_id", F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes")
     )
 
 
@@ -102,7 +102,7 @@ def q57_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(SUBSTR(p_name, 1, 3)) AS prefix,
            regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
            REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
-           LENGTH(p_name) AS name_len,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
            CONCAT(p_brand, '/', p_type) AS brand_type,
            LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_padded
     FROM part WHERE p_partkey <= 500
@@ -115,7 +115,7 @@ def q58_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.substring("p_name", 1, 3)).alias("prefix"),
         F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
         F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
     )

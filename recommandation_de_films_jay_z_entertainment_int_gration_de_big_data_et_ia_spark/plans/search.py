@@ -98,8 +98,8 @@ def q23_search_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (
       {DOCS_CTE}
       SELECT doc_id,
-             CAST(list_contains(toks, 'customer') AS INT) + CAST(list_contains(toks, 'window') AS INT)
-             + CAST(list_contains(toks, 'stream') AS INT) AS score
+             CAST(CAST(list_contains(toks, 'customer') AS INT) + CAST(list_contains(toks, 'window') AS INT)
+             + CAST(list_contains(toks, 'stream') AS INT) AS BIGINT) AS score
       FROM d)
     WHERE score >= 1
     """,
@@ -107,7 +107,7 @@ def q23_search_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_search_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     score = S.keyword_match_count(F.col("toks"), ["customer", "window", "stream", "a"], min_len=4)
-    return d.select("doc_id", score.alias("score")).filter(F.col("score") >= 1)
+    return d.select("doc_id", score.cast("bigint").alias("score")).filter(F.col("score") >= 1)
 
 
 # ---------------------------------------------------------------------------
@@ -313,4 +313,6 @@ def q69_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 3)
+    )

@@ -37,8 +37,8 @@ def q40_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("tk"))
     return docs.select(
         "doc_id",
-        F.size("tk").alias("n_tokens"),
-        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("bigint").alias("n_distinct"),
         F.round(
             F.size(F.array_distinct("tk")).cast("double") / F.size("tk").cast("double"), 4
         ).alias("ttr"),
@@ -107,7 +107,9 @@ def q42_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5) * F.least(stop_ratio * F.lit(10.0), F.lit(1.0)),
         4,
     )
-    return docs.select("doc_id", n_tokens.alias("n_tokens"), "n_chars", quality.alias("quality"))
+    return docs.select(
+        "doc_id", n_tokens.cast("bigint").alias("n_tokens"), "n_chars", quality.alias("quality")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +159,6 @@ def q70_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias("n_bpe"),
-        F.size(tokens("text")).alias("n_ws"),
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("bigint").alias("n_bpe"),
+        F.size(tokens("text")).cast("bigint").alias("n_ws"),
     )

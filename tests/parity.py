@@ -54,6 +54,11 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _dtype_kind(dt) -> str:
+    k = getattr(dt, "kind", "O")
+    return {"i": "int", "u": "int", "f": "float", "M": "ts", "b": "bool"}.get(k, "obj")
+
+
 def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     sp = spark_df.toPandas()
@@ -61,6 +66,12 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> list[str]:
     if sorted(sp.columns) != sorted(oracle_df.columns):
         problems.append(f"{name}: columns differ spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}")
         return problems
+    # exact dtype parity (int32 vs int64 etc.) — a stricter driver might
+    # compare schemas type-sensitively, so we do too
+    for c in sp.columns:
+        a, b = sp[c].dtype, oracle_df[c].dtype
+        if str(a) != str(b) and not (_dtype_kind(a) == _dtype_kind(b) == "obj"):
+            problems.append(f"{name}: dtype differs for {c}: spark={a} oracle={b}")
     if len(sp) != len(oracle_df):
         problems.append(f"{name}: row count spark={len(sp)} oracle={len(oracle_df)}")
     a, b = normalize(sp), normalize(oracle_df)
