@@ -1,6 +1,6 @@
 """Dedup query catalog: exact, MinHash+LSH, n-gram Jaccard, SimHash —
 each oracle-mirrored in DuckDB SQL sharing the engine's exact hash/shingle
-spec (md5-hex, 3-word shingles, 8 hashes × 4 bands, 16-bit simhash)."""
+spec (md5-hex, 3-word shingles, 8 hashes × 4 bands, 32-bit simhash)."""
 
 from __future__ import annotations
 
@@ -96,7 +96,7 @@ def q33_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash fingerprints + near-dup pairs (block trick + Hamming verify)
 # ---------------------------------------------------------------------------
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = 32) -> str:
     votes = []
     for p in range(1, bits + 1):
         vote = (
@@ -116,7 +116,7 @@ def _simhash_sql(bits: int = 16) -> str:
 )
 def q34_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_fingerprints(docs, "doc_id", "text", bits=16)
+    return D.simhash_fingerprints(docs, "doc_id", "text", bits=32)
 
 
 @register(
@@ -125,18 +125,21 @@ def q34_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
     fp AS (SELECT doc_id, {_simhash_sql()} AS fingerprint FROM t),
     blocked AS (
-      SELECT doc_id, fingerprint, CAST(b AS VARCHAR) || ':' || substr(fingerprint, b*4 + 1, 4) AS block
+      SELECT doc_id, fingerprint, CAST(b AS VARCHAR) || ':' || substr(fingerprint, b*8 + 1, 8) AS block
       FROM fp, UNNEST([0, 1, 2, 3]) AS u(b)),
+    kept AS (
+      SELECT * FROM blocked
+      WHERE block IN (SELECT block FROM blocked GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 200)),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fingerprint AS fa, b.fingerprint AS fb
-      FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id)
+      FROM kept a JOIN kept b ON a.block = b.block AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
-           len(list_filter(range(1, 17), i -> substr(fa, i, 1) != substr(fb, i, 1))) AS hamming
+           CAST(len(list_filter(range(1, 33), i -> substr(fa, i, 1) != substr(fb, i, 1))) AS BIGINT) AS hamming
     FROM cand
-    WHERE len(list_filter(range(1, 17), i -> substr(fa, i, 1) != substr(fb, i, 1))) <= 3
+    WHERE len(list_filter(range(1, 33), i -> substr(fa, i, 1) != substr(fb, i, 1))) <= 3
     """,
 )
 def q35_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fp = D.simhash_fingerprints(docs, "doc_id", "text", bits=16)
-    return D.simhash_pairs(fp, "doc_id", bits=16, blocks=4, max_hamming=3)
+    fp = D.simhash_fingerprints(docs, "doc_id", "text", bits=32)
+    return D.simhash_pairs(fp, "doc_id", bits=32, blocks=4, max_hamming=3)

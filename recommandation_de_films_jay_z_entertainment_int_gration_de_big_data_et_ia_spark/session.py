@@ -36,9 +36,13 @@ def get_spark(app_name: str = "jayz-engine", extra_conf: dict[str, str] | None =
     the driver harness); an externally provided master wins.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = SparkSession.builder.master(
-        os.environ.get("SPARK_MASTER", f"local[{cpus}]")
-    ).appName(app_name)
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        # takes effect only when this call creates the JVM (driver memory
+        # is a launch-time setting); 8g of the 128 GiB harness
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
     conf = dict(DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)
