@@ -246,3 +246,112 @@ def q67_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2).alias("qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — per-group z-score outliers. Mean/variance from exact decimal sums
+# (order-independent), then identical double math on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q71_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - (s / n)) / sqrt((sq / n) - ((s / n) * (s / n))), 4) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((e.value - (s / n)) / sqrt((sq / n) - ((s / n) * (s / n)))) > 3.0
+    """,
+)
+def q71_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("sq"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt((F.col("sq") / F.col("n")) - (mean * mean))
+    return (
+        joined.filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — rank-distribution window functions + a RANGE frame (7-day
+# trailing spend per customer)
+# ---------------------------------------------------------------------------
+@register(
+    "q72_rank_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+           ROUND(CUME_DIST() OVER w, 4) AS cd,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS spend_7d
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q72_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    epoch_days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    wr = Window.partitionBy("o_custkey").orderBy(epoch_days).rangeBetween(-7, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(wr).cast("double"), 2).alias("spend_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — market-basket co-occurrence: part pairs bought in the same order
+# (collect per order, explode sorted pairs — no self-join), with support
+# counts. The co-purchase signal an item-item recommender consumes.
+# ---------------------------------------------------------------------------
+@register(
+    "q73_cooccurrence",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT p1.part AS part_a, p2.part AS part_b
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part)
+    SELECT part_a, part_b, COUNT(*) AS support
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q73_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a AS part_a, b AS part_b))))"
+    )
+    pairs = baskets.select(F.explode(pair_expr).alias("p")).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
