@@ -355,3 +355,132 @@ def q73_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — vectorized Arrow scalar UDF (@pandas_udf): L2-normalize embeddings.
+# The engine's second sanctioned Python boundary (besides mapInPandas) —
+# Arrow-batched, numpy-vectorized, never per-row. Output rounded to 4 so
+# numpy's pairwise summation and SQL's sequential fold agree.
+# ---------------------------------------------------------------------------
+@register(
+    "q74_pandas_udf_normalize",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 100),
+    n AS (SELECT vec_id, sqrt(list_reduce(list_transform(range(1, len(v)+1),
+                 i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)), (x, y) -> x + y)) AS nrm, v
+          FROM e)
+    SELECT vec_id,
+           ROUND(CAST(v[1] AS DOUBLE) / nrm, 4) AS e0,
+           ROUND(CAST(v[2] AS DOUBLE) / nrm, 4) AS e1,
+           ROUND(nrm, 4) AS l2norm
+    FROM n
+    """,
+)
+def q74_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # NB: no type hints — `from __future__ import annotations` stringifies
+    # them, which breaks pyspark's pandas_udf hint inference.
+    @pandas_udf("struct<e0: double, e1: double, l2norm: double>", PandasUDFType.SCALAR)
+    def norm_head(v):
+        arrs = np.stack([np.asarray(x, dtype="float64") for x in v])
+        # sequential-fold norm to match the oracle's list_reduce exactly
+        nrm = np.sqrt(np.add.reduce(arrs * arrs, axis=1))
+        return pd.DataFrame(
+            {
+                "e0": np.round(arrs[:, 0] / nrm, 4),
+                "e1": np.round(arrs[:, 1] / nrm, 4),
+                "l2norm": np.round(nrm, 4),
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    out = emb.select("vec_id", norm_head("embedding").alias("s"))
+    return out.select("vec_id", "s.e0", "s.e1", "s.l2norm")
+
+
+# ---------------------------------------------------------------------------
+# q75 — item-item similarity recommender (deterministic collaborative
+# filtering, the oracle-checkable counterpart of ALS): cosine over binary
+# purchase vectors = support(a,b) / sqrt(pop(a)·pop(b)), top-3 neighbors
+# per item. Pure count arithmetic — no factorization, no RNG.
+# ---------------------------------------------------------------------------
+@register(
+    "q75_item_item_similarity",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT p1.part AS part_a, p2.part AS part_b
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part),
+    support AS (SELECT part_a, part_b, COUNT(*) AS sup FROM pairs GROUP BY part_a, part_b),
+    pop AS (SELECT part, COUNT(*) AS pop FROM (SELECT DISTINCT l_orderkey, l_partkey AS part FROM lineitem) GROUP BY part),
+    sym AS (
+      SELECT part_a AS item, part_b AS neigh, sup FROM support
+      UNION ALL
+      SELECT part_b, part_a, sup FROM support),
+    scored AS (
+      SELECT s.item, s.neigh,
+             ROUND(CAST(s.sup AS DOUBLE) / sqrt(CAST(pa.pop AS DOUBLE) * CAST(pb.pop AS DOUBLE)), 4) AS sim
+      FROM sym s JOIN pop pa ON pa.part = s.item JOIN pop pb ON pb.part = s.neigh
+      WHERE s.sup >= 2),
+    ranked AS (
+      SELECT item, neigh, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, neigh ASC) AS BIGINT) AS rn
+      FROM scored)
+    SELECT item, neigh, sim, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def q75_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a AS part_a, b AS part_b))))"
+    )
+    support = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    pop = (
+        li.select("l_orderkey", F.col("l_partkey").alias("part")).distinct()
+        .groupBy("part").agg(F.count(F.lit(1)).alias("pop"))
+    )
+    sym = support.select(
+        F.col("part_a").alias("item"), F.col("part_b").alias("neigh"), "sup"
+    ).unionAll(
+        support.select(F.col("part_b").alias("item"), F.col("part_a").alias("neigh"), "sup")
+    )
+    pa = pop.select(F.col("part").alias("item"), F.col("pop").alias("pop_a"))
+    pb = pop.select(F.col("part").alias("neigh"), F.col("pop").alias("pop_b"))
+    scored = (
+        sym.join(F.broadcast(pa), "item")
+        .join(F.broadcast(pb), "neigh")
+        .select(
+            "item",
+            "neigh",
+            F.round(
+                F.col("sup").cast("double")
+                / F.sqrt(F.col("pop_a").cast("double") * F.col("pop_b").cast("double")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("sim"), F.asc("neigh"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("item", "neigh", "sim", "rn")
+    )
