@@ -88,3 +88,15 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
     )
     want = {(r.user_id, r.ss): r.n for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir):
+    """Streaming exact-dedup: a duplicated stream through dropDuplicates
+    yields the batch-distinct row set (stateful dedup operator)."""
+    stream = stream_events(spark, sf_dir).select("event_id", "user_id")
+    duplicated = stream.union(stream)
+    deduped = duplicated.dropDuplicates(["event_id"])
+    run_stream_to_memory(deduped, "t_dedup", output_mode="append")
+    got = spark.table("t_dedup").count()
+    want = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got == want and got > 0
