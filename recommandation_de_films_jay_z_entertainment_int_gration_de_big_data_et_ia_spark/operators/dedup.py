@@ -16,7 +16,7 @@ the north-star extension surface (BASELINE.json), built Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (

@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..sources.readers import load_table
 from .catalog import register
-from .core import _dec, _money
 
 
 # ---------------------------------------------------------------------------
