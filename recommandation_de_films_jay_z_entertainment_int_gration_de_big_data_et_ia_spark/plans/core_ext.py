@@ -171,3 +171,58 @@ def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+# ---------------------------------------------------------------------------
+# q76 — array-function breadth: array_remove and when/otherwise are the
+# two functions the reference imports but never calls
+# (elasticsearch_ingest.py:2, SURVEY §2.7 N6) — the engine ships them,
+# plus position/desc-sort/zip.
+# ---------------------------------------------------------------------------
+@register(
+    "q76_array_functions",
+    oracle="""
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks, p_size FROM part WHERE p_partkey <= 300)
+    SELECT p_partkey,
+           array_to_string(list_filter(toks, x -> x != 'small'), ',') AS no_small,
+           CAST(COALESCE(list_position(toks, 'widget'), 0) AS BIGINT) AS widget_pos,
+           array_to_string(list_sort(toks, 'DESC'), ',') AS toks_desc,
+           CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium' ELSE 'small' END AS size_class
+    FROM t
+    """,
+)
+def q76_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    toks = F.split("p_name", " ")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(",", F.array_remove(toks, "small")).alias("no_small"),
+        F.array_position(toks, "widget").alias("widget_pos"),
+        F.concat_ws(",", F.sort_array(toks, asc=False)).alias("toks_desc"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — explicit GROUPING SETS (beyond rollup/cube): per-region totals,
+# per-segment totals, and the grand total in one pass.
+# ---------------------------------------------------------------------------
+_Q77_SQL = """
+SELECT COALESCE(r_name, '(all)') AS region, COALESCE(c_mktsegment, '(all)') AS segment,
+       COUNT(*) AS n,
+       CASE WHEN r_name IS NOT NULL THEN 'by_region'
+            WHEN c_mktsegment IS NOT NULL THEN 'by_segment'
+            ELSE 'total' END AS level
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+"""
+
+
+@register("q77_grouping_sets", oracle=_Q77_SQL)
+def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q77_SQL)
