@@ -38,6 +38,9 @@ HEADLINE = [
     "q44_tumbling_window",
     "q46_sessionize",
     "q49_multimodal_features",
+    "q35_dedup_simhash_pairs",
+    "q68_search_bm25_indexed",
+    "q75_item_item_similarity",
 ]
 
 

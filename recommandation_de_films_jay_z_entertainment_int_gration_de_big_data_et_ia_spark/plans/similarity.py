@@ -25,12 +25,13 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
 
 
-def _bucket_sql(v: str, planes: int = 4) -> str:
+def _bucket_sql(v: str, planes: int = 4, table: int = 0) -> str:
     bits = []
     for p in range(planes):
+        plane_id = table * planes + p
         term = (
             f"list_reduce(list_transform(range(1, len({v})+1),"
-            f" i -> CAST({v}[i] AS DOUBLE) * (CASE WHEN ((i-1) * {p + 3}) % 7 < 4"
+            f" i -> CAST({v}[i] AS DOUBLE) * (CASE WHEN ((i-1) * {plane_id + 3}) % 7 < 4"
             f" THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)"
         )
         bits.append(f"CASE WHEN {term} >= 0 THEN '1' ELSE '0' END")
@@ -64,18 +65,18 @@ def q37_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_embedding_ann_lsh",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
-    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    b AS (SELECT vec_id, v, {_bucket_sql('v', table=0)} AS b0, {_bucket_sql('v', table=1)} AS b1 FROM e),
+    q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1 FROM b WHERE vec_id = 0)
     SELECT vec_id, ROUND({_cos_sql('v', 'qv')}, 4) AS score
     FROM b CROSS JOIN q
-    WHERE bucket = qbucket AND vec_id != 0
+    WHERE (b0 = qb0 OR b1 = qb1) AND vec_id != 0
     ORDER BY score DESC, vec_id ASC
     LIMIT 5
     """,
 )
 def q38_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_topk_lsh(emb, "vec_id", "embedding", target_id=0, k=5, planes=4)
+    return SIM.cosine_topk_lsh(emb, "vec_id", "embedding", target_id=0, k=5, planes=4, tables=2)
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,31 @@ def test_bm25_indexed_equals_inline(spark, sf_dir):
         .collect()
     }
     assert inline == indexed
+
+
+def test_ann_multi_table_improves_recall(spark, sf_dir):
+    """Deterministic recall measurement: multi-table LSH must dominate
+    single-table, and both must return subsets of the corpus ranked by
+    true cosine."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def recall(tables: int) -> float:
+        total = 0.0
+        for t in range(5):
+            exact = {r.vec_id for r in SIM.cosine_topk(emb, "vec_id", "embedding", t, k=10).collect()}
+            ann = {
+                r.vec_id
+                for r in SIM.cosine_topk_lsh(
+                    emb, "vec_id", "embedding", t, k=10, planes=4, tables=tables
+                ).collect()
+            }
+            total += len(exact & ann) / 10
+        return total / 5
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 > 0
