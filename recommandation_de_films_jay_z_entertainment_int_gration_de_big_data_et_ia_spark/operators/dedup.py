@@ -209,3 +209,49 @@ def simhash_pairs(
         f"cast(size(filter(sequence(1, {bits}), i -> substr(fa, i, 1) != substr(fb, i, 1))) as bigint)"
     ).alias("hamming")
     return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation (each node's label converges to the
+    smallest id reachable through the pair graph — the cluster's keeper).
+
+    Iterative DataFrame algorithm (like ALS): each round is two joins +
+    an aggregate; rounds needed = graph diameter (near-dup clusters are
+    shallow, typically 2-4). Returns (node, cluster_id) for every node
+    that appears in a pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionAll(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        # materialize once: every round reads the edge set, and (crucially)
+        # each iteration below truncates lineage — otherwise round N
+        # re-executes rounds 1..N-1 (quadratic re-computation).
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label").unionAll(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

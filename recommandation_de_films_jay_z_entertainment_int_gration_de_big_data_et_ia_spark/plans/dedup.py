@@ -143,3 +143,32 @@ def q35_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = D.simhash_fingerprints(docs, "doc_id", "text", bits=32)
     return D.simhash_pairs(fp, "doc_id", bits=32, blocks=4, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# q78 — duplicate-cluster resolution: connected components over the LSH
+# pair graph (min-label propagation; oracle = recursive-CTE transitive
+# closure). The step that turns pairs into keep-one-per-cluster decisions.
+# ---------------------------------------------------------------------------
+@register(
+    "q78_dedup_clusters",
+    oracle=f"""
+    {LSH_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS node, b AS reachable FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a)
+    SELECT node, LEAST(node, MIN(reachable)) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, "doc_id", "text", n=3)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
+    )
+    return D.dedup_clusters(pairs)

@@ -162,3 +162,65 @@ def q70_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("bigint").alias("n_bpe"),
         F.size(tokens("text")).cast("bigint").alias("n_ws"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — deterministic stratified sampling: first-k per stratum ordered by
+# a content hash. Reproducible across runs, engines, and cluster sizes —
+# the property training-data eval holdouts need (RNG sampling is neither
+# engine- nor partitioning-stable).
+# ---------------------------------------------------------------------------
+@register(
+    "q79_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def q79_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — reproducible train/val/test split assignment by content hash
+# (80/10/10 via the first two hex digits of md5(doc_id): 256 buckets).
+# ---------------------------------------------------------------------------
+@register(
+    "q80_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+                   + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS h
+            FROM documents))
+    SELECT split, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM assigned GROUP BY split
+    """,
+)
+def q80_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    h1 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    h2 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) - 1
+    h = (h1.cast("bigint") * 16 + h2.cast("bigint"))
+    split = (
+        F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").cast("bigint").alias("min_id"))
+    )
