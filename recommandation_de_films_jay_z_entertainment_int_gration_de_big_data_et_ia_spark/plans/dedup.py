@@ -172,3 +172,61 @@ def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
     )
     return D.dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# q81 — train/test contamination audit: LSH near-dup pairs that straddle
+# the q80 hash split, with exact Jaccard evidence. The standard eval-
+# hygiene check for training corpora, composed from the dedup + split
+# operators.
+# ---------------------------------------------------------------------------
+_SPLIT_SQL = """
+splits AS (
+  SELECT doc_id,
+         CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+               + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS h
+        FROM documents))
+"""
+
+
+@register(
+    "q81_split_contamination",
+    oracle=f"""
+    {LSH_PAIRS_CTE},
+    {_SPLIT_SQL}
+    SELECT id_a, id_b, sa2.split AS split_a, sb2.split AS split_b,
+           ROUND(CAST(len(list_intersect(sha.sh, shb.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sha.sh, shb.sh))) AS DOUBLE), 4) AS jaccard
+    FROM pairs
+      JOIN splits sa2 ON sa2.doc_id = id_a
+      JOIN splits sb2 ON sb2.doc_id = id_b
+      JOIN s sha ON sha.doc_id = id_a
+      JOIN s shb ON shb.doc_id = id_b
+    WHERE sa2.split != sb2.split
+    """,
+)
+def q81_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, "doc_id", "text", n=3)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
+    )
+    verified = D.jaccard_verify(pairs, sh, "doc_id")
+    hexd = "0123456789abcdef"
+    h1 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    h2 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) - 1
+    h = h1.cast("bigint") * 16 + h2.cast("bigint")
+    splits = docs.select(
+        "doc_id",
+        F.when(h < 204, "train").when(h < 230, "val").otherwise("test").alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        verified.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
