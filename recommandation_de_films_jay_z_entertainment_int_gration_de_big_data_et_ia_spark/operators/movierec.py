@@ -89,11 +89,9 @@ def search_movies(
     page = max(1, page)
     size = min(max(1, size), 100)
     lo = (page - 1) * size
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("score"), F.asc("movieId"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > lo) & (F.col("_rn") <= lo + size))
+        scored.orderBy(F.desc("score"), F.asc("movieId"))
+        .offset(lo)
+        .limit(size)
         .select("movieId", "title", "score")
     )

@@ -173,16 +173,16 @@ def paginate(df: DataFrame, order: list[Column], page: int, size: int,
              max_size: int = 100) -> DataFrame:
     """Offset pagination with the reference's clamps (api.py:197-207):
     page ≥ 1, 1 ≤ size ≤ 100. Deterministic only if ``order`` is a total
-    order — callers must include a tiebreaker key."""
+    order — callers must include a tiebreaker key.
+
+    Uses native ``offset``/``limit`` (Catalyst CollectLimit with
+    offset+limit pushed together) rather than a row_number over an
+    unpartitioned window, which would funnel every row through ONE
+    partition — the global-sort anti-pattern this engine avoids."""
     page = max(1, page)
     size = min(max(1, size), max_size)
     lo = (page - 1) * size
-    w = Window.orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > lo) & (F.col("_rn") <= lo + size))
-        .drop("_rn")
-    )
+    return df.orderBy(*order).offset(lo).limit(size)
 
 
 def salted_join(
