@@ -174,14 +174,20 @@ def multi_match_score(
     def _fuzzy(term_str: str, dist: int):
         return lambda x: F.levenshtein(x, F.lit(term_str)) <= dist
 
+    # tokenize each field ONCE into a temp column — inlining tokens(fld)
+    # per query term would re-run the regexp split |terms| times per row
+    out = df
+    tok_cols = {}
+    for i, fld in enumerate(fields):
+        tok_cols[fld] = f"__mm_toks_{i}"
+        out = out.withColumn(tok_cols[fld], tokens(fld))
     total = F.lit(0.0)
     for fld, boost in fields.items():
-        tcol = tokens(fld)
         for t in query_terms:
             d = auto_fuzziness(t) if fuzzy else 0
-            hit = F.exists(tcol, _fuzzy(t, d))
+            hit = F.exists(F.col(tok_cols[fld]), _fuzzy(t, d))
             total = total + hit.cast("int").cast("double") * F.lit(boost)
-    return df.withColumn(score_col, F.round(total, 4))
+    return out.withColumn(score_col, F.round(total, 4)).drop(*tok_cols.values())
 
 
 def more_like_this(
