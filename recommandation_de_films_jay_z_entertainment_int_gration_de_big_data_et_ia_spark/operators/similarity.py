@@ -36,8 +36,11 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def query_vector(df: DataFrame, id_col: str, vec_col: str, target_id) -> DataFrame:
-    """1-row frame holding the query vector (broadcast by consumers)."""
-    return df.filter(F.col(id_col) == F.lit(target_id)).select(F.col(vec_col).alias("__qvec"))
+    """1-row frame holding the query vector and its norm (broadcast by
+    consumers — the norm is computed once here, not per candidate row)."""
+    return df.filter(F.col(id_col) == F.lit(target_id)).select(
+        F.col(vec_col).alias("__qvec"), norm(F.col(vec_col)).alias("__qnorm")
+    )
 
 
 def cosine_topk(
@@ -46,13 +49,18 @@ def cosine_topk(
     """Brute-force exact cosine top-k vs one stored vector (the baseline).
 
     Single scan; ``orderBy().limit()`` compiles to TakeOrderedAndProject
-    (per-partition heaps, driver merges k rows) — no global sort.
+    (per-partition heaps, driver merges k rows) — no global sort. The
+    query-side norm rides in the broadcast row (1 fold instead of 2 per
+    candidate); the same double math as the oracle, just not repeated.
     """
     q = query_vector(df, id_col, vec_col, target_id)
+    score = F.round(
+        dot(F.col(vec_col), F.col("__qvec")) / (norm(F.col(vec_col)) * F.col("__qnorm")), 4
+    )
     scored = (
         df.filter(F.col(id_col) != F.lit(target_id))
         .crossJoin(F.broadcast(q))
-        .select(id_col, F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias(score_col))
+        .select(id_col, score.alias(score_col))
     )
     return scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
 
@@ -98,7 +106,9 @@ def cosine_topk_lsh(
     )
     bucketed = df.withColumn("__buckets", buckets)
     q = bucketed.filter(F.col(id_col) == F.lit(target_id)).select(
-        F.col(vec_col).alias("__qvec"), F.col("__buckets").alias("__qbuckets")
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+        F.col("__buckets").alias("__qbuckets"),
     )
     any_table_match = F.exists(
         F.zip_with("__buckets", "__qbuckets", lambda a, b: a == b), lambda x: x
@@ -106,7 +116,10 @@ def cosine_topk_lsh(
     cand = bucketed.crossJoin(F.broadcast(q)).filter(
         any_table_match & (F.col(id_col) != F.lit(target_id))
     )
-    scored = cand.select(id_col, F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias(score_col))
+    score = F.round(
+        dot(F.col(vec_col), F.col("__qvec")) / (norm(F.col(vec_col)) * F.col("__qnorm")), 4
+    )
+    scored = cand.select(id_col, score.alias(score_col))
     return scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
 
 
@@ -118,17 +131,25 @@ def embedding_neardup_pairs(
     pairs share a sign-pattern bucket (equality join — shuffle on bucket,
     never quadratic in the corpus), then exact cosine ≥ threshold verifies.
     """
+    # norms computed once per vector (not per pair: cosine() would fold
+    # both norms again for every candidate pair — 3 folds/pair vs 1)
     b = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("__bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__nrm"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__bucket")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"), F.col("__bucket"),
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__bucket")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"), F.col("__bucket"),
     )
     pairs = left.join(right, on=["__bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias(score_col)
+    score = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 4
     )
+    scored = pairs.select("id_a", "id_b", score.alias(score_col))
     return scored.filter(F.col(score_col) >= threshold)
