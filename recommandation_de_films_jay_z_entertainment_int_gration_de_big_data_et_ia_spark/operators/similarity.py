@@ -123,6 +123,89 @@ def cosine_topk_lsh(
     return scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
 
 
+def _centroid_frame(df: DataFrame, id_col: str, vec_col: str, nlist: int) -> DataFrame:
+    """1-row frame holding the IVF coarse quantizer: the ``nlist``
+    lowest-id vectors as seed centroids (the standard k-means sample
+    init, kept at one pass so the assignment is oracle-reproducible),
+    each with its precomputed norm. Broadcast by consumers."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(nlist)
+        .select(F.struct(F.col(id_col).alias("cid"), F.col(vec_col).alias("v")).alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("cs"))
+    )
+    return seeds.select(
+        F.transform(
+            "cs", lambda s: F.struct(s["v"].alias("v"), norm(s["v"]).alias("nrm"))
+        ).alias("__cents")
+    )
+
+
+def _cell_sims(vec: Column) -> Column:
+    """Similarity of ``vec`` to every centroid: dot(v, c)/||c|| — the
+    row's own norm is a positive constant across cells, so dropping it
+    leaves the argmax (and the oracle mirror) unchanged at 1/3 the folds."""
+    return F.transform(F.col("__cents"), lambda c: dot(vec, c["v"]) / c["nrm"])
+
+
+def ivf_index(df: DataFrame, id_col: str, vec_col: str, nlist: int = 8) -> DataFrame:
+    """Assign every vector to its nearest-centroid cell (1..nlist).
+
+    The centroid table is a broadcast 1-row array — the corpus never
+    shuffles; assignment is a per-row higher-order fold inside codegen.
+    Ties take the lowest cell (``array_position`` returns the first max),
+    matching the oracle's ``ORDER BY sim DESC, cell ASC``. At 100 TB the
+    ``__cell`` column is a persistable index: write once, then every
+    query is a partition-pruned scan of ``nprobe``/``nlist`` of the data.
+    """
+    with_c = df.crossJoin(F.broadcast(_centroid_frame(df, id_col, vec_col, nlist)))
+    sims = _cell_sims(F.col(vec_col))
+    return with_c.withColumn(
+        "__cell", F.array_position(sims, F.array_max(sims)).cast("int")
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame, id_col: str, vec_col: str, target_id, k: int = 10,
+    nlist: int = 8, nprobe: int = 2, score_col: str = "score",
+) -> DataFrame:
+    """IVF ANN top-k: scan only the query's ``nprobe`` nearest cells,
+    exact cosine rank inside — the inverted-file counterpart to the
+    hyperplane-LSH path (``cosine_topk_lsh``). ``nprobe == nlist``
+    degenerates to exact brute force (tested property)."""
+    indexed = ivf_index(df, id_col, vec_col, nlist)
+    # probe cells: sort (−sim, cell) ascending = sim desc, ties cell asc
+    probe = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    _cell_sims(F.col(vec_col)),
+                    lambda s, i: F.struct(
+                        (-s).alias("ns"), (i + 1).cast("int").alias("cell")
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["cell"],
+    )
+    q = indexed.filter(F.col(id_col) == F.lit(target_id)).select(
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+        probe.alias("__qprobes"),
+    )
+    score = F.round(
+        dot(F.col(vec_col), F.col("__qvec")) / (norm(F.col(vec_col)) * F.col("__qnorm")), 4
+    )
+    cand = indexed.crossJoin(F.broadcast(q)).filter(
+        F.array_contains(F.col("__qprobes"), F.col("__cell"))
+        & (F.col(id_col) != F.lit(target_id))
+    )
+    scored = cand.select(id_col, score.alias(score_col))
+    return scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float,
     planes: int = 4, score_col: str = "score",

@@ -80,6 +80,68 @@ def q38_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-bucketed ANN top-k (inverted-file counterpart to q38's LSH path)
+# ---------------------------------------------------------------------------
+_IVF_ASSIGN_SQL = f"""
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    c AS (SELECT cid, cv, sqrt({_dot_sql('cv', 'cv')}) AS cn,
+          ROW_NUMBER() OVER (ORDER BY cid) AS cell FROM c0),
+    assign AS (
+      SELECT vec_id, v, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_dot_sql('v', 'cv')} / cn DESC, cell ASC) AS rn
+      FROM e CROSS JOIN c),
+    a AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1)
+"""
+
+
+@register(
+    "q82_embedding_ann_ivf",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qprobe AS (
+      SELECT cell FROM c CROSS JOIN q
+      ORDER BY {_dot_sql('qv', 'cv')} / cn DESC, cell ASC LIMIT 2)
+    SELECT vec_id, ROUND({_cos_sql('v', 'qv')}, 4) AS score
+    FROM a CROSS JOIN q
+    WHERE a.cell IN (SELECT cell FROM qprobe) AND vec_id != 0
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q82_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_ivf(
+        emb, "vec_id", "embedding", target_id=0, k=10, nlist=8, nprobe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF cell histogram — index-balance audit (skewed cells = slow probes)
+# ---------------------------------------------------------------------------
+@register(
+    "q83_ivf_cells",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL}
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a GROUP BY cell ORDER BY cell
+    """,
+)
+def q83_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        SIM.ivf_index(emb, "vec_id", "embedding", nlist=8)
+        .groupBy(F.col("__cell").cast("bigint").alias("cell"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (LSH bucket join + threshold)
 # ---------------------------------------------------------------------------
 @register(

@@ -158,3 +158,37 @@ def test_ann_multi_table_improves_recall(spark, sf_dir):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r4 > 0
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe == nlist scans every cell, so the IVF path must return
+    exactly the brute-force top-k (same ids, same scores)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [
+        (r.vec_id, r.score)
+        for r in SIM.cosine_topk(emb, "vec_id", "embedding", 3, k=10).collect()
+    ]
+    full_probe = [
+        (r.vec_id, r.score)
+        for r in SIM.cosine_topk_ivf(
+            emb, "vec_id", "embedding", 3, k=10, nlist=8, nprobe=8
+        ).collect()
+    ]
+    assert full_probe == exact
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cell 1..nlist."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SIM.ivf_index(emb, "vec_id", "embedding", nlist=8)
+    assert idx.count() == emb.count()
+    cells = [r.cell for r in idx.select(F.col("__cell").alias("cell")).distinct().collect()]
+    assert all(1 <= c <= 8 for c in cells)
