@@ -210,3 +210,50 @@ def salted_join(
         salted_left["__salt"] == replicated_right["__salt"]
     )
     return salted_left.join(replicated_right, cond, how).drop("__salt")
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Interval (range) join — event row matches interval rows with
+    ``start <= ts < end`` — as an *equality-bucketed* join.
+
+    Spark compiles a bare inequality join to BroadcastNestedLoopJoin
+    (O(events × intervals) — a cliff at scale). Instead: both sides are
+    bucketed at ``bucket`` granularity (events to one bucket, each
+    interval exploded to every bucket it overlaps), equality-joined on
+    the bucket — a plain shuffled hash join — then refined with the
+    exact predicate. Cost: |intervals| × (len/bucket + 1) replicated
+    rows; pick ``bucket`` ≈ typical interval length so the blow-up is
+    ~2×. With a small interval side, ``broadcast_intervals=True`` skips
+    the shuffle entirely.
+
+    Columns are compared with their native ordering (longs or
+    timestamps both work; ``cast("long")`` is a no-op on longs).
+    """
+    g = F.lit(bucket).cast("long")
+    ev = events.withColumn(
+        "__bkt", F.floor(F.col(ts_col).cast("long") / g).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / g).cast("long"),
+                F.floor(F.col(end_col).cast("long") / g).cast("long"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
+    return (
+        ev.join(iv, on="__bkt", how="inner")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bkt")
+    )

@@ -133,3 +133,48 @@ def q47_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: events ⨝ overlapping 2-day campaign windows.
+# Engine side uses the bucketed equi-join rewrite (relational.range_join_
+# bucketed) — never BroadcastNestedLoopJoin; oracle uses the plain
+# inequality join (same result, different physical strategy).
+# Epoch-second comparisons on both sides keep it timezone-proof.
+# ---------------------------------------------------------------------------
+_JAN1_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+@register(
+    "q84_range_join",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events),
+    iv AS (SELECT {_JAN1_2024} + s * 86400 AS w_start_s,
+                  {_JAN1_2024} + s * 86400 + 172800 AS w_end_s
+           FROM generate_series(0, 29) t(s)),
+    j AS (SELECT w_start_s, value FROM ev
+          JOIN iv ON ts_s >= w_start_s AND ts_s < w_end_s)
+    SELECT CAST(w_start_s AS BIGINT) AS w_start_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SUM_VALUE_SQL} AS sum_value
+    FROM j GROUP BY w_start_s ORDER BY w_start_s
+    """,
+)
+def q84_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational as R
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("long").alias("ts_s"), "value"
+    )
+    iv = spark.range(0, 30).select(
+        (F.lit(_JAN1_2024).cast("long") + F.col("id") * 86400).alias("w_start_s"),
+        (F.lit(_JAN1_2024).cast("long") + F.col("id") * 86400 + 172800).alias("w_end_s"),
+    )
+    joined = R.range_join_bucketed(
+        ev, "ts_s", iv, "w_start_s", "w_end_s", bucket=86400, broadcast_intervals=True
+    )
+    return (
+        joined.groupBy("w_start_s")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value().alias("sum_value"))
+        .orderBy("w_start_s")
+    )

@@ -89,3 +89,29 @@ def test_semi_join_produces_no_duplicates(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     semi = R.semi_join(cust, orders, on=[cust.c_custkey == orders.o_custkey])
     assert semi.count() == semi.select("c_custkey").distinct().count()
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The bucketed rewrite must compile to a hash join on the bucket key,
+    never the O(n*m) BroadcastNestedLoopJoin a bare inequality join gets."""
+    plan = _plan(QUERIES["q84_range_join"](spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_equals_naive_inequality_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("long").alias("ts_s"), "event_id"
+    )
+    iv = spark.range(0, 30).select(
+        (F.lit(1704067200) + F.col("id") * 86400).cast("long").alias("w_start_s"),
+        (F.lit(1704067200) + F.col("id") * 86400 + 172800).cast("long").alias("w_end_s"),
+    )
+    bucketed = R.range_join_bucketed(ev, "ts_s", iv, "w_start_s", "w_end_s", bucket=86400)
+    naive = ev.crossJoin(iv).filter(
+        (F.col("ts_s") >= F.col("w_start_s")) & (F.col("ts_s") < F.col("w_end_s"))
+    )
+    cols = ["event_id", "w_start_s"]
+    got = sorted(tuple(r) for r in bucketed.select(cols).collect())
+    want = sorted(tuple(r) for r in naive.select(cols).collect())
+    assert got == want and len(want) > 0
