@@ -236,3 +236,59 @@ def embedding_neardup_pairs(
     )
     scored = pairs.select("id_a", "id_b", score.alias(score_col))
     return scored.filter(F.col(score_col) >= threshold)
+
+
+def cosine_topk_lsh_batch(
+    df: DataFrame, id_col: str, vec_col: str, target_ids, k: int = 5,
+    planes: int = 4, tables: int = 2, score_col: str = "score",
+) -> DataFrame:
+    """Batched ANN: top-k for MANY stored query vectors in one pass.
+
+    The single-query path (``cosine_topk_lsh``) broadcasts one query row
+    and scans the corpus per query — fine interactively, wasteful for a
+    query batch. Here candidate pairs come from a ``(table, bucket)``
+    equality join (one shuffle for the whole batch), deduped across
+    tables, then exact-cosine re-ranked per query with a window top-k.
+    Returns (qid, id, score, rank<=k); ordering ties break on the
+    rounded score then id, so results are deterministic.
+    """
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__nrm"),
+        F.array(
+            *[hyperplane_bucket(F.col(vec_col), planes, table=t) for t in range(tables)]
+        ).alias("__buckets"),
+    )
+    exploded = b.select(id_col, F.posexplode("__buckets").alias("__t", "__b"))
+    qe = exploded.filter(F.col(id_col).isin(list(target_ids))).select(
+        F.col(id_col).alias("qid"), "__t", "__b"
+    )
+    pairs = (
+        exploded.join(F.broadcast(qe), on=["__t", "__b"])
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col)
+        .distinct()
+    )
+    qv = b.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"), F.col("__nrm").alias("__qn")
+    ).filter(F.col("qid").isin(list(target_ids)))
+    scored = (
+        pairs.join(b.select(id_col, vec_col, "__nrm"), on=id_col)
+        .join(F.broadcast(qv), on="qid")
+        .select(
+            "qid",
+            id_col,
+            F.round(
+                dot(F.col(vec_col), F.col("__qv")) / (F.col("__nrm") * F.col("__qn")), 4
+            ).alias(score_col),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )

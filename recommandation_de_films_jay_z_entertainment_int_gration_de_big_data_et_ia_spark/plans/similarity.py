@@ -160,3 +160,37 @@ def q83_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Batched ANN: top-k for a whole query batch in ONE pass (bucket equi-join
+# + per-query window re-rank) — amortizes the per-query broadcast/scan of
+# q38 across the batch; the shape a 100 TB corpus needs.
+# ---------------------------------------------------------------------------
+@register(
+    "q85_ann_batch",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    b AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm,
+                 {_bucket_sql('v', table=0)} AS b0, {_bucket_sql('v', table=1)} AS b1 FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, b0 AS qb0, b1 AS qb1
+          FROM b WHERE vec_id IN (0, 1, 2, 3, 4)),
+    pairs AS (
+      SELECT DISTINCT q.qid, b.vec_id FROM b CROSS JOIN q
+      WHERE (b.b0 = q.qb0 OR b.b1 = q.qb1) AND b.vec_id != q.qid),
+    scored AS (
+      SELECT p.qid, p.vec_id,
+             ROUND({_dot_sql('c.v', 'q.qv')} / (c.nrm * q.qn), 4) AS score
+      FROM pairs p JOIN b c ON p.vec_id = c.vec_id JOIN q ON p.qid = q.qid)
+    SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    ORDER BY qid, rank
+    """,
+)
+def q85_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_lsh_batch(
+        emb, "vec_id", "embedding", target_ids=[0, 1, 2, 3, 4], k=3, planes=4, tables=2
+    )

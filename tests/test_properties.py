@@ -192,3 +192,25 @@ def test_ivf_cells_partition_corpus(spark, sf_dir):
     assert idx.count() == emb.count()
     cells = [r.cell for r in idx.select(F.col("__cell").alias("cell")).distinct().collect()]
     assert all(1 <= c <= 8 for c in cells)
+
+
+def test_ann_batch_matches_single_query_path(spark, sf_dir):
+    """The batched bucket-join ANN must return, per query id, exactly the
+    single-query broadcast path's top-k (same candidates, same scores)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = SIM.cosine_topk_lsh_batch(
+        emb, "vec_id", "embedding", target_ids=[0, 7], k=3, planes=4, tables=2
+    ).collect()
+    for qid in (0, 7):
+        single = [
+            (r.vec_id, r.score)
+            for r in SIM.cosine_topk_lsh(
+                emb, "vec_id", "embedding", qid, k=3, planes=4, tables=2
+            ).collect()
+        ]
+        got = [(r.vec_id, r.score) for r in batch if r.qid == qid]
+        assert got == single and len(got) == 3
