@@ -41,6 +41,9 @@ HEADLINE = [
     "q35_dedup_simhash_pairs",
     "q68_search_bm25_indexed",
     "q75_item_item_similarity",
+    "q82_embedding_ann_ivf",
+    "q84_range_join",
+    "q85_ann_batch",
 ]
 
 

@@ -224,3 +224,78 @@ def q80_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").cast("bigint").alias("min_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: language gate → quality gate → exact-dedup
+# keep-first → hash split → per-split audit. The full training-data
+# pipeline as ONE declarative plan — each stage is the already-tested
+# operator (q41/q42/q31/q80 semantics), composed without materialization
+# so Catalyst fuses the gates into the scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q86_curation_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, text, len(tk) AS n_tokens,
+                 CAST(len(list_filter(tk, x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS stop_ratio
+          FROM t),
+    g AS (SELECT *, ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                          + 0.5 * least(stop_ratio * 10.0, 1.0), 4) AS quality FROM s),
+    gated AS (SELECT * FROM g WHERE stop_ratio > 0.02 AND quality >= 0.5),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    kept AS (SELECT gated.* FROM gated JOIN surv USING (doc_id)),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_tokens,
+                   CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+                   + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS h
+            FROM kept))
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def q86_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("tk")
+    )
+    n_tokens = F.size("tk")
+    nstop = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = nstop.cast("double") / n_tokens.cast("double")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+    ).withColumn(
+        "quality",
+        F.round(
+            F.lit(0.5) * F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.5) * F.least(F.col("stop_ratio") * F.lit(10.0), F.lit(1.0)),
+            4,
+        ),
+    )
+    gated = scored.filter((F.col("stop_ratio") > 0.02) & (F.col("quality") >= 0.5))
+    survivors = gated.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = gated.join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+    hexd = "0123456789abcdef"
+    h1 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    h2 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) - 1
+    h = h1.cast("bigint") * 16 + h2.cast("bigint")
+    split = F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    return (
+        kept.select(split.alias("split"), "doc_id", "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+        )
+        .orderBy("split")
+    )
