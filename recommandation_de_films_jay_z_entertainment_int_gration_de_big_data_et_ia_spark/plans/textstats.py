@@ -260,30 +260,49 @@ def q80_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q86_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", tokens("text").alias("tk")
     )
-    n_tokens = F.size("tk")
-    nstop = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
-    stop_ratio = nstop.cast("double") / n_tokens.cast("double")
-    scored = docs.select(
-        "doc_id",
-        "text",
-        n_tokens.alias("n_tokens"),
-        stop_ratio.alias("stop_ratio"),
-    ).withColumn(
-        "quality",
-        F.round(
-            F.lit(0.5) * F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
-            + F.lit(0.5) * F.least(F.col("stop_ratio") * F.lit(10.0), F.lit(1.0)),
-            4,
+    # All three stats come from ONE fold over the token array: the tk
+    # expression is referenced once, so projection collapsing can't
+    # re-inline the tokenizer per stat (the measured 13-inlines pitfall).
+    st = F.aggregate(
+        F.col("tk"),
+        F.struct(F.lit(0).cast("long").alias("n"), F.lit(0).cast("long").alias("s")),
+        lambda acc, t: F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["s"] + F.when(t.isin(*STOPWORDS), 1).otherwise(0)).alias("s"),
+        ),
+        lambda acc: F.struct(
+            acc["n"].alias("n_tokens"),
+            (acc["s"].cast("double") / acc["n"].cast("double")).alias("stop_ratio"),
+            F.round(
+                F.lit(0.5) * F.least(acc["n"].cast("double") / F.lit(100.0), F.lit(1.0))
+                + F.lit(0.5)
+                * F.least(
+                    acc["s"].cast("double") / acc["n"].cast("double") * F.lit(10.0),
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias("quality"),
         ),
     )
-    gated = scored.filter((F.col("stop_ratio") > 0.02) & (F.col("quality") >= 0.5))
-    survivors = gated.groupBy(F.md5("text").alias("__h")).agg(
-        F.min("doc_id").alias("doc_id")
+    gated = (
+        docs.select("doc_id", "text", st.alias("st"))
+        .filter((F.col("st.stop_ratio") > 0.02) & (F.col("st.quality") >= 0.5))
     )
-    kept = gated.join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+    # keep-first dedup as a window over the content hash: one shuffle, no
+    # duplicated scan subtree (a groupBy+semi-join re-tokenizes the corpus
+    # on both join branches); the window exchange also acts as the barrier
+    # that stops `st` re-inlining downstream.
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("st.n_tokens").alias("n_tokens"))
+    )
     hexd = "0123456789abcdef"
     h1 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
     h2 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) - 1
