@@ -178,3 +178,33 @@ def q84_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), _sum_value().alias("sum_value"))
         .orderBy("w_start_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Click attribution: interval self-join (view ← click within 30 min, same
+# user). The engine runs streaming/windows.attribution_join — the SAME
+# expression that runs as a watermarked stream-stream join (equivalence
+# guarded by tests/test_streaming.py) — here over the batch table.
+# ---------------------------------------------------------------------------
+@register(
+    "q87_click_attribution",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click')
+    SELECT v.user_id, view_id, click_id,
+           CAST(floor(epoch(view_ts)) AS BIGINT) AS view_ts_s,
+           CAST(floor(epoch(click_ts)) AS BIGINT) AS click_ts_s
+    FROM v JOIN c ON v.user_id = c.user_id
+      AND click_ts >= view_ts AND click_ts < view_ts + INTERVAL 30 MINUTE
+    """,
+)
+def q87_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )

@@ -76,3 +76,40 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def attribution_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream event-time interval join: each click matches the same
+    user's views in the preceding 30 minutes (click attribution).
+
+    Both sides carry watermarks so the join state store can evict: a
+    buffered view can be dropped once the click-side watermark passes
+    view_ts + 30 min. The identical expression runs in batch (tested
+    equivalence) — in batch it is the bucketed-range-join shape; in
+    streaming Spark maintains keyed state per user.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "2 hours")
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "2 hours")
+    return v.join(
+        c,
+        [
+            v["user_id"] == c["user_id"],
+            c["click_ts"] >= v["view_ts"],
+            c["click_ts"] < v["view_ts"] + F.expr("interval 30 minutes"),
+        ],
+        "inner",
+    ).select(
+        v["user_id"],
+        "view_id",
+        "click_id",
+        F.col("view_ts").cast("long").alias("view_ts_s"),
+        F.col("click_ts").cast("long").alias("click_ts_s"),
+    )

@@ -100,3 +100,30 @@ def test_streaming_dedup_equals_batch(spark, sf_dir):
     got = spark.table("t_dedup").count()
     want = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert got == want and got > 0
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (click attribution) must produce the
+    same pair set as the identical batch join."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.windows import (
+        attribution_join,
+    )
+
+    events = stream_events(spark, sf_dir)
+    assert events.isStreaming
+    joined = attribution_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "click"),
+    )
+    run_stream_to_memory(joined, "t_attrib", output_mode="append")
+    got = {
+        (r.view_id, r.click_id)
+        for r in spark.table("t_attrib").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    want = {(r.view_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
