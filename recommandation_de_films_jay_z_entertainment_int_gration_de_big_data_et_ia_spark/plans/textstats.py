@@ -318,3 +318,54 @@ def q86_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: pack documents into fixed token-budget bins (2048
+# tokens) for training batches. Contiguous-greedy variant: docs are
+# striped into 32 independent buckets (doc_id % 32) so the running-sum
+# window parallelizes — never one global single-partition window — then
+# packed in doc_id order within each bucket: bin = floor(pre_sum/budget).
+# ---------------------------------------------------------------------------
+@register(
+    "q88_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, doc_id % 32 AS bucket, len({TOKS_SQL}) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, bucket, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+          FROM t),
+    b AS (SELECT bucket, pre_sum // 2048 AS bin, n_tokens, doc_id FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM b GROUP BY bucket, bin ORDER BY bucket, bin
+    """,
+)
+def q88_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("bucket"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "bin", F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(2048))
+    )
+    return (
+        packed.groupBy(F.col("bucket").cast("bigint").alias("bucket"), "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("bucket", "bin")
+    )
