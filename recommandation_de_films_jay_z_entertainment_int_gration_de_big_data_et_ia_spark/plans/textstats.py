@@ -369,3 +369,48 @@ def q88_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection (Gopher-style quality signal): fraction of word
+# trigrams that are duplicates of an earlier trigram in the same doc.
+# High ratio = boilerplate/looping text — a standard pretraining filter.
+# ---------------------------------------------------------------------------
+@register(
+    "q89_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                                i -> array_to_string(tk[i:i+2], ' ')) AS tri
+          FROM t)
+    SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_trigrams,
+           CASE WHEN len(tri) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+                                 / CAST(len(tri) AS DOUBLE), 4)
+                ELSE 0.0 END AS dup_ratio
+    FROM g
+    """,
+)
+def q89_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    # explicit guard: Spark's sequence(1, 0) is [1, 0] (descending), not
+    # empty, so short docs need the branch (DuckDB's range(1, 1) IS empty)
+    tri = F.expr(
+        "case when size(tk) >= 3 then transform(sequence(1, size(tk) - 2),"
+        " i -> concat_ws(' ', slice(tk, i, 3))) else array() end"
+    )
+    d = docs.select("doc_id", tri.alias("tri"))
+    n = F.size("tri")
+    ratio = F.when(
+        n > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("tri")).cast("double") / n.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id", n.cast("bigint").alias("n_trigrams"), ratio.alias("dup_ratio")
+    )
