@@ -230,3 +230,43 @@ def q81_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — NEAR-dup dedup applied end-to-end: materialize the corpus with
+# every non-keeper cluster member removed (keeper = min id per connected
+# component of the LSH pair graph, q78's clustering). The final step of
+# the dedup story: candidates (q32) → verify (q33) → clusters (q78) →
+# APPLY (this).
+# ---------------------------------------------------------------------------
+@register(
+    "q90_neardup_apply",
+    oracle=f"""
+    {LSH_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS node, b AS reachable FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
+    losers AS (
+      SELECT node FROM reach GROUP BY node
+      HAVING LEAST(node, MIN(reachable)) != node)
+    SELECT doc_id, strlen(text) AS n_bytes FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def q90_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, "doc_id", "text", n=3)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
+    )
+    clusters = D.dedup_clusters(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes")
+    )
