@@ -77,3 +77,81 @@ def extract_features(binary_docs: DataFrame, id_col: str = "doc_id") -> DataFram
             )
 
     return binary_docs.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_fp", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_fp", T.StringType()),
+    ]
+)
+
+
+def resize_images(binary_docs: DataFrame, width: int = 224, height: int = 224,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched image resize plumbing (1 row → 1 row).
+
+    Deterministic fake: output dims are the targets, fingerprint is
+    md5(payload-head + dims) — a real deployment swaps the body for
+    PIL's resize while the batch path, schema, and partitioning stay.
+    """
+    import hashlib
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized_fp": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b[:8]) + f"{width}x{height}".encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return binary_docs.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(binary_docs: DataFrame, stride: int = 24, id_col: str = "doc_id") -> DataFrame:
+    """Video frame-sampling plumbing (1 row → N rows in mapInPandas).
+
+    Deterministic fake decoder, fully specified so the DuckDB oracle can
+    replay it: a payload of n bytes 'decodes' to ``n % 240 + 1`` frames;
+    every ``stride``-th frame is sampled; the frame fingerprint is
+    md5("<doc_id>:<frame_idx>"). Real ffmpeg/decord plugs into the same
+    iterator without touching the plan: batches arrive Arrow-vectorized,
+    and the 1→N fan-out happens executor-side (never a driver explode).
+    """
+    import hashlib
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            fps: list[str] = []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = len(payload) % 240 + 1
+                for idx in range(0, n_frames, stride):
+                    ids.append(int(did))
+                    idxs.append(idx)
+                    fps.append(hashlib.md5(f"{did}:{idx}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return binary_docs.mapInPandas(_sample, schema=FRAME_SCHEMA)

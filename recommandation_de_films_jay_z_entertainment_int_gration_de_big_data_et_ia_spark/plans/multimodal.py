@@ -35,3 +35,25 @@ def q49_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 2).alias("f1"),
         F.element_at("features", 3).alias("f2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — video frame sampling: the 1→N mapInPandas fan-out (every 24th
+# frame of each fake-decoded payload). The deterministic fake decoder is
+# fully specified (n_frames = n_bytes % 240 + 1, fp = md5("id:idx")) so
+# the oracle replays it exactly — the Spark side still runs the real
+# Arrow-batched executor fan-out a production decoder would use.
+# ---------------------------------------------------------------------------
+@register(
+    "q91_multimodal_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id, strlen(text) % 240 + 1 AS n_frames FROM documents),
+    f AS (SELECT doc_id, unnest(range(0, n_frames, 24)) AS frame_idx FROM d)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(doc_id || ':' || frame_idx) AS frame_fp
+    FROM f
+    """,
+)
+def q91_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.to_binary_docs(docs, "doc_id", "text"), stride=24)

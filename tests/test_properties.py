@@ -214,3 +214,21 @@ def test_ann_batch_matches_single_query_path(spark, sf_dir):
         ]
         got = [(r.vec_id, r.score) for r in batch if r.qid == qid]
         assert got == single and len(got) == 3
+
+
+def test_multimodal_resize_and_frames_plumbing(spark, sf_dir):
+    """Resize is 1→1; frame sampling is 1→N with frame_idx striding."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        multimodal as MM,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    b = MM.to_binary_docs(docs, "doc_id", "text")
+    rz = MM.resize_images(b, width=64, height=48)
+    assert rz.count() == 50
+    assert {(r.width, r.height) for r in rz.limit(5).collect()} == {(64, 48)}
+    fr = MM.sample_frames(b, stride=24)
+    per_doc = {r.doc_id: r.n for r in fr.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert len(per_doc) == 50 and all(n >= 1 for n in per_doc.values())
+    idxs = [r.frame_idx for r in fr.filter(F.col("doc_id") == min(per_doc)).collect()]
+    assert idxs == sorted(idxs) and all(i % 24 == 0 for i in idxs)
