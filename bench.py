@@ -44,6 +44,9 @@ HEADLINE = [
     "q82_embedding_ann_ivf",
     "q84_range_join",
     "q85_ann_batch",
+    "q86_curation_pipeline",
+    "q88_sequence_packing",
+    "q91_multimodal_frames",
 ]
 
 
