@@ -115,3 +115,21 @@ def test_range_join_equals_naive_inequality_join(spark, sf_dir):
     got = sorted(tuple(r) for r in bucketed.select(cols).collect())
     want = sorted(tuple(r) for r in naive.select(cols).collect())
     assert got == want and len(want) > 0
+
+
+def test_range_join_timestamp_columns(spark, sf_dir):
+    """The bucketed range join must also accept native timestamp columns
+    (cast("long") inside the operator flooring to epoch seconds)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    iv = spark.range(0, 30).select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 86400).alias("w_start"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 86400 + 172800).alias("w_end"),
+    )
+    bucketed = R.range_join_bucketed(ev, "ts", iv, "w_start", "w_end", bucket=86400)
+    naive = ev.crossJoin(iv).filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    cols = ["event_id", "w_start"]
+    got = sorted(tuple(r) for r in bucketed.select(cols).collect())
+    want = sorted(tuple(r) for r in naive.select(cols).collect())
+    assert got == want and len(want) > 0
