@@ -133,3 +133,26 @@ def test_range_join_timestamp_columns(spark, sf_dir):
     got = sorted(tuple(r) for r in bucketed.select(cols).collect())
     want = sorted(tuple(r) for r in naive.select(cols).collect())
     assert got == want and len(want) > 0
+
+
+def test_ivf_index_persists_with_partition_pruning(spark, sf_dir):
+    """The IVF cell assignment is a write-once index: persisted partitioned
+    by cell, a probe query scans only its nprobe cell directories."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        similarity as SIM,
+    )
+
+    out = os.path.join(TMP, "embeddings_ivf")
+    shutil.rmtree(out, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = SIM.ivf_index(emb, "vec_id", "embedding", nlist=8).select(
+        "vec_id", "embedding", F.col("__cell").alias("cell")
+    )
+    write_parquet(indexed, out, partition_by=["cell"])
+    probe = spark.read.parquet(out).filter(F.col("cell").isin(2, 5))
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    got = probe.count()
+    want = indexed.filter(F.col("cell").isin(2, 5)).count()
+    assert got == want and 0 < got < emb.count()
+    shutil.rmtree(out, ignore_errors=True)
