@@ -93,23 +93,30 @@ def attribution_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
         F.col("event_id").alias("view_id"),
         F.col("ts").alias("view_ts"),
     ).withWatermark("view_ts", "2 hours")
+    # click side's key is renamed: both inputs usually derive from the
+    # same source frame, and same-name column equality on a self-join
+    # relies on Spark's dataset-id disambiguation (it warns "trivially
+    # true predicate") — an explicit distinct name is version-proof
     c = clicks.select(
-        F.col("user_id"),
+        F.col("user_id").alias("click_user_id"),
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     ).withWatermark("click_ts", "2 hours")
-    return v.join(
-        c,
-        [
-            v["user_id"] == c["user_id"],
-            c["click_ts"] >= v["view_ts"],
-            c["click_ts"] < v["view_ts"] + F.expr("interval 30 minutes"),
-        ],
-        "inner",
-    ).select(
-        v["user_id"],
-        "view_id",
-        "click_id",
-        F.col("view_ts").cast("long").alias("view_ts_s"),
-        F.col("click_ts").cast("long").alias("click_ts_s"),
+    return (
+        v.join(
+            c,
+            [
+                F.col("user_id") == F.col("click_user_id"),
+                F.col("click_ts") >= F.col("view_ts"),
+                F.col("click_ts") < F.col("view_ts") + F.expr("interval 30 minutes"),
+            ],
+            "inner",
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            F.col("view_ts").cast("long").alias("view_ts_s"),
+            F.col("click_ts").cast("long").alias("click_ts_s"),
+        )
     )
