@@ -155,3 +155,42 @@ def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("ts_s"),
         last_signup.cast("long").alias("last_signup_s"),
     )
+
+# ---------------------------------------------------------------------------
+# q92 — join-key skew report: the heaviest keys and their share of the
+# table. The pre-flight diagnostic for the 100 TB posture: a key with a
+# double-digit share means the shuffle partition for that key becomes the
+# straggler — route it to salted_join/salted_agg (q62/q67) or AQE skew
+# handling. One partial-agg pass + a broadcast 1-row total.
+# ---------------------------------------------------------------------------
+@register(
+    "q92_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM lineitem)
+    SELECT key, n, ROUND(CAST(n AS DOUBLE) / CAST(total_rows AS DOUBLE), 6) AS share
+    FROM counts CROSS JOIN total
+    ORDER BY n DESC, key ASC
+    LIMIT 10
+    """,
+)
+def q92_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("total_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total_rows").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )
