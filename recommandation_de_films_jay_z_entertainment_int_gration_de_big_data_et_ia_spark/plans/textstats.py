@@ -414,3 +414,106 @@ def q89_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", n.cast("bigint").alias("n_trigrams"), ratio.alias("dup_ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — quality-weighted resampling: keep each doc with probability equal
+# to its quality score, decided by a deterministic per-doc hash (md5
+# first-2-hex-digit fraction < quality). Engine- and partitioning-stable,
+# unlike RNG sampling; the knob a curation pipeline uses to downweight
+# low-quality text without hard-cutting it.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_quality_resample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, lang, len(tk) AS n_tokens,
+                 CAST(len(list_filter(tk, x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS stop_ratio
+          FROM t),
+    g AS (SELECT doc_id, lang, n_tokens,
+                 ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                       + 0.5 * least(stop_ratio * 10.0, 1.0), 4) AS quality,
+                 (CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+                  + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)) AS h
+          FROM s)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM g WHERE CAST(h AS DOUBLE) / 256.0 < quality
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q93_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("tk")
+    )
+    n_tokens = F.size("tk")
+    nstop = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = nstop.cast("double") / n_tokens.cast("double")
+    quality = F.round(
+        F.lit(0.5) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.5) * F.least(stop_ratio * F.lit(10.0), F.lit(1.0)),
+        4,
+    )
+    hexd = "0123456789abcdef"
+    h1 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    h2 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) - 1
+    h = h1.cast("bigint") * 16 + h2.cast("bigint")
+    kept = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), quality.alias("quality"), h.alias("h")
+    ).filter(F.col("h").cast("double") / F.lit(256.0) < F.col("quality"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — language-mix rebalancing: truncate every language to the size of
+# the smallest one, keeping each language's docs in deterministic hash
+# order (not id order — avoids corpus-position bias). The data-mixture
+# step of corpus assembly, done with a per-group rank so no language
+# needs a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q94_lang_rebalance",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents),
+    floor_n AS (
+      SELECT MIN(n) AS k FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang))
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM ranked CROSS JOIN floor_n
+    WHERE rk <= k
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q94_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    floor_n = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("k"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+        )
+        .orderBy("lang")
+    )
