@@ -517,3 +517,61 @@ def q94_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — packed-text materialization: the actual training rows for q88's
+# bins — texts concatenated in doc_id order with a separator, surfaced as
+# md5 + length (the full text would hash-compare too, but stays off the
+# driver). string_agg ORDER BY ↔ sorted collect_list: both deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "q95_packed_text",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, doc_id % 32 AS bucket, len({TOKS_SQL}) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, text, bucket, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_sum
+          FROM t),
+    b AS (SELECT bucket, pre_sum // 2048 AS bin, doc_id, text FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_fp,
+           CAST(strlen(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS BIGINT) AS packed_chars
+    FROM b GROUP BY bucket, bin ORDER BY bucket, bin
+    """,
+)
+def q95_packed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 32).alias("bucket"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.withColumn(
+        "bin", F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(2048))
+    )
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "\n\n",
+    )
+    return (
+        binned.groupBy(F.col("bucket").cast("bigint").alias("bucket"), "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(packed).alias("packed_fp"),
+            F.length(packed).cast("bigint").alias("packed_chars"),
+        )
+        .orderBy("bucket", "bin")
+    )
