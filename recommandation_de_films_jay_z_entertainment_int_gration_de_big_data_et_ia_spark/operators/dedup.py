@@ -80,7 +80,8 @@ def minhash_bands(
     return df.select(F.col(id_col), F.posexplode(keys).alias("band", "key"))
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str,
+                        max_bucket: int | None = 200) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band key.
 
     Implemented as bucket-aggregate + in-bucket pair explosion rather than
@@ -90,15 +91,23 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     measured 2× faster at sf0.1 (the self-join re-computes the signature
     pipeline for both sides and shuffles twice).
 
-    Mega-bucket hazard: pair count is quadratic in bucket size. Real
-    pipelines cap bucket size (dropping degenerate buckets — e.g. empty
-    shingle sets — is standard); the cap is left to callers so the operator
-    stays exact.
+    Mega-bucket hazard: pair count is quadratic in bucket size, and on a
+    boilerplate-heavy corpus one hot band key materializes the whole
+    quadratic pair array inside a single row (observed JVM OOM on the
+    SimHash twin before its cap, PERF.md item 3). ``max_bucket`` drops
+    buckets above the cap — same guard as :func:`simhash_pairs`, same
+    rationale: a bucket shared by thousands of documents carries no
+    blocking signal. The cap is part of the operator's spec so oracles
+    mirror it deterministically (``HAVING COUNT(*) BETWEEN 2 AND cap``);
+    pass ``None`` for the exact uncapped semantics.
     """
+    size_gate = F.size("ids") > 1
+    if max_bucket is not None:
+        size_gate = size_gate & (F.size("ids") <= max_bucket)
     buckets = (
         bands_df.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(size_gate)
     )
     pair_expr = F.expr(
         "flatten(transform(ids, (a, i) ->"
@@ -133,11 +142,15 @@ def jaccard_verify(
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str,
     n: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.0,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle → band → bucket
     join → exact-Jaccard verify ≥ threshold."""
     sh = doc_shingles(df, id_col, text_col, n)
-    cand = lsh_candidate_pairs(minhash_bands(sh, id_col, num_hashes=num_hashes, bands=bands), id_col)
+    cand = lsh_candidate_pairs(
+        minhash_bands(sh, id_col, num_hashes=num_hashes, bands=bands), id_col,
+        max_bucket=max_bucket,
+    )
     return jaccard_verify(cand, sh, id_col, threshold=threshold)
 
 
@@ -214,7 +227,7 @@ def simhash_pairs(
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   max_iterations: int = 20) -> DataFrame:
+                   max_iterations: int | None = None) -> DataFrame:
     """Resolve near-dup pairs into clusters: connected components by
     iterative min-label propagation (each node's label converges to the
     smallest id reachable through the pair graph — the cluster's keeper).
@@ -223,7 +236,14 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     an aggregate; rounds needed = graph diameter (near-dup clusters are
     shallow, typically 2-4). Returns (node, cluster_id) for every node
     that appears in a pair.
+
+    Runs to convergence by default (labels are monotone decreasing, so the
+    loop always terminates within the longest-path length). Pass
+    ``max_iterations`` only as an operational budget; exhausting it with
+    labels still changing warns and returns the partial labeling — a
+    component with diameter > the cap would otherwise be silently split.
     """
+    import warnings
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionAll(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -236,7 +256,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(max_iterations):
+    iteration = 0
+    while True:
+        iteration += 1
         neigh = (
             edges.join(labels, edges.b == labels.node)
             .select(F.col("a").alias("node"), "label")
@@ -255,5 +277,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         )
         labels = new_labels
         if changed == 0:
+            break
+        if max_iterations is not None and iteration >= max_iterations:
+            warnings.warn(
+                f"dedup_clusters: stopped after max_iterations={max_iterations} "
+                f"with {changed} labels still changing; cluster ids are NOT "
+                "converged (some components are split). Raise max_iterations "
+                "or pass None to run to convergence.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

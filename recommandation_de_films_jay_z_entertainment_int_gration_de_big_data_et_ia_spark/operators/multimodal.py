@@ -69,7 +69,12 @@ def extract_features(binary_docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": n_bytes.astype("int32"),
-                    "head_fp": payloads.map(lambda b: hashlib.md5(bytes(b[:8])).hexdigest()),
+                    # fingerprint the lowercase hex of the first 8 payload
+                    # bytes: byte-exact AND expressible in the DuckDB oracle
+                    # (md5 there is VARCHAR-only, so raw-blob md5 is not)
+                    "head_fp": payloads.map(
+                        lambda b: hashlib.md5(bytes(b[:8]).hex().encode()).hexdigest()
+                    ),
                     "features": n_bytes.map(
                         lambda n: [float(n % 7), float(n % 11), float(n % 13)]
                     ),

@@ -19,6 +19,10 @@ SHINGLES_SQL = (
     " i -> array_to_string(tk[i:i+2], ' ')))"
 )
 NUM_HASHES, BANDS = 8, 4
+# Mega-bucket cap threaded through the operator AND the oracle (buckets
+# with more than MAX_BUCKET members carry no blocking signal and cost
+# quadratic pair explosion — see operators.dedup.lsh_candidate_pairs).
+MAX_BUCKET = 200
 
 # Mirror of functions.text.minhash_signature's chunked hash family:
 # hash i = 8-hex-char chunk (i%4) of md5('<i//4>|' || shingle).
@@ -35,9 +39,14 @@ WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
 s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
 sig AS (SELECT doc_id, {_SIG_COLS} FROM s),
 bands AS ({_BANDS_UNION}),
+bkept AS (
+  SELECT bands.band, bands.key, bands.doc_id
+  FROM bands JOIN (SELECT band, key FROM bands GROUP BY band, key
+                   HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}) g
+    ON bands.band = g.band AND bands.key = g.key),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+  FROM bkept a JOIN bkept b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 """
 
 
@@ -71,7 +80,8 @@ def q32_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = D.doc_shingles(docs, "doc_id", "text", n=3)
     return D.lsh_candidate_pairs(
-        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id",
+        max_bucket=MAX_BUCKET,
     )
 
 
@@ -90,7 +100,8 @@ def q32_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES, bands=BANDS)
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", n=3, num_hashes=NUM_HASHES,
+                                 bands=BANDS, max_bucket=MAX_BUCKET)
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +180,8 @@ def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = D.doc_shingles(docs, "doc_id", "text", n=3)
     pairs = D.lsh_candidate_pairs(
-        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id",
+        max_bucket=MAX_BUCKET,
     )
     return D.dedup_clusters(pairs)
 
@@ -211,7 +223,8 @@ def q81_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = D.doc_shingles(docs, "doc_id", "text", n=3)
     pairs = D.lsh_candidate_pairs(
-        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id",
+        max_bucket=MAX_BUCKET,
     )
     verified = D.jaccard_verify(pairs, sh, "doc_id")
     hexd = "0123456789abcdef"
@@ -261,7 +274,8 @@ def q90_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = D.doc_shingles(docs, "doc_id", "text", n=3)
     pairs = D.lsh_candidate_pairs(
-        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id"
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id",
+        max_bucket=MAX_BUCKET,
     )
     clusters = D.dedup_clusters(pairs)
     losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(

@@ -16,7 +16,7 @@ from .catalog import register
     oracle="""
     SELECT doc_id,
            CAST(strlen(text) AS INT) AS n_bytes,
-           md5(substr(text, 1, 8)) AS head_fp,
+           md5(lower(substring(hex(encode(text)), 1, 16))) AS head_fp,
            CAST(strlen(text) % 7 AS DOUBLE) AS f0,
            CAST(strlen(text) % 11 AS DOUBLE) AS f1,
            CAST(strlen(text) % 13 AS DOUBLE) AS f2

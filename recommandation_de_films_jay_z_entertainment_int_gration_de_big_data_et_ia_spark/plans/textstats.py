@@ -571,7 +571,9 @@ def q95_packed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.md5(packed).alias("packed_fp"),
-            F.length(packed).cast("bigint").alias("packed_chars"),
+            # byte length (encode → UTF-8) to mirror DuckDB strlen; plain
+            # F.length counts characters and diverges on non-ASCII corpora
+            F.length(F.encode(packed, "UTF-8")).cast("bigint").alias("packed_chars"),
         )
         .orderBy("bucket", "bin")
     )
