@@ -66,16 +66,35 @@ def popular_unseen(
     item_col: str,
     users: DataFrame,
     k: int = 3,
+    max_seen_per_user: int | None = 1000,
 ) -> DataFrame:
     """Top-k globally-popular items each user hasn't interacted with.
 
-    ``users`` is the (small) user frame to recommend for. Popularity ranks
-    break ties by item id — fully deterministic.
+    ``users`` is the user frame to recommend for. Popularity ranks break
+    ties by item id — fully deterministic.
+
+    ``max_seen_per_user`` bounds candidate generation: popularity is
+    truncated to the top-``k + max_seen_per_user`` items (a distributed
+    partial top-k, ``TakeOrderedAndProject``) before the cross join, so
+    candidates are O(|users| · (k + bound)) instead of |users| × |items| —
+    the difference between a broadcastable frame and a cartesian
+    scale-killer when ``users`` is the full user table. The result is
+    IDENTICAL to the exact semantics whenever every cohort user has
+    interacted with at most ``max_seen_per_user`` distinct items (then at
+    least k of their top-``k + bound`` candidates are unseen, and any
+    truncated item ranks below all of them). Pass ``None`` only for small
+    cohorts where the full-popularity cross join is affordable.
     """
     pop = (
         interactions.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("popularity"))
     )
+    if max_seen_per_user is not None:
+        # same (popularity DESC, item ASC) order as the ranking below, so
+        # truncation never reorders ties across the cut
+        pop = pop.orderBy(F.desc("popularity"), F.asc(item_col)).limit(
+            k + max_seen_per_user
+        )
     cand = users.crossJoin(F.broadcast(pop))
     seen = interactions.select(user_col, item_col).distinct()
     unseen = cand.join(seen, on=[user_col, item_col], how="left_anti")

@@ -54,10 +54,18 @@ def bm25_with_index(
     """BM25 scoring against a prebuilt index — same formula (and bitwise
     the same scores) as ``search.bm25_score``, but corpus statistics come
     from the index tables instead of an inline aggregate: the corpus is
-    scanned ONCE per query batch, not twice."""
-    q_df = {r["term"]: r["df"] for r in docfreq.filter(F.col("term").isin(*query_terms)).collect()}
+    scanned ONCE per query batch, not twice.
+
+    The per-term document frequencies arrive as a broadcast 1-row
+    term→df map (filtered to the query terms), not a driver
+    ``.collect()`` — the plan stays fully declarative and a query batch
+    costs no driver round-trip."""
+    dfmap = (
+        docfreq.filter(F.col("term").isin(*query_terms))
+        .agg(F.map_from_entries(F.collect_list(F.struct("term", "df"))).alias("__dfmap"))
+    )
     toked = docs.withColumn("__tk", tokens(text_col)).withColumn("__dl", F.size("__tk"))
-    scored = toked.crossJoin(F.broadcast(totals))
+    scored = toked.crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(dfmap))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
 
     def _eq(t: str):
@@ -66,10 +74,13 @@ def bm25_with_index(
     total = F.lit(0.0)
     for t in query_terms:
         tf = F.size(F.filter(F.col("__tk"), _eq(t))).cast("double")
-        dfreq = F.lit(float(q_df.get(t, 0)))
+        dfreq = F.coalesce(F.col("__dfmap").getItem(t).cast("double"), F.lit(0.0))
         idf = F.log(
             (F.col("n_docs").cast("double") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)) + F.lit(1.0)
         )
         denom = tf + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (F.col("__dl").cast("double") / avgdl))
         total = total + idf * ((tf * F.lit(k1 + 1.0)) / denom)
-    return scored.withColumn(score_col, F.round(total, 4)).drop("__tk", "__dl", "n_docs", "sum_dl")
+    return (
+        scored.withColumn(score_col, F.round(total, 4))
+        .drop("__tk", "__dl", "n_docs", "sum_dl", "__dfmap")
+    )

@@ -1,0 +1,101 @@
+"""Behavioral tests for the recommendation operators (SURVEY §5.2).
+
+ALS factorization is not SQL-reproducible, so q50 is rows-only at the
+oracle gate; the behavioral contract lives here instead: exactly k rows
+per user, finite predictions, seeded-rerun equality, and held-out RMSE
+below a slack threshold. ``popular_unseen``'s candidate bound (the
+100 TB guard against the |users| × |items| cross join) is proven by plan
+and row count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+    recommend as REC,
+)
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.ml import (
+    _ratings,
+)
+
+K = 5
+
+
+def _fit_recs(spark, sf_dir, seed=42):
+    ratings = _ratings(spark, sf_dir)
+    model = REC.train_als(ratings, "user", "item", "rating", rank=8, max_iter=5, seed=seed)
+    return ratings, REC.als_recommendations(model, k=K)
+
+
+def test_als_exactly_k_rows_per_user_and_finite_predictions(spark, sf_dir):
+    ratings, recs = _fit_recs(spark, sf_dir)
+    rows = recs.collect()
+    per_user = {}
+    for r in rows:
+        per_user[r.user] = per_user.get(r.user, 0) + 1
+        assert math.isfinite(r.predicted_rating), f"non-finite prediction for {r.user}"
+    assert per_user and all(n == K for n in per_user.values())
+    # every rated user survives coldStartStrategy="drop" in full-data training
+    assert set(per_user) == {r.user for r in ratings.select("user").distinct().collect()}
+
+
+def test_als_seeded_rerun_is_identical(spark, sf_dir):
+    _, a = _fit_recs(spark, sf_dir, seed=42)
+    _, b = _fit_recs(spark, sf_dir, seed=42)
+    ra = sorted((r.user, r.item, round(r.predicted_rating, 5)) for r in a.collect())
+    rb = sorted((r.user, r.item, round(r.predicted_rating, 5)) for r in b.collect())
+    assert ra == rb
+
+
+def test_als_heldout_rmse_below_slack(spark, sf_dir):
+    ratings = _ratings(spark, sf_dir).cache()
+    train, test = ratings.randomSplit([0.8, 0.2], seed=7)
+    model = REC.train_als(train, "user", "item", "rating", rank=8, max_iter=5, seed=42)
+    pred = model.transform(test).filter(F.col("prediction").isNotNull())
+    row = pred.agg(
+        F.sqrt(F.avg((F.col("rating") - F.col("prediction")) ** 2)).alias("rmse"),
+        F.stddev("rating").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    ratings.unpersist()
+    assert row.n > 0
+    # implicit-quantity ratings are noisy; the model must at least beat
+    # 2x the signal's own spread (catches degenerate/NaN factorizations)
+    assert math.isfinite(row.rmse) and row.rmse < 2.0 * row.sd
+
+
+def _toy_interactions(spark):
+    # 4 users, items 1..10 with popularity = 11 - item (item 1 most popular)
+    rows = []
+    for item in range(1, 11):
+        for copy in range(11 - item):
+            rows.append((100 + copy % 4, item))
+    return spark.createDataFrame(rows, "cust long, item long")
+
+
+def test_popular_unseen_bound_truncates_candidates(spark):
+    inter = _toy_interactions(spark)
+    users = spark.createDataFrame([(100,), (101,), (999,)], "cust long")
+    exact = REC.popular_unseen(inter, "cust", "item", users, k=3, max_seen_per_user=None)
+    bounded = REC.popular_unseen(inter, "cust", "item", users, k=3, max_seen_per_user=10)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, bounded.collect()))
+    # user 999 saw nothing: gets the global top-3 by (popularity desc, item asc)
+    top999 = [(r.item, r.rec_rank) for r in bounded.filter("cust = 999").collect()]
+    assert sorted(top999, key=lambda t: t[1]) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_popular_unseen_bound_is_a_distributed_partial_topk(spark):
+    inter = _toy_interactions(spark)
+    users = spark.createDataFrame([(100,)], "cust long")
+    df = REC.popular_unseen(inter, "cust", "item", users, k=3, max_seen_per_user=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the popularity truncation compiles to TakeOrderedAndProject (partial
+    # per-partition top-k, no global sort) and feeds a broadcast, so
+    # candidates are O(|users| * (k + bound)), never |users| * |items|
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # candidate cardinality bound holds: <= |users| * (k + bound) rows survive
+    assert df.count() <= 1 * (3 + 4)
