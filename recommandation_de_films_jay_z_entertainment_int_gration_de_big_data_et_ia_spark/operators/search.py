@@ -190,6 +190,116 @@ def multi_match_score(
     return out.withColumn(score_col, F.round(total, 4)).drop(*tok_cols.values())
 
 
+def multi_match_bm25(
+    df: DataFrame,
+    id_col: str,
+    fields: dict[str, float],
+    query_terms: Sequence[str],
+    fuzzy: bool = True,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "score",
+) -> DataFrame:
+    """ES-style ``multi_match`` ranked by BM25 (the reference's ``/search``
+    semantic, api.py:210-221: ``title^3, genres`` + AUTO fuzziness scored
+    by Lucene BM25). Per field: each query term fuzzily expands against the
+    FIELD VOCABULARY (every distinct token within its AUTO edit distance
+    gets its own df/idf, like Lucene's fuzzy term expansion), expanded
+    terms are BM25-scored with that field's corpus statistics, and the
+    field score is weighted by its boost; a doc's score sums over fields
+    (``most_fields`` combination). Returns (id, score) for docs matching
+    at least one expanded term in any field.
+
+    Scale shape — fully relational, data-dependent expansion and all:
+    tokens explode once per field into a tagged union; term frequencies
+    and the vocabulary are two shuffles on (field, term); the expansion
+    frame (|vocab-hits| rows) and per-field stats (|fields| rows)
+    broadcast onto the tf frame; the final per-doc reduce is ONE shuffle
+    on id. No per-query corpus rescan beyond the single tokenize pass,
+    no driver round-trips. Per-doc float totals left-fold in sorted
+    (field, term) order so scores are reproducible bit-for-bit (and
+    hash-match the DuckDB oracle's ``list_reduce``).
+
+    With a single field, boost 1.0 and ``fuzzy=False`` this reduces to
+    :func:`bm25_score` on the docs that contain at least one query term
+    (guarded by tests/test_reference_parity.py)."""
+    field_items = list(fields.items())
+    expl_parts, stats_parts = [], []
+    for fi, (fld, _boost) in enumerate(field_items):
+        toked = df.select(
+            F.col(id_col).alias("__id"), tokens(fld).alias("__tk")
+        ).withColumn("__dl", F.size("__tk"))
+        stats_parts.append(
+            toked.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sumdl")
+            ).select(F.lit(fi).alias("f"), "n", "sumdl")
+        )
+        expl_parts.append(
+            toked.select(
+                F.lit(fi).alias("f"), "__id", "__dl", F.explode("__tk").alias("term")
+            )
+        )
+    expl = expl_parts[0]
+    for p in expl_parts[1:]:
+        expl = expl.unionAll(p)
+    stats = stats_parts[0]
+    for p in stats_parts[1:]:
+        stats = stats.unionAll(p)
+
+    tfs = expl.groupBy("f", "__id", "__dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df per (field, term) = number of (doc, term) rows in tfs. The
+    # vocabulary branch re-evaluates the explode+agg subtree (Catalyst
+    # prunes the tf expression there, so the exchanges aren't
+    # reuse-equal): the inline path costs two corpus passes per query
+    # batch. At scale, persist the vocabulary once per corpus snapshot
+    # and substitute it here — the q68 prebuilt-index pattern.
+    vocab = tfs.groupBy("f", "term").agg(F.count(F.lit(1)).alias("df"))
+    # one pass over the vocabulary expands ALL query terms: explode the
+    # (query, max-edit-distance) list against each vocab term; a vocab
+    # term within range of two query terms yields two rows (Lucene-style
+    # independent per-query-term expansion)
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.lit(auto_fuzziness(q) if fuzzy else 0).alias("d"),
+            )
+            for q in query_terms
+        ]
+    )
+    exp = (
+        vocab.select("f", "term", "df", F.explode(qarr).alias("qd"))
+        .filter(F.levenshtein(F.col("term"), F.col("qd.q")) <= F.col("qd.d"))
+        .drop("qd")
+    )
+    matched = (
+        tfs.join(F.broadcast(exp), ["f", "term"])
+        .join(F.broadcast(stats), ["f"])
+    )
+    boost = F.lit(float(field_items[0][1]))
+    for fi in range(1, len(field_items)):
+        boost = F.when(F.col("f") == fi, F.lit(float(field_items[fi][1]))).otherwise(boost)
+    tf = F.col("tf").cast("double")
+    dfreq = F.col("df").cast("double")
+    n = F.col("n").cast("double")
+    avgdl = F.col("sumdl").cast("double") / n
+    idf = F.log((n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)) + F.lit(1.0))
+    denom = tf + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (F.col("__dl").cast("double") / avgdl))
+    contrib = (boost * idf * (tf * F.lit(k1 + 1.0)) / denom).alias("contrib")
+    per_term = matched.select("__id", "f", "term", contrib)
+    folded = (
+        per_term.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "term", "contrib"))).alias("__cs"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.aggregate("__cs", F.lit(0.0), lambda acc, s: acc + s["contrib"]), 4
+            ).alias(score_col),
+        )
+    )
+    return folded
+
+
 def more_like_this(
     df: DataFrame,
     id_col: str,

@@ -316,3 +316,65 @@ def q69_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — multi_match ranked by BM25 (the reference's /search semantic,
+# api.py:210-221: multi_match over title^3 + genres with AUTO fuzziness,
+# ranked by Lucene BM25). Here: source^3 + text over documents, query
+# terms fuzzily expanded against each field's vocabulary, each expanded
+# term BM25-scored with that field's own corpus statistics, field scores
+# boost-weighted and summed (most_fields). Per-doc totals left-fold in
+# (field, term) order — the oracle protocol for order-independent float
+# sums.
+# ---------------------------------------------------------------------------
+_MM_TERMS = ("sprak", "window")  # AUTO distances: 1 and 2
+_MM_SRC_TOKS = "regexp_split_to_array(trim(regexp_replace(lower(source), '[^a-z0-9]+', ' ', 'g')), ' +')"
+
+
+@register(
+    "q96_search_multimatch_bm25",
+    oracle=f"""
+    WITH d0 AS (SELECT doc_id, {_MM_SRC_TOKS} AS tk FROM documents),
+    d1 AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    e AS (
+      SELECT 0 AS f, doc_id, len(tk) AS dl, unnest(tk) AS term FROM d0
+      UNION ALL
+      SELECT 1 AS f, doc_id, len(tk) AS dl, unnest(tk) AS term FROM d1),
+    stats AS (
+      SELECT 0 AS f, COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM d0
+      UNION ALL
+      SELECT 1 AS f, COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM d1),
+    vocab AS (SELECT f, term, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY f, term),
+    exp AS (
+      SELECT f, term, df FROM vocab WHERE levenshtein(term, 'sprak') <= 1
+      UNION ALL
+      SELECT f, term, df FROM vocab WHERE levenshtein(term, 'window') <= 2),
+    tfs AS (SELECT f, doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY f, doc_id, dl, term),
+    m AS (
+      SELECT t.doc_id, t.f, t.term,
+             (CASE WHEN t.f = 0 THEN 3.0 ELSE 1.0 END)
+             * ln((CAST(s.n AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5)
+                  / (CAST(x.df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE)
+                    / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS contrib
+      FROM tfs t
+        JOIN exp x ON t.f = x.f AND t.term = x.term
+        JOIN stats s ON s.f = t.f),
+    folded AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(contrib ORDER BY f, term, contrib)),
+                         (x, y) -> x + y) AS s
+      FROM m GROUP BY doc_id)
+    SELECT doc_id, ROUND(s, 4) AS score FROM folded
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q96_search_multimatch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = S.multi_match_bm25(
+        docs, "doc_id", {"source": 3.0, "text": 1.0}, list(_MM_TERMS), fuzzy=True
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

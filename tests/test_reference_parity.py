@@ -108,3 +108,27 @@ def test_als_on_real_ratings(spark, processed):
     per_user = recs.groupBy("userId").count()
     assert per_user.filter(F.col("count") > 10).count() == 0
     assert recs.count() >= 900 * 10  # nearly all 943 users get 10 recs
+
+
+def test_multimatch_bm25_reduces_to_bm25_on_single_field(spark, sf_dir):
+    """multi_match_bm25({text: 1.0}, fuzzy=False) must reproduce
+    bm25_score exactly on every doc containing at least one query term
+    (VERDICT r1 acceptance: the composed ranking reduces to q26)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        search as S,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    terms = ["spark", "join", "window"]
+    docs = load_table(spark, sf_dir, "documents")
+    mm = {r.doc_id: r.score for r in S.multi_match_bm25(
+        docs, "doc_id", {"text": 1.0}, terms, fuzzy=False).collect()}
+    base = {r.doc_id: r.score for r in S.bm25_score(docs, "text", terms)
+            .select("doc_id", "score").collect()}
+    assert mm, "no docs matched — test corpus assumption broken"
+    for doc_id, score in mm.items():
+        assert score == base[doc_id], (doc_id, score, base[doc_id])
+    # docs absent from mm are exactly the zero-scored ones
+    assert all(base[d] == 0.0 for d in set(base) - set(mm))
