@@ -1,17 +1,29 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline catalog queries at
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+"""Benchmark harness: runs the catalog queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line:
+``{"metric": ..., "value": headline_total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Each query is executed with a count()-style action that forces full
-evaluation without driver materialization of the payload.
+Modes
+-----
+default        full catalog, N_RUNS (>=3) timed runs per query after a cold
+               run; reports per-query min ("queries") and median
+               ("median"). "value" stays the HEADLINE-subset steady-state
+               total so it is comparable with BENCH_r01/r02.
+--headline     only the headline subset (fast iteration loop).
+--runs N       override run count (default 3).
+
+Each query is executed with a noop-sink write that forces full evaluation
+without driver materialization of the payload. The streaming row
+(q87_streaming_attribution) drains the watermarked stream-stream interval
+join with availableNow into a memory sink — the one non-batch entry.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -24,7 +36,8 @@ from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_s
 
 # Headline set: one per capability family (relational joins/aggs, window
 # top-k, search scoring, dedup, similarity, time-series windows,
-# multimodal mapInPandas).
+# multimodal mapInPandas, streaming stream-stream join). This list is the
+# round-over-round comparison basis — append, never remove.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_top_customers",
@@ -47,39 +60,89 @@ HEADLINE = [
     "q86_curation_pipeline",
     "q88_sequence_packing",
     "q91_multimodal_frames",
+    "q87_streaming_attribution",
 ]
 
 
+def _run_streaming_attribution(spark, sf_dir: str) -> None:
+    """Watermarked stream-stream click-attribution join (q87's streaming
+    variant, tests/test_streaming.py equivalence-proven) drained with
+    availableNow into a memory sink."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.windows import (
+        attribution_join,
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    events = stream_events(spark, sf_dir)
+    joined = attribution_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "click"),
+    )
+    run_stream_to_memory(joined, "bench_attrib", output_mode="append")
+    spark.catalog.dropTempView("bench_attrib")
+
+
 def main() -> None:
+    args = sys.argv[1:]
+    headline_only = "--headline" in args
+    n_runs = 3
+    if "--runs" in args:
+        n_runs = max(2, int(args[args.index("--runs") + 1]))
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
     queries = entrymod.queries()
-    names = [n for n in HEADLINE if n in queries]
+
+    if headline_only:
+        names = [n for n in HEADLINE if n in queries or n == "q87_streaming_attribution"]
+    else:
+        # Full catalog; headline order first so a partial run still covers
+        # the comparison basis, then the rest sorted by name.
+        rest = sorted(n for n in queries if n not in HEADLINE)
+        names = [n for n in HEADLINE if n in queries] + ["q87_streaming_attribution"] + rest
+
     # Warm the JVM/session so per-query numbers measure the plan, not startup.
     spark.range(1).count()
-    # Two runs per query: run 1 pays one-time plan/codegen/footer costs,
-    # run 2 is engine throughput. Headline value = steady-state total;
-    # cold total reported alongside for transparency.
+
     cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        runs = []
-        for _ in range(2):
+        runs: list[float] = []
+        for i in range(1 + n_runs):  # run 0 = cold (plan/codegen), rest timed
             t0 = time.time()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            if name == "q87_streaming_attribution":
+                _run_streaming_attribution(spark, sf_dir)
+            else:
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
         cold[name] = runs[0]
-        warm[name] = min(runs)
+        steady = runs[1:]
+        mins[name] = min(steady)
+        medians[name] = round(statistics.median(steady), 3)
+
+    headline_names = [n for n in HEADLINE if n in mins and n != "q87_streaming_attribution"]
     print(json.dumps({
         "metric": "headline_queries_total",
-        "value": round(sum(warm.values()), 3),
+        # Comparable with BENCH_r01/r02: steady-state total over the same
+        # 21-query headline subset (streaming row excluded, reported
+        # separately since r03 introduces it).
+        "value": round(sum(mins[n] for n in headline_names), 3),
         "unit": "sec",
-        "queries": warm,
+        "queries": mins,
+        "median": medians,
         "sf": float(sf) if sf else None,
-        "mode": "steady-state (min of 2 runs)",
-        "cold_total": round(sum(cold.values()), 3),
+        "mode": f"steady-state (min of {n_runs} runs after 1 cold run)",
+        "n_runs": n_runs,
+        "cold_total": round(sum(cold[n] for n in headline_names), 3),
+        "streaming_attribution_sec": mins.get("q87_streaming_attribution"),
+        "full_catalog": not headline_only,
+        "full_total": round(sum(mins.values()), 3),
     }))
 
 
