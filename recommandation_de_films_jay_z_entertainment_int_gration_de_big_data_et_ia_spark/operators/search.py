@@ -300,6 +300,115 @@ def multi_match_bm25(
     return folded
 
 
+def field_tokens(df: DataFrame, id_col: str, fields: dict[str, float]) -> DataFrame:
+    """Tokenize every search field in ONE corpus scan: a single projection
+    computes all field token arrays, then an inline 2..|fields|-element
+    array explode fans out to one row per (doc, field) — unlike a
+    per-field union, which would scan the file once per field.
+
+    Returns ``(f, __id, __tk, __dl)`` with ``f`` the field ordinal in
+    ``fields`` iteration order.
+    """
+    ft = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(fi).alias("f"), tokens(fld).alias("tk"))
+                for fi, fld in enumerate(fields)
+            ]
+        )
+    )
+    return df.select(F.col(id_col).alias("__id"), ft.alias("__ft")).select(
+        F.col("__ft.f").alias("f"),
+        "__id",
+        F.col("__ft.tk").alias("__tk"),
+        F.size("__ft.tk").alias("__dl"),
+    )
+
+
+def multi_match_bm25_indexed(
+    df: DataFrame,
+    vocab: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    fields: dict[str, float],
+    query_terms: Sequence[str],
+    fuzzy: bool = True,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "score",
+) -> DataFrame:
+    """:func:`multi_match_bm25` against a prebuilt per-field index
+    (``textindex.build_multimatch_index``) — bit-identical scores, ONE
+    corpus scan per query batch instead of two.
+
+    The inline path pays a second corpus pass to derive the fuzzy-
+    expansion vocabulary; here the vocabulary (term → df per field) and
+    corpus stats (n, sumdl per field) come from index tables built once
+    per corpus snapshot and persisted. Query lifecycle:
+
+    1. expand query terms against the broadcast vocabulary (index-only,
+       no corpus access) — every (field, vocab term) within AUTO edit
+       distance of a query term, Lucene-style independent expansion;
+    2. one corpus scan tokenizes all fields (:func:`field_tokens`),
+       broadcast-joins the tiny expansion frame per field, and computes
+       tf per (doc, field, expanded term) with an array filter — no
+       explode shuffle of the corpus tokens at all;
+    3. per-doc totals left-fold in sorted (f, term, contrib) order —
+       the same canonical order as the inline path, so scores (and the
+       DuckDB oracle hash) match bit-for-bit.
+
+    Scale shape: corpus side never shuffles until the final one-shuffle
+    groupBy on id; vocabulary and stats are broadcast; works unchanged
+    when vocab/stats are parquet-backed (the S7 index-DDL replacement,
+    reference ``src/elasticsearch_ingest.py:92-105``).
+    """
+    field_items = list(fields.items())
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.lit(auto_fuzziness(q) if fuzzy else 0).alias("d"),
+            )
+            for q in query_terms
+        ]
+    )
+    exp = (
+        vocab.select("f", "term", "df", F.explode(qarr).alias("qd"))
+        .filter(F.levenshtein(F.col("term"), F.col("qd.q")) <= F.col("qd.d"))
+        .drop("qd")
+    )
+    toked = field_tokens(df, id_col, fields)
+    matched = (
+        toked.join(F.broadcast(exp), "f")
+        .withColumn(
+            "tf", F.size(F.filter(F.col("__tk"), lambda x: x == F.col("term")))
+        )
+        .filter(F.col("tf") > 0)
+        .join(F.broadcast(stats), ["f"])
+    )
+    boost = F.lit(float(field_items[0][1]))
+    for fi in range(1, len(field_items)):
+        boost = F.when(F.col("f") == fi, F.lit(float(field_items[fi][1]))).otherwise(boost)
+    tf = F.col("tf").cast("double")
+    dfreq = F.col("df").cast("double")
+    n = F.col("n").cast("double")
+    avgdl = F.col("sumdl").cast("double") / n
+    idf = F.log((n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)) + F.lit(1.0))
+    denom = tf + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (F.col("__dl").cast("double") / avgdl))
+    contrib = (boost * idf * (tf * F.lit(k1 + 1.0)) / denom).alias("contrib")
+    per_term = matched.select("__id", "f", "term", contrib)
+    return (
+        per_term.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "term", "contrib"))).alias("__cs"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.aggregate("__cs", F.lit(0.0), lambda acc, s: acc + s["contrib"]), 4
+            ).alias(score_col),
+        )
+    )
+
+
 def more_like_this(
     df: DataFrame,
     id_col: str,

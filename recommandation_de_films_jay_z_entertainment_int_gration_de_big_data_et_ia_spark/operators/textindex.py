@@ -41,6 +41,35 @@ def build_docfreq_index(df: DataFrame, text_col: str) -> tuple[DataFrame, DataFr
     return docfreq, totals
 
 
+def build_multimatch_index(
+    df: DataFrame, id_col: str, fields: dict[str, float]
+) -> tuple[DataFrame, DataFrame]:
+    """Per-field index for ``search.multi_match_bm25_indexed``: returns
+
+    - ``vocab(f, term, df)`` — per field ordinal, every distinct term with
+      its document frequency (the fuzzy-expansion vocabulary);
+    - ``stats(f, n, sumdl)`` — per-field doc count and total token length.
+
+    One corpus scan (``search.field_tokens`` single-projection explode);
+    the vocabulary aggregate shuffles on (f, term) once. Both outputs are
+    small, persistable as parquet once per corpus snapshot, and broadcast
+    at query time — the engine's S7 "index DDL" for multi-field search
+    (reference ``src/elasticsearch_ingest.py:92-105``).
+    """
+    from .search import field_tokens
+
+    toked = field_tokens(df, id_col, fields)
+    vocab = (
+        toked.select("f", F.explode(F.array_distinct("__tk")).alias("term"))
+        .groupBy("f", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = toked.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sumdl")
+    )
+    return vocab, stats
+
+
 def bm25_with_index(
     docs: DataFrame,
     docfreq: DataFrame,

@@ -378,3 +378,65 @@ def q96_search_multimatch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", {"source": 3.0, "text": 1.0}, list(_MM_TERMS), fuzzy=True
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# q96's oracle text is reused verbatim for q97: the prebuilt index holds
+# exactly the per-field vocabulary/df and corpus stats the inline path
+# derives, so the indexed scorer must reproduce the same scores
+# bit-for-bit (additionally guarded by
+# tests/test_reference_parity.py::test_multimatch_indexed_matches_inline).
+@register(
+    "q97_search_multimatch_indexed",
+    oracle=f"""
+    WITH d0 AS (SELECT doc_id, {_MM_SRC_TOKS} AS tk FROM documents),
+    d1 AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    e AS (
+      SELECT 0 AS f, doc_id, len(tk) AS dl, unnest(tk) AS term FROM d0
+      UNION ALL
+      SELECT 1 AS f, doc_id, len(tk) AS dl, unnest(tk) AS term FROM d1),
+    stats AS (
+      SELECT 0 AS f, COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM d0
+      UNION ALL
+      SELECT 1 AS f, COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM d1),
+    vocab AS (SELECT f, term, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY f, term),
+    exp AS (
+      SELECT f, term, df FROM vocab WHERE levenshtein(term, 'sprak') <= 1
+      UNION ALL
+      SELECT f, term, df FROM vocab WHERE levenshtein(term, 'window') <= 2),
+    tfs AS (SELECT f, doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY f, doc_id, dl, term),
+    m AS (
+      SELECT t.doc_id, t.f, t.term,
+             (CASE WHEN t.f = 0 THEN 3.0 ELSE 1.0 END)
+             * ln((CAST(s.n AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5)
+                  / (CAST(x.df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE)
+                    / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS contrib
+      FROM tfs t
+        JOIN exp x ON t.f = x.f AND t.term = x.term
+        JOIN stats s ON s.f = t.f),
+    folded AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(contrib ORDER BY f, term, contrib)),
+                         (x, y) -> x + y) AS s
+      FROM m GROUP BY doc_id)
+    SELECT doc_id, ROUND(s, 4) AS score FROM folded
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q97_search_multimatch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q96's /search semantic against the prebuilt per-field index: the
+    query-time plan scans the corpus ONCE (index tables supply the
+    vocabulary and stats the inline path re-derives). Self-contained
+    here — the index is built in the same job; at scale it is written
+    as parquet once per corpus snapshot and the query path is unchanged."""
+    from ..operators.textindex import build_multimatch_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    fields = {"source": 3.0, "text": 1.0}
+    vocab, stats = build_multimatch_index(docs, "doc_id", fields)
+    scored = S.multi_match_bm25_indexed(
+        docs, vocab, stats, "doc_id", fields, list(_MM_TERMS), fuzzy=True
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

@@ -84,6 +84,44 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_multimatch_indexed_single_corpus_scan(spark, sf_dir):
+    """With the per-field index pre-materialized (parquet, as at scale),
+    the q97 query-time plan must scan the corpus exactly ONCE — the whole
+    point of the indexed path vs the inline one (which pays a second
+    corpus pass to derive the fuzzy-expansion vocabulary)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.search import (
+        multi_match_bm25_indexed,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        build_multimatch_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fields = {"source": 3.0, "text": 1.0}
+    vocab, stats = build_multimatch_index(docs, "doc_id", fields)
+    vdir, sdir = os.path.join(TMP, "mm_vocab"), os.path.join(TMP, "mm_stats")
+    for d in (vdir, sdir):
+        shutil.rmtree(d, ignore_errors=True)
+    write_parquet(vocab, vdir)
+    write_parquet(stats, sdir)
+    scored = multi_match_bm25_indexed(
+        docs,
+        spark.read.parquet(vdir),
+        spark.read.parquet(sdir),
+        "doc_id",
+        fields,
+        ["sprak", "window"],
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    corpus_scans = sum(
+        1 for ln in plan.splitlines() if "Scan parquet" in ln and "documents" in ln
+    )
+    assert corpus_scans == 1, f"expected 1 corpus scan, got {corpus_scans}"
+    assert scored.count() > 0
+    for d in (vdir, sdir):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_semi_join_produces_no_duplicates(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")

@@ -128,7 +128,41 @@ def test_multimatch_bm25_reduces_to_bm25_on_single_field(spark, sf_dir):
     base = {r.doc_id: r.score for r in S.bm25_score(docs, "text", terms)
             .select("doc_id", "score").collect()}
     assert mm, "no docs matched — test corpus assumption broken"
+    # tolerance, not equality: the two paths fold float contributions in
+    # different orders (sorted (field,term) vs query-term order), which
+    # can differ at half-ulp rounding boundaries of round(x, 4)
     for doc_id, score in mm.items():
-        assert score == base[doc_id], (doc_id, score, base[doc_id])
+        assert abs(score - base[doc_id]) <= 1e-4, (doc_id, score, base[doc_id])
     # docs absent from mm are exactly the zero-scored ones
     assert all(base[d] == 0.0 for d in set(base) - set(mm))
+
+
+def test_multimatch_indexed_matches_inline(spark, sf_dir):
+    """q97 (prebuilt per-field index) must reproduce q96 (inline stats)
+    bit-for-bit: both paths fold contributions in the same canonical
+    sorted (f, term, contrib) order, so exact equality is required."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        search as S,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        build_multimatch_index,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fields = {"source": 3.0, "text": 1.0}
+    terms = ["sprak", "window"]
+    inline = {
+        r.doc_id: r.score
+        for r in S.multi_match_bm25(docs, "doc_id", fields, terms).collect()
+    }
+    vocab, stats = build_multimatch_index(docs, "doc_id", fields)
+    indexed = {
+        r.doc_id: r.score
+        for r in S.multi_match_bm25_indexed(
+            docs, vocab, stats, "doc_id", fields, terms
+        ).collect()
+    }
+    assert inline and indexed == inline
