@@ -30,7 +30,7 @@ def lookup_title(movies: DataFrame, title_query: str, size: int = 5) -> tuple[st
     """Phrase-match a title; returns (status, frame) where status ∈
     {'none', 'ambiguous', 'unique'} mirroring api.py:95-116's branches."""
     hits = movies.filter(S.phrase_match("title", title_query)).select(
-        "movieId", "title", "genres"
+        "movieId", "title", "release_date", "genres"
     ).orderBy(F.asc("movieId")).limit(size)
     n = hits.count()
     status = "none" if n == 0 else ("unique" if n == 1 else "ambiguous")
@@ -51,7 +51,7 @@ def recommend_by_genre_overlap(
     )
     return (
         movies.filter(pred)
-        .select("movieId", "title", "genres", overlap.alias("score"))
+        .select("movieId", "title", "release_date", "genres", overlap.alias("score"))
         .orderBy(F.desc("score"), F.asc("movieId"))
         .limit(k)
     )
@@ -67,11 +67,24 @@ def recommend_by_title_keywords(
     score = S.keyword_match_count(toks, words, min_len=min_len)
     return (
         movies.filter(S.term("movieId", movie_id) == F.lit(False))  # must_not self
-        .select("movieId", "title", score.alias("score"))
+        .select("movieId", "title", "release_date", "genres", score.alias("score"))
         .filter(F.col("score") >= 1)
         .orderBy(F.desc("score"), F.asc("movieId"))
         .limit(k)
     )
+
+
+def search_hits(movies: DataFrame, query: str) -> DataFrame:
+    """All docs matching the ``GET /search`` fuzzy multi_match (title^3,
+    genres^1, AUTO fuzziness), score > 0, before pagination — the frame
+    behind both the page window and the ``hits.total.value`` count."""
+    terms = [t for t in query.lower().split() if t]
+    return S.multi_match_score(
+        movies.withColumn("genres_text", F.concat_ws(" ", "genres")),
+        {"title": 3.0, "genres_text": 1.0},
+        terms,
+        fuzzy=True,
+    ).filter(F.col("score") > 0)
 
 
 def search_movies(
@@ -79,13 +92,7 @@ def search_movies(
 ) -> DataFrame:
     """Fuzzy multi_match (title^3, genres^1, AUTO fuzziness) + pagination
     clamps (page ≥ 1, size 1..100)."""
-    terms = [t for t in query.lower().split() if t]
-    scored = S.multi_match_score(
-        movies.withColumn("genres_text", F.concat_ws(" ", "genres")),
-        {"title": 3.0, "genres_text": 1.0},
-        terms,
-        fuzzy=True,
-    ).filter(F.col("score") > 0)
+    scored = search_hits(movies, query)
     page = max(1, page)
     size = min(max(1, size), 100)
     lo = (page - 1) * size
@@ -93,5 +100,5 @@ def search_movies(
         scored.orderBy(F.desc("score"), F.asc("movieId"))
         .offset(lo)
         .limit(size)
-        .select("movieId", "title", "score")
+        .select("movieId", "title", "release_date", "genres", "score")
     )
