@@ -30,7 +30,13 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the normalized text (array<string>, no empties)."""
+    """Whitespace tokens of the normalized text (array<string>).
+
+    NB: an empty/punctuation-only input normalizes to '' and splits to
+    [''] — one empty token, not an empty array (so such rows contribute
+    dl=1 and '' to BM25 vocabularies). The DuckDB oracle's
+    regexp_split_to_array does the same, so parity holds; do not filter
+    one side without the other."""
     return F.split(normalize_text(col), r" +")
 
 

@@ -279,11 +279,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if changed == 0:
             break
         if max_iterations is not None and iteration >= max_iterations:
+            # changed > 0 on the final allowed iteration does not prove
+            # divergence: the last propagation may have been the final one
+            # needed (the next round would show changed == 0) — so say
+            # "unconfirmed", not "NOT converged"
             warnings.warn(
                 f"dedup_clusters: stopped after max_iterations={max_iterations} "
-                f"with {changed} labels still changing; cluster ids are NOT "
-                "converged (some components are split). Raise max_iterations "
-                "or pass None to run to convergence.",
+                f"with {changed} labels changed on the last iteration; "
+                "convergence is UNCONFIRMED (components may be split). Raise "
+                "max_iterations or pass None to run to convergence.",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -104,4 +104,4 @@ def test_dedup_clusters_warns_on_exhausted_budget(spark):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         D.dedup_clusters(chain, max_iterations=3).collect()
-    assert any("NOT" in str(x.message) for x in w)
+    assert any("UNCONFIRMED" in str(x.message) for x in w)

@@ -160,6 +160,36 @@ def test_ann_multi_table_improves_recall(spark, sf_dir):
     assert r4 > 0
 
 
+def test_ivf_recall_floor_and_monotonicity(spark, sf_dir):
+    """IVF's partial-probe recall contract (the LSH path has had this
+    since round 1; q82/q83's cell-audit oracles don't cover it): at
+    nlist=8, recall@10 vs brute force must clear a floor at the default
+    nprobe=2, and more probes can only help. Deterministic — centroids
+    and data are fixed, measured 0.913/0.925/0.938 for nprobe 1/2/3."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+
+    def recall(nprobe: int) -> float:
+        total = 0.0
+        for t in range(8):
+            exact = {r.vec_id for r in SIM.cosine_topk(emb, "vec_id", "embedding", t, k=10).collect()}
+            ann = {
+                r.vec_id
+                for r in SIM.cosine_topk_ivf(
+                    emb, "vec_id", "embedding", t, k=10, nlist=8, nprobe=nprobe
+                ).collect()
+            }
+            total += len(exact & ann) / 10
+        return total / 8
+
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    assert r2 >= 0.8, f"IVF recall@10 floor broken: {r2}"
+    assert r1 <= r2 <= r3  # probing more cells never loses candidates
+
+
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     """nprobe == nlist scans every cell, so the IVF path must return
     exactly the brute-force top-k (same ids, same scores)."""

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
@@ -67,6 +68,57 @@ def test_als_heldout_rmse_below_slack(spark, sf_dir):
     assert math.isfinite(row.rmse) and row.rmse < 2.0 * row.sd
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference/data/u.data"),
+    reason="reference data not present",
+)
+def test_als_at_reference_config(spark):
+    """The exact reference workload — maxIter=10, regParam=0.01, rank=10
+    (/root/reference/src/model.py:10-11; rank is the ALS default there)
+    on the data it was tuned for, the real MovieLens-100k 1–5 star
+    ratings — must satisfy the trimmed harness config's behavioral
+    contract: k rows per user, finite predictions, held-out RMSE below
+    slack. (The synthetic implicit-quantity fixture is NOT suitable
+    here: this low-regularization config overfits it.)"""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark import (
+        pipelines,
+    )
+
+    processed = pipelines.preprocess(
+        spark, "/root/reference/data/u.data", "/root/reference/data/u.item"
+    )
+    ratings = processed.select(
+        F.col("userId").alias("user"),
+        F.col("movieId").alias("item"),
+        F.col("rating").cast("float").alias("rating"),
+    ).cache()
+    model = REC.train_als(
+        ratings, "user", "item", "rating", rank=10, max_iter=10, reg_param=0.01, seed=42
+    )
+    recs = REC.als_recommendations(model, k=K)
+    rows = recs.collect()
+    per_user = {}
+    for r in rows:
+        per_user[r.user] = per_user.get(r.user, 0) + 1
+        assert math.isfinite(r.predicted_rating)
+    assert len(per_user) == 943 and all(n == K for n in per_user.values())
+    train, test = ratings.randomSplit([0.8, 0.2], seed=7)
+    m2 = REC.train_als(
+        train, "user", "item", "rating", rank=10, max_iter=10, reg_param=0.01, seed=42
+    )
+    pred = m2.transform(test).filter(F.col("prediction").isNotNull())
+    row = pred.agg(
+        F.sqrt(F.avg((F.col("rating") - F.col("prediction")) ** 2)).alias("rmse"),
+        F.stddev("rating").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    ratings.unpersist()
+    assert row.n > 0 and math.isfinite(row.rmse)
+    # MovieLens sd ≈ 1.13; a sane factorization lands well under 1*sd
+    assert row.rmse < row.sd
+
+
 def _toy_interactions(spark):
     # 4 users, items 1..10 with popularity = 11 - item (item 1 most popular)
     rows = []
@@ -85,6 +137,45 @@ def test_popular_unseen_bound_truncates_candidates(spark):
     # user 999 saw nothing: gets the global top-3 by (popularity desc, item asc)
     top999 = [(r.item, r.rec_rank) for r in bounded.filter("cust = 999").collect()]
     assert sorted(top999, key=lambda t: t[1]) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_q51_cohort_within_bound_and_exact(spark):
+    """q51 inherits popular_unseen's default max_seen_per_user=1000 while
+    its oracle computes the exact untruncated result — the match rests on
+    the data property that every cohort user saw <= 1000 distinct items.
+    Check that property holds at the oracle scale AND that the bounded
+    result equals the exact one there, so fixture drift can't silently
+    break the q51 oracle."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"  # the driver's correctness scale
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    inter = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item")
+    )
+    users = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 20)
+        .select(F.col("c_custkey").alias("cust"))
+    )
+    max_seen = (
+        inter.join(users, "cust")
+        .groupBy("cust")
+        .agg(F.countDistinct("item").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert max_seen is not None and max_seen <= 1000, (
+        f"q51 exactness precondition broken: a cohort user saw {max_seen} "
+        "distinct items (> bound 1000); raise the bound in q51 or mirror "
+        "the truncation in its oracle"
+    )
+    bounded = REC.popular_unseen(inter, "cust", "item", users, k=3)  # default bound
+    exact = REC.popular_unseen(inter, "cust", "item", users, k=3, max_seen_per_user=None)
+    assert sorted(map(tuple, bounded.collect())) == sorted(map(tuple, exact.collect()))
 
 
 def test_popular_unseen_bound_is_a_distributed_partial_topk(spark):
