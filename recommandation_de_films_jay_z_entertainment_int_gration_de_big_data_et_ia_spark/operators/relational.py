@@ -212,6 +212,69 @@ def salted_join(
     return salted_left.join(replicated_right, cond, how).drop("__salt")
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join (backward): for each left row, attach the single most
+    recent right row of the same key with ``right.ts <= left.ts``.
+
+    Spark has no ASOF operator (an inequality join compiles to
+    BroadcastNestedLoopJoin, and a bucketed range join needs a bounded
+    lookback); the scale-correct shape is JOIN-FREE: union-tag both
+    sides, then a running ``last(right_payload, ignorenulls=True)`` over
+    a (key, ts)-ordered window. Cost at any scale: one shuffle on the
+    key + a per-key sort — no row-pair explosion, unbounded lookback,
+    skew no worse than the key's own row count.
+
+    Determinism: right rows are pre-reduced to one per (key, ts) by the
+    lexicographic max of their payload struct; at equal timestamps the
+    right row sorts before the left row, so a left row at ts T matches a
+    right row at exactly T (``>=`` semantics, DuckDB ``ASOF JOIN``
+    compatible).
+
+    Returns ``left.* + <right ts as "{ts}_matched"> + right payload``.
+    ``how='inner'`` drops left rows with no prior right row;
+    ``'left'`` keeps them with nulls.
+    """
+    lcols = [c for c in left.columns if c != on]
+    rcols = [c for c in right.columns if c not in (on, ts)]
+    rpay_t = F.struct(F.col(ts).alias(f"{ts}_matched"), *rcols)
+    rpay = right.groupBy(on, ts).agg(F.max(rpay_t).alias("__rpay"))
+    rtype = rpay.schema["__rpay"].dataType
+    lf = left.select(
+        F.col(on),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.struct(*lcols).alias("__lpay"),
+        F.lit(None).cast(rtype).alias("__rpay"),
+    )
+    ltype = lf.schema["__lpay"].dataType
+    rf = rpay.select(
+        F.col(on),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(ltype).alias("__lpay"),
+        "__rpay",
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        lf.unionByName(rf)
+        .withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+    )
+    if how == "inner":
+        filled = filled.filter(F.col("__m").isNotNull())
+    return filled.select(on, "__lpay.*", "__m.*")
+
+
 def range_join_bucketed(
     events: DataFrame,
     ts_col: str,

@@ -208,3 +208,47 @@ def q87_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — as-of join (backward): each click attributed to the single most
+# recent prior view by the same user, with UNBOUNDED lookback (q87's
+# interval join needs a 30-min bound to stay bucketable; the as-of shape
+# doesn't). The operator is join-free — union-tag + running last() over a
+# (user, ts) window, one shuffle — and the oracle is DuckDB's native
+# ASOF JOIN. Ties: views are pre-reduced to max(view_id) per (user, ts),
+# and a click at ts T matches a view at exactly T (>= semantics), both
+# mirrored in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q98_asof_join",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, MAX(event_id) AS view_id
+               FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    c AS (SELECT user_id, ts, event_id AS click_id
+          FROM events WHERE event_type = 'click')
+    SELECT c.click_id, c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+           v.view_id,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts_s
+    FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q98_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join_backward(clicks, views, on="user_id", ts="ts")
+    return j.select(
+        "click_id",
+        "user_id",
+        F.col("ts").cast("long").alias("click_ts_s"),
+        "view_id",
+        F.col("ts_matched").cast("long").alias("view_ts_s"),
+    )

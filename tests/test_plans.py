@@ -84,6 +84,46 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_asof_join_is_join_free(spark, sf_dir):
+    """The as-of operator must compile to union + window (one shuffle on
+    the key), never to any join — a bare inequality join would be
+    BroadcastNestedLoopJoin, the O(n*m) cliff."""
+    plan = _plan(QUERIES["q98_asof_join"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_asof_join_equals_naive_inequality_max(spark, sf_dir):
+    """Reference semantics: per click, the max-(ts, view_id) view among
+    all views with view.ts <= click.ts for the same user — computed the
+    quadratic way and compared exactly."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.relational import (
+        asof_join_backward,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    got = {
+        (r.click_id, r.view_id, r.ts_matched)
+        for r in asof_join_backward(clicks, views, on="user_id", ts="ts").collect()
+    }
+    v = views.select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts"), "view_id"
+    )
+    naive = (
+        clicks.join(v, (F.col("user_id") == F.col("vu")) & (F.col("vts") <= F.col("ts")))
+        .groupBy("click_id")
+        .agg(F.max(F.struct(F.col("vts"), F.col("view_id"))).alias("m"))
+    )
+    want = {(r.click_id, r.m.view_id, r.m.vts) for r in naive.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_multimatch_indexed_single_corpus_scan(spark, sf_dir):
     """With the per-field index pre-materialized (parquet, as at scale),
     the q97 query-time plan must scan the corpus exactly ONCE — the whole
