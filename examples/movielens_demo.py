@@ -7,9 +7,9 @@ Reference equivalents exercised:
   spark-submit preprocessing.py        → pipelines.preprocess
   spark-submit elasticsearch_ingest.py → pipelines.build_movie_index (+ JSONL sink)
   spark-submit model.py               → pipelines.train_recommendations
-  POST /recommend                      → movierec.lookup_title + recommend_by_genre_overlap
-  GET  /search?q=...                   → movierec.search_movies
-  GET  /movie/<id>                     → term filter
+  POST /recommend                      → serving.recommend_endpoint
+  GET  /search?q=...                   → serving.search_endpoint
+  GET  /movie/<id>                     → serving.movie_endpoint
 
 Usage: python examples/movielens_demo.py [data_dir]  (default /root/reference/data)
 """
@@ -23,8 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark import pipelines
-from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import movierec
+import json
+
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark import pipelines, serving
 from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.session import get_spark
 
 
@@ -40,17 +41,17 @@ def main() -> None:
     index = pipelines.build_movie_index(spark, f"{data}/u.item").cache()
     index.orderBy("movieId").show(3, truncate=60)
 
-    print("== /recommend 'Toy Story' ==")
-    status, hits = movierec.lookup_title(index, "Toy Story")
-    print("lookup status:", status)
-    hit = hits.first()
-    movierec.recommend_by_genre_overlap(index, hit.movieId, list(hit.genres), k=5).show(truncate=50)
+    print("== POST /recommend {'title': 'Toy Story'} ==")
+    code, body = serving.recommend_endpoint(index, {"title": "Toy Story"})
+    print(code, json.dumps(body, indent=1)[:600])
 
-    print("== /search 'stor wars' (fuzzy, page 1) ==")
-    movierec.search_movies(index, "stor wars", page=1, size=5).show(truncate=50)
+    print("== GET /search?q=stor+wars&page=1&size=5 ==")
+    code, body = serving.search_endpoint(index, {"q": "stor wars", "page": 1, "size": 5})
+    print(code, json.dumps(body, indent=1)[:600])
 
-    print("== /movie/50 ==")
-    index.filter(F.col("movieId") == 50).show(truncate=60)
+    print("== GET /movie/50 ==")
+    code, body = serving.movie_endpoint(index, 50)
+    print(code, json.dumps(body))
 
     print("== ALS top-10/user (seeded) ==")
     recs = pipelines.train_recommendations(spark, processed, k=10)
