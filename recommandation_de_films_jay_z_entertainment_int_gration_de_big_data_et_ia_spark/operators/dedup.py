@@ -139,6 +139,70 @@ def jaccard_verify(
     return joined.select("id_a", "id_b", jac).filter(F.col(score_col) >= threshold)
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = 200,
+) -> DataFrame:
+    """Admit the ``batch`` docs that duplicate nothing in ``corpus`` —
+    the incremental-ingest shape (daily crawl vs historical corpus),
+    which re-running the self-dedup pipeline over corpus+batch would
+    solve at O(|corpus|) per increment instead of O(|batch|).
+
+    Two gates, both cross-frame only (batch-internal dups are the
+    self-dedup pipeline's job):
+
+    1. **exact** — anti-join on the normalized-content hash;
+    2. **near** — batch band keys joined to corpus band keys
+       (:func:`minhash_bands` both sides), candidates verified by exact
+       n-gram Jaccard ≥ ``threshold``; any verified hit rejects the
+       batch doc.
+
+    Scale shape: the corpus side of both gates is exactly the
+    persistable index state — the content-hash set and the (id, band,
+    key) band frame — so a production increment recomputes signatures
+    for the BATCH only and equi-joins against stored index tables; this
+    function recomputes them inline for self-containedness, same plan
+    from the join down. ``max_bucket`` caps the CORPUS bucket size (the
+    candidate fan-out side): a band key shared by thousands of corpus
+    docs carries no blocking signal but multiplies candidates; the cap
+    is part of the spec and mirrored in the oracle.
+
+    Returns the admitted ``(id_col)`` rows.
+    """
+    bh = batch.select(F.col(id_col), md5_hex(normalize_text(text_col)).alias("__h"))
+    ch = corpus.select(md5_hex(normalize_text(text_col)).alias("__h")).distinct()
+    exact_ok = bh.join(ch, "__h", "left_anti").select(id_col)
+
+    survivors = batch.join(exact_ok, id_col, "left_semi")
+    bsh = doc_shingles(survivors, id_col, text_col, n)
+    csh = doc_shingles(corpus, id_col, text_col, n)
+    bb = minhash_bands(bsh, id_col, num_hashes=num_hashes, bands=bands)
+    cb = minhash_bands(csh, id_col, num_hashes=num_hashes, bands=bands)
+    if max_bucket is not None:
+        small = (
+            cb.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "key")
+        )
+        cb = cb.join(small, ["band", "key"], "left_semi")
+    cand = (
+        bb.join(cb.select("band", "key", F.col(id_col).alias("__cid")), ["band", "key"])
+        .select(F.col(id_col).alias("id_a"), F.col("__cid").alias("id_b"))
+        .distinct()
+    )
+    near = jaccard_verify(cand, bsh.unionAll(csh), id_col, threshold=threshold)
+    rejected = near.select(F.col("id_a").alias(id_col)).distinct()
+    return exact_ok.join(rejected, id_col, "left_anti")
+
+
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str,
     n: int = 3, num_hashes: int = 8, bands: int = 4, threshold: float = 0.0,

@@ -284,3 +284,50 @@ def q90_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — incremental dedup: admit the new-batch docs (doc_id % 4 == 0)
+# that duplicate nothing in the standing corpus (doc_id % 4 != 0) —
+# exact content-hash gate, then LSH-candidate + Jaccard >= 0.5 verify
+# against the corpus only. The corpus side of both gates is the
+# persistable index state (hash set + band frame): a production
+# increment recomputes signatures for the batch only.
+# ---------------------------------------------------------------------------
+@register(
+    "q99_dedup_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    bh AS (SELECT doc_id, md5({NORM_SQL}) AS h FROM documents WHERE doc_id % 4 = 0),
+    ch AS (SELECT DISTINCT md5({NORM_SQL}) AS h FROM documents WHERE doc_id % 4 != 0),
+    exact_ok AS (SELECT doc_id FROM bh WHERE h NOT IN (SELECT h FROM ch)),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM s),
+    bands AS ({_BANDS_UNION}),
+    bb AS (SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM exact_ok)),
+    cbraw AS (SELECT * FROM bands WHERE doc_id % 4 != 0),
+    cb AS (
+      SELECT cbraw.* FROM cbraw
+      JOIN (SELECT band, key FROM cbraw GROUP BY band, key
+            HAVING COUNT(*) <= {MAX_BUCKET}) g
+        ON cbraw.band = g.band AND cbraw.key = g.key),
+    cand AS (
+      SELECT DISTINCT bb.doc_id AS id_a, cb.doc_id AS id_b
+      FROM bb JOIN cb ON bb.band = cb.band AND bb.key = cb.key),
+    near AS (
+      SELECT DISTINCT id_a FROM cand
+      JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) >= 0.5)
+    SELECT doc_id FROM exact_ok WHERE doc_id NOT IN (SELECT id_a FROM near)
+    """,
+)
+def q99_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return D.incremental_dedup(
+        batch, corpus, "doc_id", "text",
+        n=3, num_hashes=NUM_HASHES, bands=BANDS,
+        threshold=0.5, max_bucket=MAX_BUCKET,
+    )

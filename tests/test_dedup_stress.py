@@ -105,3 +105,24 @@ def test_dedup_clusters_warns_on_exhausted_budget(spark):
         warnings.simplefilter("always")
         D.dedup_clusters(chain, max_iterations=3).collect()
     assert any("UNCONFIRMED" in str(x.message) for x in w)
+
+
+def test_incremental_dedup_gates(spark):
+    """Synthetic check of both gates: an exact copy of a corpus doc and a
+    near-copy (one word changed in a long boilerplate text) must be
+    rejected; a novel doc must be admitted."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    near = base.replace("river", "ocean", 1)
+    batch = spark.createDataFrame(
+        [(100, base), (101, near), (102, "a genuinely novel document with fresh content entirely")],
+        "doc_id long, text string",
+    )
+    admitted = {
+        r.doc_id
+        for r in D.incremental_dedup(batch, corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert admitted == {102}
