@@ -185,6 +185,32 @@ def paginate(df: DataFrame, order: list[Column], page: int, size: int,
     return df.orderBy(*order).offset(lo).limit(size)
 
 
+def keyset_page(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    size: int,
+    after: tuple | None = None,
+) -> DataFrame:
+    """Keyset ("search_after") pagination over a (score DESC, id ASC)
+    ranking: the page strictly after cursor ``after = (score, id)``.
+
+    The scale-correct alternative to offset pagination (ES caps from+size
+    at 10k for the same reason): offset materializes and discards
+    ``offset`` rows every page — O(offset + size) deepening per page —
+    while the keyset predicate filters before the top-k, so every page
+    costs one TakeOrderedAndProject over the filtered remainder and the
+    predicate is pushdown-eligible. ``after=None`` returns page 1.
+    """
+    if after is not None:
+        last_score, last_id = after
+        df = df.filter(
+            (F.col(score_col) < F.lit(last_score))
+            | ((F.col(score_col) == F.lit(last_score)) & (F.col(id_col) > F.lit(last_id)))
+        )
+    return df.orderBy(F.desc(score_col), F.asc(id_col)).limit(size)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -440,3 +440,57 @@ def q97_search_multimatch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         docs, vocab, stats, "doc_id", fields, list(_MM_TERMS), fuzzy=True
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# q100 — keyset ("search_after") pagination: page 2 of the q26 BM25
+# ranking via a cursor, not an offset. ES caps from+size at 10k because
+# offset pagination materializes and discards `from` rows per page;
+# the keyset predicate filters BEFORE the top-k (pushdown-eligible), so
+# page depth never raises the cost. The cursor (last (score, doc_id) of
+# page 1) is computed declaratively here; a serving layer passes it as
+# a literal to operators.relational.keyset_page.
+# ---------------------------------------------------------------------------
+_BM25_SCORED_CTE = f"""
+    WITH dd AS (SELECT doc_id, {TOKS_SQL} AS toks, len({TOKS_SQL}) AS dl FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {', '.join(f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM dd),
+    scored AS (
+      SELECT doc_id,
+             ROUND(({' + '.join(_bm25_term_sql(t, i) for i, t in enumerate(_BM25_TERMS))}) * 1.0, 4) AS score
+      FROM dd CROSS JOIN stats),
+    p1 AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10),
+    cur AS (SELECT score AS cs, doc_id AS cid FROM p1 ORDER BY score ASC, doc_id DESC LIMIT 1)
+"""
+
+
+@register(
+    "q100_keyset_pagination",
+    oracle=f"""
+    {_BM25_SCORED_CTE}
+    SELECT doc_id, score FROM scored, cur
+    WHERE score < cs OR (score = cs AND doc_id > cid)
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q100_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = S.bm25_score(docs, "text", list(_BM25_TERMS)).select("doc_id", "score")
+    page1 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    cursor = (
+        page1.orderBy(F.asc("score"), F.desc("doc_id"))
+        .limit(1)
+        .select(F.col("score").alias("__cs"), F.col("doc_id").alias("__cid"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("score") < F.col("__cs"))
+            | ((F.col("score") == F.col("__cs")) & (F.col("doc_id") > F.col("__cid")))
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

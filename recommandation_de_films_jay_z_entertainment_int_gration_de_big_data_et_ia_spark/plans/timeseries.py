@@ -252,3 +252,43 @@ def q98_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.col("ts_matched").cast("long").alias("view_ts_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — retention cohort matrix: users bucketed by first-seen week,
+# counted in each subsequent week they were active. Week buckets are
+# epoch arithmetic (floor(epoch / 604800)), NOT date_trunc('week') —
+# calendar truncation is session-timezone-dependent in Spark (LTZ) and
+# would break oracle parity on a non-UTC vanilla driver session.
+# Shape: distinct (one shuffle), first-seen agg (one shuffle on user),
+# join on user, final agg — no window, no per-user state.
+# ---------------------------------------------------------------------------
+@register(
+    "q101_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+      FROM events),
+    firstseen AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id)
+    SELECT cohort * 604800 AS cohort_week_s,
+           a.wk - f.cohort AS week_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN firstseen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q101_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.floor(F.col("ts").cast("long") / 604800).cast("long").alias("wk")
+    ).distinct()
+    firstseen = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        act.join(firstseen, "user_id")
+        .groupBy(
+            (F.col("cohort") * 604800).alias("cohort_week_s"),
+            (F.col("wk") - F.col("cohort")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -262,3 +262,31 @@ def test_multimodal_resize_and_frames_plumbing(spark, sf_dir):
     assert len(per_doc) == 50 and all(n >= 1 for n in per_doc.values())
     idxs = [r.frame_idx for r in fr.filter(F.col("doc_id") == min(per_doc)).collect()]
     assert idxs == sorted(idxs) and all(i % 24 == 0 for i in idxs)
+
+
+def test_keyset_pagination_equals_offset_pagination(spark, sf_dir):
+    """Keyset page k (cursor = last row of page k-1, as a serving layer
+    would pass it) must equal offset page k exactly, page by page."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators import (
+        search as S,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.relational import (
+        keyset_page,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = S.bm25_score(docs, "text", ["spark", "join", "window"]).select(
+        "doc_id", "score"
+    ).cache()
+    ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    after = None
+    for page in range(3):
+        via_offset = ranked.offset(page * 10).limit(10).collect()
+        via_keyset = keyset_page(scored, "score", "doc_id", 10, after=after).collect()
+        assert [(r.doc_id, r.score) for r in via_keyset] == [
+            (r.doc_id, r.score) for r in via_offset
+        ]
+        assert via_keyset, f"page {page} unexpectedly empty"
+        last = via_keyset[-1]
+        after = (last.score, last.doc_id)
+    scored.unpersist()
