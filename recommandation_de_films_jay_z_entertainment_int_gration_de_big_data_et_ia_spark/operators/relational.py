@@ -211,6 +211,54 @@ def keyset_page(
     return df.orderBy(F.desc(score_col), F.asc(id_col)).limit(size)
 
 
+END_OF_TIME_S = 253_402_300_800  # 9999-01-01 UTC, the SCD2 open-end marker
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+    end_of_time: int = END_OF_TIME_S,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change stream:
+    per key, collapse consecutive identical ``attr_col`` values and emit
+    versioned rows ``(key, attr, valid_from_s, valid_to_s, version)``.
+
+    ``valid_to_s`` of the open (current) version is ``end_of_time``, the
+    standard SCD2 high-date, rather than null — closed-open intervals
+    stay filterable with plain range predicates (`valid_from <= t <
+    valid_to` finds the version active at t) and engines agree on the
+    type. ``tiebreak_col`` (a unique id) makes ordering total, so
+    same-timestamp changes version deterministically.
+
+    Scale shape: one shuffle on the key; both windows share the
+    (key, ts, tiebreak) sort. This is the relational core of a
+    MERGE-style upsert pipeline without a table format: at 100 TB the
+    same expression runs per partition-pruned key range.
+    """
+    o = df.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).withColumn("__prev", F.lag(attr_col).over(
+        Window.partitionBy(key_col).orderBy("__t", "__tb")
+    ))
+    chg = o.filter(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
+    w2 = Window.partitionBy(key_col).orderBy("__t", "__tb")
+    return chg.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("__t").alias("valid_from_s"),
+        F.coalesce(
+            F.lead("__t").over(w2), F.lit(end_of_time).cast("long")
+        ).alias("valid_to_s"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -292,3 +292,35 @@ def q101_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — SCD2 history: per user, collapse consecutive identical
+# event_types into versioned validity intervals (valid_from <= t <
+# valid_to; the open version ends at the standard year-9999 high-date,
+# not NULL, so intervals stay range-filterable and engines agree on the
+# column type). Both sides order by (floored epoch, event_id) — a total
+# order — so same-second changes version deterministically.
+# ---------------------------------------------------------------------------
+@register(
+    "q102_scd2_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+      FROM events),
+    chg AS (SELECT user_id, event_type, t, event_id FROM o
+            WHERE prev IS NULL OR event_type != prev)
+    SELECT user_id, event_type, t AS valid_from_s,
+           COALESCE(LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+                    253402300800) AS valid_to_s,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS version
+    FROM chg
+    """,
+)
+def q102_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "ts", "event_type", "event_id")

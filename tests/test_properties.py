@@ -290,3 +290,30 @@ def test_keyset_pagination_equals_offset_pagination(spark, sf_dir):
         last = via_keyset[-1]
         after = (last.score, last.doc_id)
     scored.unpersist()
+
+
+def test_scd2_versions_tile_the_timeline(spark, sf_dir):
+    """Per key: versions are dense (1..n), intervals are contiguous
+    (valid_to == next valid_from), and the last version is open-ended at
+    the SCD2 high-date."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.relational import (
+        END_OF_TIME_S,
+        scd2_history,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+    rows = sorted(
+        ((r.user_id, r.version, r.valid_from_s, r.valid_to_s, r.event_type)
+         for r in hist.collect())
+    )
+    assert rows
+    by_user: dict = {}
+    for u, v, f, t, a in rows:
+        by_user.setdefault(u, []).append((v, f, t, a))
+    for u, versions in by_user.items():
+        assert [v for v, *_ in versions] == list(range(1, len(versions) + 1))
+        for (v1, f1, t1, a1), (v2, f2, t2, a2) in zip(versions, versions[1:]):
+            assert t1 == f2, (u, v1)          # contiguous tiling
+            assert a1 != a2, (u, v1)          # consecutive dup collapsed
+        assert versions[-1][2] == END_OF_TIME_S
