@@ -151,9 +151,10 @@ def incremental_dedup(
     max_bucket: int | None = 200,
 ) -> DataFrame:
     """Admit the ``batch`` docs that duplicate nothing in ``corpus`` —
-    the incremental-ingest shape (daily crawl vs historical corpus),
-    which re-running the self-dedup pipeline over corpus+batch would
-    solve at O(|corpus|) per increment instead of O(|batch|).
+    the incremental-ingest shape (daily crawl vs historical corpus).
+    Re-running the self-dedup pipeline over corpus+batch would cost
+    O(|corpus| + |batch|) per increment; with the corpus index persisted
+    this costs O(|batch|).
 
     Two gates, both cross-frame only (batch-internal dups are the
     self-dedup pipeline's job):
