@@ -577,3 +577,101 @@ def q95_packed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — PII scrub: redact emails and URLs, report counts + a fingerprint
+# of the scrubbed text. Patterns are restricted to syntax Java regex and
+# RE2 share (no lookaround), so both engines transform identically. The
+# synthetic corpus carries no PII, so deterministic emails are injected
+# for every third doc first — the scrub is then provably exercised (the
+# oracle injects the same ones).
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+@register(
+    "q103_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  ELSE text END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_URL_RE}', '<URL>', 'g')) AS scrubbed_fp
+    FROM aug
+    """,
+)
+def q103_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(t, '{_EMAIL_RE}', 0)")).cast("bigint").alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(t, '{_URL_RE}', 0)")).cast("bigint").alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — overlapping chunking: split each document into <=64-token chunks
+# with 16-token overlap (training-data chunker). Chunk starts step by
+# chunk-overlap while <= max(n_tokens - overlap, 1), so every token is
+# covered, the tail chunk may be short, and a doc shorter than one chunk
+# yields exactly one chunk. Chunk text is fingerprinted (md5) so the
+# compare stays small. All array math — one scan, no shuffle, no UDF.
+# ---------------------------------------------------------------------------
+_CHUNK, _OVERLAP = 64, 16
+
+
+@register(
+    "q104_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    st AS (SELECT doc_id, tk,
+                  range(1, greatest(len(tk) - {_OVERLAP}, 1) + 1, {_CHUNK - _OVERLAP}) AS starts
+           FROM t),
+    e AS (SELECT doc_id, tk, u.s AS s FROM st, UNNEST(starts) AS u(s))
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK - _OVERLAP} AS BIGINT) AS chunk_idx,
+           CAST(len(tk[s:s+{_CHUNK}-1]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(tk[s:s+{_CHUNK}-1], ' ')) AS chunk_fp
+    FROM e
+    """,
+)
+def q104_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    step = _CHUNK - _OVERLAP
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("tk") - F.lit(_OVERLAP), F.lit(1)), F.lit(step)
+    )
+    ex = docs.select("doc_id", "tk", F.posexplode(starts).alias("chunk_idx", "s"))
+    chunk = F.slice("tk", F.col("s"), _CHUNK)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )

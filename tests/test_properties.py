@@ -317,3 +317,33 @@ def test_scd2_versions_tile_the_timeline(spark, sf_dir):
             assert t1 == f2, (u, v1)          # contiguous tiling
             assert a1 != a2, (u, v1)          # consecutive dup collapsed
         assert versions[-1][2] == END_OF_TIME_S
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark, sf_dir):
+    """Every chunk holds <= 64 tokens; per doc, chunk starts step by 48
+    so consecutive chunks overlap by 16 and the union of chunks covers
+    every token (last start + chunk length reaches n_tokens)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.functions.text import (
+        tokens as _tokens,
+    )
+
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["q104_chunking"]
+    chunks = q(spark, sf_dir).collect()
+    assert chunks and all(1 <= r.n_chunk_tokens <= 64 for r in chunks)
+    n_tok = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_tokens("text")).alias("n"))
+        .collect()
+    }
+    per_doc: dict = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_chunk_tokens))
+    for doc_id, cs in per_doc.items():
+        cs.sort()
+        assert [i for i, _ in cs] == list(range(len(cs)))
+        last_start = 1 + 48 * (len(cs) - 1)
+        covered = last_start - 1 + cs[-1][1]
+        assert covered == n_tok[doc_id], (doc_id, covered, n_tok[doc_id])
