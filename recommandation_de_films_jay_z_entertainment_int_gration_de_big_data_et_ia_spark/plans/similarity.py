@@ -8,10 +8,15 @@ IEEE sqrt/divide with identical parenthesization — bit-identical scores.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import similarity as SIM
+from ..operators.similarity import cosine
 from ..sources.readers import load_table
 from .catalog import register
+from .search import _BM25_TERMS as _HY_TERMS
+from .search import _bm25_term_sql as _hy_term_sql
+from .search import TOKS_SQL as _HY_TOKS
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -194,3 +199,84 @@ def q85_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh_batch(
         emb, "vec_id", "embedding", target_ids=[0, 1, 2, 3, 4], k=3, planes=4, tables=2
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — hybrid retrieval with reciprocal-rank fusion: BM25 top-100 and
+# embedding-cosine top-100 (vs doc 0's vector; doc_id == vec_id in the
+# fixture) fused by RRF(k0=60) = sum over lists of 1/(k0 + rank). The
+# standard lexical+dense fusion — rank-based, so no cross-list score
+# normalization. Scale shape: each list is a TakeOrderedAndProject
+# top-k; ranks and the fusion join touch only the 100-row lists (a
+# full-corpus global-rank window would be the single-partition
+# anti-pattern). Absent-from-list contributes 0 (truncated-list RRF).
+# ---------------------------------------------------------------------------
+_RRF_K0, _RRF_DEPTH = 60, 100
+
+
+@register(
+    "q105_hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH dd AS (SELECT doc_id, {_HY_TOKS} AS toks, len({_HY_TOKS}) AS dl
+                FROM documents WHERE doc_id != 0),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {', '.join(f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}" for i, t in enumerate(_HY_TERMS))}
+      FROM dd),
+    scored AS (
+      SELECT doc_id,
+             ROUND(({' + '.join(_hy_term_sql(t, i) for i, t in enumerate(_HY_TERMS))}) * 1.0, 4) AS score
+      FROM dd CROSS JOIN stats),
+    pb AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH}),
+    rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM pb),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id != 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cs AS (SELECT vec_id AS doc_id, ROUND({_cos_sql('v', 'qv')}, 4) AS cscore
+           FROM e CROSS JOIN q),
+    pc AS (SELECT doc_id, cscore FROM cs ORDER BY cscore DESC, doc_id ASC LIMIT {_RRF_DEPTH}),
+    rc AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cscore DESC, doc_id ASC) AS r FROM pc)
+    SELECT COALESCE(rb.doc_id, rc.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K0} + rb.r), 0) + COALESCE(1.0 / ({_RRF_K0} + rc.r), 0), 6) AS rrf_score
+    FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q105_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import search as SRCH
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pb = (
+        SRCH.bm25_score(docs, "text", list(_HY_TERMS))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    rb = pb.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    ).select("doc_id", F.col("r").alias("rb"))
+    target = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    pc = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__qv")), 4).alias("cscore"),
+        )
+        .orderBy(F.desc("cscore"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    rc = pc.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("cscore"), F.asc("doc_id")))
+    ).select("doc_id", F.col("r").alias("rc"))
+    fused = rb.join(rc, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("rc")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)

@@ -214,7 +214,8 @@ def q87_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q98 — as-of join (backward): each click attributed to the single most
 # recent prior view by the same user, with UNBOUNDED lookback (q87's
 # interval join needs a 30-min bound to stay bucketable; the as-of shape
-# doesn't). The operator is join-free — union-tag + running last() over a
+# doesn't). Generalizes q59 (single-stream carry-forward of one
+# timestamp) to TWO frames with an arbitrary matched-row payload. The operator is join-free — union-tag + running last() over a
 # (user, ts) window, one shuffle — and the oracle is DuckDB's native
 # ASOF JOIN. Ties: views are pre-reduced to max(view_id) per (user, ts),
 # and a click at ts T matches a view at exactly T (>= semantics), both
