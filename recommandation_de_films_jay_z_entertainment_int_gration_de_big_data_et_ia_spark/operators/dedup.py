@@ -139,9 +139,36 @@ def jaccard_verify(
     return joined.select("id_a", "id_b", jac).filter(F.col(score_col) >= threshold)
 
 
+def build_dedup_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The corpus-side state :func:`incremental_dedup` needs, as three
+    persistable frames — write them as parquet once per corpus snapshot
+    and every future increment runs WITHOUT touching the corpus:
+
+    - ``hashes(content_hash)`` — distinct normalized-content hashes
+      (the exact-dup gate);
+    - ``bands(id, band, key)`` — the banded MinHash index (candidate
+      generation);
+    - ``shingles(id, shingles)`` — per-doc distinct shingle sets (the
+      Jaccard verify side).
+    """
+    hashes = corpus.select(
+        md5_hex(normalize_text(text_col)).alias("content_hash")
+    ).distinct()
+    shingles = doc_shingles(corpus, id_col, text_col, n)
+    band_keys = minhash_bands(shingles, id_col, num_hashes=num_hashes, bands=bands)
+    return hashes, band_keys, shingles
+
+
 def incremental_dedup(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
@@ -149,6 +176,7 @@ def incremental_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = 200,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Admit the ``batch`` docs that duplicate nothing in ``corpus`` —
     the incremental-ingest shape (daily crawl vs historical corpus).
@@ -165,27 +193,33 @@ def incremental_dedup(
        n-gram Jaccard ≥ ``threshold``; any verified hit rejects the
        batch doc.
 
-    Scale shape: the corpus side of both gates is exactly the
-    persistable index state — the content-hash set and the (id, band,
-    key) band frame — so a production increment recomputes signatures
-    for the BATCH only and equi-joins against stored index tables; this
-    function recomputes them inline for self-containedness, same plan
-    from the join down. ``max_bucket`` caps the CORPUS bucket size (the
-    candidate fan-out side): a band key shared by thousands of corpus
-    docs carries no blocking signal but multiplies candidates; the cap
-    is part of the spec and mirrored in the oracle.
+    Scale shape: pass ``index`` (:func:`build_dedup_index` output, read
+    back from parquet) and a production increment recomputes signatures
+    for the BATCH only — the plan never scans the corpus at all
+    (guarded by tests/test_plans.py::test_incremental_dedup_index_skips_corpus_scan).
+    With ``corpus`` given instead, the same index frames are derived
+    inline (self-contained, e.g. the q99 oracle query) — identical plan
+    from the joins down. ``max_bucket`` caps the CORPUS bucket size
+    (the candidate fan-out side): a band key shared by thousands of
+    corpus docs carries no blocking signal but multiplies candidates;
+    the cap is part of the spec and mirrored in the oracle.
 
     Returns the admitted ``(id_col)`` rows.
     """
+    if index is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or index")
+        index = build_dedup_index(
+            corpus, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+        )
+    hashes, cb, csh = index
     bh = batch.select(F.col(id_col), md5_hex(normalize_text(text_col)).alias("__h"))
-    ch = corpus.select(md5_hex(normalize_text(text_col)).alias("__h")).distinct()
+    ch = hashes.select(F.col("content_hash").alias("__h"))
     exact_ok = bh.join(ch, "__h", "left_anti").select(id_col)
 
     survivors = batch.join(exact_ok, id_col, "left_semi")
     bsh = doc_shingles(survivors, id_col, text_col, n)
-    csh = doc_shingles(corpus, id_col, text_col, n)
     bb = minhash_bands(bsh, id_col, num_hashes=num_hashes, bands=bands)
-    cb = minhash_bands(csh, id_col, num_hashes=num_hashes, bands=bands)
     if max_bucket is not None:
         small = (
             cb.groupBy("band", "key")

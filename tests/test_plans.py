@@ -84,6 +84,45 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_incremental_dedup_index_skips_corpus_scan(spark, sf_dir):
+    """With the corpus dedup index persisted (parquet, as at scale), an
+    increment's plan must scan the BATCH and the index tables only —
+    never the corpus itself. That is the O(|batch|) claim, plan-proven."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cdir = os.path.join(TMP, "inc_corpus")
+    bdir = os.path.join(TMP, "inc_batch")
+    idirs = {k: os.path.join(TMP, f"inc_idx_{k}") for k in ("hashes", "bands", "shingles")}
+    for d in [cdir, bdir, *idirs.values()]:
+        shutil.rmtree(d, ignore_errors=True)
+    write_parquet(docs.filter(F.col("doc_id") % 4 != 0), cdir)
+    write_parquet(docs.filter(F.col("doc_id") % 4 == 0), bdir)
+
+    corpus = spark.read.parquet(cdir)
+    h, b, s = build_dedup_index(corpus, "doc_id", "text")
+    write_parquet(h, idirs["hashes"])
+    write_parquet(b, idirs["bands"])
+    write_parquet(s, idirs["shingles"])
+
+    batch = spark.read.parquet(bdir)
+    admitted = incremental_dedup(
+        batch, None, "doc_id", "text",
+        index=tuple(spark.read.parquet(idirs[k]) for k in ("hashes", "bands", "shingles")),
+    )
+    plan = admitted._jdf.queryExecution().executedPlan().toString()
+    assert "inc_corpus" not in plan, "increment plan rescans the corpus"
+    assert "inc_batch" in plan
+    # same admitted set as the self-contained (corpus-frame) path
+    inline = incremental_dedup(batch, corpus, "doc_id", "text")
+    assert {r.doc_id for r in admitted.collect()} == {r.doc_id for r in inline.collect()}
+    for d in [cdir, bdir, *idirs.values()]:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_asof_join_is_join_free(spark, sf_dir):
     """The as-of operator must compile to union + window (one shuffle on
     the key), never to any join — a bare inequality join would be
