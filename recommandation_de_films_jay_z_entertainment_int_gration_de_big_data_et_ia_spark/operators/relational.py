@@ -238,15 +238,25 @@ def scd2_history(
     MERGE-style upsert pipeline without a table format: at 100 TB the
     same expression runs per partition-pruned key range.
     """
-    o = df.select(
-        F.col(key_col),
-        F.col(attr_col),
-        F.col(ts_col).cast("long").alias("__t"),
-        F.col(tiebreak_col).alias("__tb"),
-    ).withColumn("__prev", F.lag(attr_col).over(
-        Window.partitionBy(key_col).orderBy("__t", "__tb")
-    ))
-    chg = o.filter(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
+    w0 = Window.partitionBy(key_col).orderBy("__t", "__tb")
+    o = (
+        df.select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(ts_col).cast("long").alias("__t"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        .withColumn("__prev", F.lag(attr_col).over(w0))
+        .withColumn("__rn", F.row_number().over(w0))
+    )
+    # null-safe change test (IS DISTINCT FROM): `attr != prev` evaluates
+    # to NULL when either side is NULL, which would drop transitions TO a
+    # null value and then emit a duplicate version when the attribute
+    # returns to its prior value. First row detected by row number, not
+    # by prev IS NULL (a genuine null previous value is not a first row).
+    chg = o.filter(
+        (F.col("__rn") == 1) | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
+    )
     w2 = Window.partitionBy(key_col).orderBy("__t", "__tb")
     return chg.select(
         F.col(key_col),
@@ -316,6 +326,13 @@ def asof_join_backward(
     """
     lcols = [c for c in left.columns if c != on]
     rcols = [c for c in right.columns if c not in (on, ts)]
+    # SQL join semantics: a NULL key matches nothing. Window.partitionBy
+    # groups NULLs together, so without this filter NULL-key left rows
+    # would be "matched" to NULL-key right rows — diverging from any
+    # real join (and the DuckDB ASOF JOIN oracle). Dropping NULL-key
+    # right rows suffices: NULL-key left rows then find no match (kept
+    # with nulls under how='left', dropped under 'inner').
+    right = right.filter(F.col(on).isNotNull() & F.col(ts).isNotNull())
     rpay_t = F.struct(F.col(ts).alias(f"{ts}_matched"), *rcols)
     rpay = right.groupBy(on, ts).agg(F.max(rpay_t).alias("__rpay"))
     rtype = rpay.schema["__rpay"].dataType

@@ -363,6 +363,24 @@ def multi_match_bm25_indexed(
     reference ``src/elasticsearch_ingest.py:92-105``).
     """
     field_items = list(fields.items())
+    # index frames are keyed by field NAME (build_multimatch_index);
+    # translate to THIS query's ordinals so a fields dict ordered
+    # differently from the one used at build time still scores each term
+    # against its own field's statistics. Fields absent from the index
+    # simply contribute no matches.
+    def _name_to_f(frame: DataFrame) -> DataFrame:
+        f_expr = None
+        for fi, fld in enumerate(fields):
+            hit = F.when(F.col("field") == fld, F.lit(fi))
+            f_expr = hit if f_expr is None else f_expr.when(F.col("field") == fld, F.lit(fi))
+        return (
+            frame.withColumn("f", f_expr)
+            .filter(F.col("f").isNotNull())
+            .drop("field")
+        )
+
+    vocab = _name_to_f(vocab)
+    stats = _name_to_f(stats)
     qarr = F.array(
         *[
             F.struct(

@@ -46,28 +46,44 @@ def build_multimatch_index(
 ) -> tuple[DataFrame, DataFrame]:
     """Per-field index for ``search.multi_match_bm25_indexed``: returns
 
-    - ``vocab(f, term, df)`` — per field ordinal, every distinct term with
-      its document frequency (the fuzzy-expansion vocabulary);
-    - ``stats(f, n, sumdl)`` — per-field doc count and total token length.
+    - ``vocab(field, term, df)`` — per field NAME, every distinct term
+      with its document frequency (the fuzzy-expansion vocabulary);
+    - ``stats(field, n, sumdl)`` — per-field doc count and total token
+      length.
+
+    Both frames are keyed by the field's NAME, not its position in the
+    ``fields`` dict — a persisted index must stay correct when a later
+    query passes its fields in a different order (an ordinal key would
+    silently score every term against the wrong field's statistics).
 
     One corpus scan (``search.field_tokens`` single-projection explode);
-    the vocabulary aggregate shuffles on (f, term) once. Both outputs are
-    small, persistable as parquet once per corpus snapshot, and broadcast
-    at query time — the engine's S7 "index DDL" for multi-field search
-    (reference ``src/elasticsearch_ingest.py:92-105``).
+    the vocabulary aggregate shuffles on (field, term) once. Both
+    outputs are small, persistable as parquet once per corpus snapshot,
+    and broadcast at query time — the engine's S7 "index DDL" for
+    multi-field search (reference ``src/elasticsearch_ingest.py:92-105``).
     """
     from .search import field_tokens
 
-    toked = field_tokens(df, id_col, fields)
+    name_of = _ordinal_to_name(fields)
+    toked = field_tokens(df, id_col, fields).withColumn("field", name_of)
     vocab = (
-        toked.select("f", F.explode(F.array_distinct("__tk")).alias("term"))
-        .groupBy("f", "term")
+        toked.select("field", F.explode(F.array_distinct("__tk")).alias("term"))
+        .groupBy("field", "term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    stats = toked.groupBy("f").agg(
+    stats = toked.groupBy("field").agg(
         F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sumdl")
     )
     return vocab, stats
+
+
+def _ordinal_to_name(fields: dict[str, float]) -> F.Column:
+    """Map ``field_tokens``'s ordinal column ``f`` to the field name."""
+    names = list(fields)
+    out = F.lit(names[0])
+    for fi in range(1, len(names)):
+        out = F.when(F.col("f") == fi, F.lit(names[fi])).otherwise(out)
+    return out
 
 
 def bm25_with_index(

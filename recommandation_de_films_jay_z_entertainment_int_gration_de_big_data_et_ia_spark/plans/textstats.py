@@ -625,10 +625,13 @@ def q103_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed = F.regexp_replace(
         F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
     )
+    # patterns passed as Column literals, NOT interpolated into F.expr —
+    # a SQL string literal would unescape '\.' to '.' and '\s' to 's',
+    # silently counting with different patterns than the scrub/oracle
     return aug.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(t, '{_EMAIL_RE}', 0)")).cast("bigint").alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all(t, '{_URL_RE}', 0)")).cast("bigint").alias("n_urls"),
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_URL_RE), F.lit(0))).cast("bigint").alias("n_urls"),
         F.md5(scrubbed).alias("scrubbed_fp"),
     )
 

@@ -309,10 +309,12 @@ def q101_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
       FROM events),
     chg AS (SELECT user_id, event_type, t, event_id FROM o
-            WHERE prev IS NULL OR event_type != prev)
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
     SELECT user_id, event_type, t AS valid_from_s,
            COALESCE(LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
                     253402300800) AS valid_to_s,

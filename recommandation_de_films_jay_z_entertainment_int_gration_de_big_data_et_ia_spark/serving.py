@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
 
 from .operators import movierec
 
@@ -122,10 +123,23 @@ def search_endpoint(movies: DataFrame, args: dict) -> Response:
         if size < 1 or size > 100:
             size = 10
 
-        scored = movierec.search_movies(movies, query, page=page, size=size)
-        total = movierec.search_hits(movies, query).count()
+        # one multi_match evaluation serves both the page and the total
+        # (the ES reference gets hits + total from a single query too);
+        # without the cache the two actions would each rescan the corpus
+        hits = movierec.search_hits(movies, query).cache()
+        try:
+            total = hits.count()
+            page_rows = (
+                hits.orderBy(F.desc("score"), F.asc("movieId"))
+                .offset((page - 1) * size)
+                .limit(size)
+                .select("movieId", "title", "release_date", "genres")
+                .collect()
+            )
+        finally:
+            hits.unpersist()
         return 200, {
-            "movies": [_doc(r) for r in scored.collect()],
+            "movies": [_doc(r) for r in page_rows],
             "page": page,
             "size": size,
             "total": total,

@@ -45,7 +45,8 @@ def test_rows_only_queries_run(spark, sf_dir):
 # sampled the same ~50-query subset every round, so the other half of the
 # catalog is never driver-verified at sf0.01. This marker runs exactly
 # that set difference at the driver's scale — the un-sampled half cannot
-# silently rot. CI: `python -m pytest -m insurance -q`.
+# silently rot. Runs in the default suite (that IS the insurance);
+# scope to just these with `python -m pytest -m insurance -q`.
 # ---------------------------------------------------------------------------
 
 import glob  # noqa: E402
