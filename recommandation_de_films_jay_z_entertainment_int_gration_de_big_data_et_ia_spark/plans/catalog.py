@@ -42,6 +42,7 @@ def load_all() -> None:
         analytics_ext,
         core,
         core_ext,
+        corpus,
         dedup,
         ml,
         multimodal,

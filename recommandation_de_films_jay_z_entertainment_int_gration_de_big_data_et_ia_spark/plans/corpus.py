@@ -1,0 +1,302 @@
+"""Corpus-level curation operators a web-scale training-data pipeline runs
+before tokenization: unigram language-model quality scoring, URL
+canonicalization + dedup, domain-mix auditing, and the deterministic
+global shuffle that fixes training order.
+
+These extend the reference's capability set (SURVEY §2 extensions): the
+reference curates MovieLens with Spark ETL (`/root/reference/src/
+preprocessing.py:10-26`); these are the same curation idioms at
+pre-training-corpus scale. All column math — no UDFs, no collect; every
+query has an exact DuckDB oracle.
+
+Scale notes (100 TB):
+- q106 builds a token->freq vocabulary (one shuffle), then scores docs
+  with a vocab join. Web-corpus unigram vocabularies are ~1e7-1e8 rows
+  (hundreds of MB) — broadcast when it fits (we hint it; at the extreme
+  end drop the hint and let AQE pick a shuffle join on `token`, which
+  stays skew-safe because stopword fan-out is on the probe side).
+- q107/q108 shuffle once on the canonical URL / domain — exactly the
+  partitioning you'd persist for incremental recrawl dedup.
+- q109 is how you materialize training order: two rounds of
+  multiplicative integer hashing (no engine-native hash(), so the DuckDB
+  oracle reproduces it bit-for-bit), then ONE shuffle on `shard` and a
+  within-shard sort — i.e. `write.partitionBy("shard")` order, never a
+  global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.readers import load_table
+from .catalog import register
+from .textstats import TOKS_SQL
+
+# ---------------------------------------------------------------------------
+# q106 — unigram LM quality score: avg token log-probability under the
+# corpus's own unigram distribution (the classic "perplexity-ish" quality
+# filter). Per-token logprob is rounded to DECIMAL(18,6) BEFORE summing so
+# the aggregate is order-independent and bit-identical across engines
+# (float left-folds would diverge on Spark's partial-aggregation order).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_unigram_lm_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS token FROM documents),
+    v AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token),
+    v2 AS (SELECT token, freq, SUM(freq) OVER () AS total FROM v),
+    s AS (SELECT doc_id,
+                 CAST(ROUND(ln(CAST(freq AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS lp
+          FROM t JOIN v2 USING (token))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def q106_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    tok = docs.select("doc_id", F.explode("tk").alias("token"))
+    # total folded into the vocab frame via a global window: the single
+    # partition it forces holds only vocab rows (broadcast-small by the
+    # same assumption that justifies the broadcast join), and it saves a
+    # third corpus scan that a separate 1-row total aggregate would cost.
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("total", F.sum("freq").over(Window.partitionBy()))
+    )
+    lp = F.round(
+        F.log(F.col("freq").cast("double") / F.col("total").cast("double")), 6
+    ).cast("decimal(18,6)")
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(lp).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("__s").cast("double") / F.col("n_tokens"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization. The synthetic corpus has no URL column, so a
+# deterministic messy URL is derived from doc_id first (mixed case, www,
+# tracking params, unsorted params, trailing slash) — the oracle derives
+# the identical one, so the canonicalizer is provably exercised.
+# Canonical form: lowercase, scheme/www./fragment stripped, tracking
+# params (utm_*, ref, fbclid) dropped, remaining params sorted, trailing
+# slashes trimmed. Site index is skewed (every 5th doc -> site0) so the
+# domain-mix audit (q108) has something to flag.
+# ---------------------------------------------------------------------------
+_TRACK_RE = r"^(utm_[a-z]+|ref|fbclid)="
+
+_URL_INJECT_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN
+        'HTTPS://WWW.Site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 40 END AS VARCHAR)
+        || '.example/Path' || CAST(doc_id % 7 AS VARCHAR)
+        || '/?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) || '&utm_campaign=z'
+    WHEN doc_id % 3 = 1 THEN
+        'http://site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 40 END AS VARCHAR)
+        || '.example/path' || CAST(doc_id % 7 AS VARCHAR)
+        || '?id=' || CAST(doc_id % 25 AS VARCHAR) || '&ref=tw'
+    ELSE
+        'https://Site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 40 END AS VARCHAR)
+        || '.example/Path' || CAST(doc_id % 7 AS VARCHAR) || '/?b=2&a=1'
+    END
+"""
+
+_CANON_SQL = """
+    SELECT doc_id, u,
+           regexp_replace(
+               regexp_extract(regexp_replace(regexp_replace(regexp_replace(lower(u),
+                   '^https?://', ''), '^www\\.', ''), '#.*$', ''), '^[^?#]*', 0),
+               '/+$', '') AS path,
+           regexp_extract(regexp_replace(regexp_replace(regexp_replace(lower(u),
+               '^https?://', ''), '^www\\.', ''), '#.*$', ''), '\\?([^#]*)', 1) AS query
+"""
+
+
+def _inject_url() -> F.Column:
+    site = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(F.col("doc_id") % 40)
+    s, p, i = (
+        site.cast("string"),
+        (F.col("doc_id") % 7).cast("string"),
+        (F.col("doc_id") % 25).cast("string"),
+    )
+    return (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), s, F.lit(".example/Path"), p,
+                F.lit("/?utm_source=feed&id="), i, F.lit("&utm_campaign=z"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://site"), s, F.lit(".example/path"), p,
+                F.lit("?id="), i, F.lit("&ref=tw"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://Site"), s, F.lit(".example/Path"), p, F.lit("/?b=2&a=1")
+            )
+        )
+    )
+
+
+def _canon_parts(urls: DataFrame) -> DataFrame:
+    """doc_id, path (host+path, trailing-slash-trimmed), query string."""
+    base = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.lower("u"), "^https?://", ""), r"^www\.", ""),
+        "#.*$", "",
+    )
+    return urls.select(
+        "doc_id",
+        "u",
+        F.regexp_replace(F.regexp_extract(base, "^[^?#]*", 0), "/+$", "").alias("path"),
+        F.regexp_extract(base, r"\?([^#]*)", 1).alias("query"),
+    )
+
+
+def _canon_url(parts: DataFrame) -> DataFrame:
+    kept = F.array_sort(
+        F.filter(
+            F.split("query", "&"),
+            lambda prm: (prm != F.lit("")) & ~prm.rlike(_TRACK_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return parts.select(
+        "doc_id",
+        F.concat(
+            F.col("path"),
+            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+        ).alias("canon_url"),
+    )
+
+
+_CANON_FULL_SQL = f"""
+    WITH urls AS (SELECT doc_id, {_URL_INJECT_SQL} AS u FROM documents),
+    parts AS ({_CANON_SQL} FROM urls),
+    canon AS (
+      SELECT doc_id,
+             path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+      FROM (SELECT doc_id, path,
+                   array_to_string(list_sort(list_filter(string_split(query, '&'),
+                       prm -> prm <> '' AND NOT regexp_matches(prm, '{_TRACK_RE}'))), '&') AS qs
+            FROM parts))
+"""
+
+
+@register(
+    "q107_url_dedup",
+    oracle=f"""
+    {_CANON_FULL_SQL}
+    SELECT doc_id, canon_url,
+           CAST(MIN(doc_id) OVER (PARTITION BY canon_url) AS BIGINT) AS winner,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS is_dup
+    FROM canon
+    """,
+)
+def q107_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _inject_url().alias("u"))
+    canon = _canon_url(_canon_parts(docs))
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "doc_id",
+        "canon_url",
+        F.min("doc_id").over(w).cast("bigint").alias("winner"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108 — domain-mix audit (C4/RefinedWeb-style): docs per domain, corpus
+# share, over-representation flag. One shuffle on domain; the corpus
+# total is a broadcast 1-row frame (never a second pass).
+# ---------------------------------------------------------------------------
+_OVER_SHARE = 0.03
+
+
+@register(
+    "q108_domain_mix",
+    oracle=f"""
+    WITH urls AS (SELECT doc_id, {_URL_INJECT_SQL} AS u FROM documents),
+    d AS (SELECT regexp_extract(regexp_replace(regexp_replace(lower(u),
+                 '^https?://', ''), '^www\\.', ''), '^[^/:?#]+', 0) AS domain
+          FROM urls),
+    g AS (SELECT domain, COUNT(*) AS n_docs FROM d GROUP BY domain),
+    tot AS (SELECT SUM(n_docs) AS total FROM g)
+    SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
+           CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) > {_OVER_SHARE} AS over_represented
+    FROM g CROSS JOIN tot
+    """,
+)
+def q108_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _inject_url().alias("u"))
+    base = F.regexp_replace(
+        F.regexp_replace(F.lower("u"), "^https?://", ""), r"^www\.", ""
+    )
+    grouped = (
+        docs.select(F.regexp_extract(base, "^[^/:?#]+", 0).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = grouped.agg(F.sum("n").alias("total"))
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    return grouped.crossJoin(F.broadcast(total)).select(
+        "domain",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(share, 4).alias("share"),
+        (share > _OVER_SHARE).alias("over_represented"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — deterministic global shuffle: fix a pseudo-random training order
+# with two rounds of multiplicative integer hashing (Knuth / LCG
+# constants), shard on the hash, order within shard. All BIGINT
+# arithmetic (max intermediate ~4.7e18 < 2^63), so the oracle reproduces
+# it exactly — no reliance on either engine's native hash().
+# ---------------------------------------------------------------------------
+_M32 = 4294967296
+
+
+@register(
+    "q109_global_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, ((doc_id * 2654435761 + 40503) % {_M32}) AS h1 FROM documents),
+    h2 AS (SELECT doc_id, ((h1 * 1103515245 + 12345) % {_M32}) AS hv FROM h)
+    SELECT doc_id, CAST(hv % 32 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 32 ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h2
+    """,
+)
+def q109_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h1 = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(_M32)
+    hashed = docs.select("doc_id", ((h1 * F.lit(1103515245) + F.lit(12345)) % F.lit(_M32)).alias("hv"))
+    sharded = hashed.select("doc_id", "hv", (F.col("hv") % 32).cast("bigint").alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
