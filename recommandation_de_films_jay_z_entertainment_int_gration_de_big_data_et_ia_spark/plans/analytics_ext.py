@@ -484,3 +484,29 @@ def q75_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("item", "neigh", "sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — streaming exact dedup: dropDuplicatesWithinWatermark over the
+# events stream, drained with availableNow. The fixture spans ~1 month,
+# so a 90-day horizon makes the streaming result provably equal to batch
+# DISTINCT — which is the oracle (the one streaming query in the catalog
+# with a full hash-checked oracle, not rows-only). Bounded state at
+# scale: per-key state evicts once the watermark passes first-seen + 90d.
+# ---------------------------------------------------------------------------
+@register(
+    "q114_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q114_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.windows import dedup_stream, run_stream_to_memory, stream_events
+
+    name = f"q114_sink_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(
+        dedup_stream(stream_events(spark, sf_dir), watermark="90 days"),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)

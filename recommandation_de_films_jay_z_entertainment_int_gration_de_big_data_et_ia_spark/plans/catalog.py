@@ -49,6 +49,7 @@ def load_all() -> None:
         relational_ext2,
         search,
         similarity,
+        tables,
         textstats,
         timeseries,
     )

@@ -300,3 +300,125 @@ def q109_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select(
         "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — boilerplate n-gram audit (RefinedWeb/CCNet "duplicated n-gram
+# fraction" filter): a 5-gram is boilerplate when it occurs in >= K
+# distinct documents; each doc reports what fraction of its 5-gram
+# occurrences are boilerplate. On this corpus the signal comes from the
+# planted duplicate groups (random-token docs don't collide at n=5) —
+# which is exactly the real-world mechanism (mirrored templates/footers).
+#
+# Shape (100 TB): explode 5-grams (scan-local), ONE distinct-count
+# shuffle on the shingle to build the boilerplate set, then a join back.
+# The boilerplate set is tiny by construction (only cross-doc-repeated
+# n-grams survive the >=K filter) so it broadcasts; the corpus is never
+# shuffled — per-doc aggregation happens on the exploded frame which is
+# already partitioned by input split, and the final groupBy(doc_id) is
+# the one unavoidable shuffle. No all-pairs anything.
+# ---------------------------------------------------------------------------
+_BOILER_N = 5
+_BOILER_K = 3
+# 5-gram occurrences (NOT distinct — the fraction is over occurrences).
+_SH5_SQL = (
+    "list_transform(range(1, greatest(len(tk)-4, 1)+1),"
+    " i -> array_to_string(tk[i:i+4], ' '))"
+)
+
+
+@register(
+    "q110_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    occ AS (SELECT doc_id, unnest({_SH5_SQL}) AS sh FROM t),
+    boiler AS (SELECT sh FROM occ GROUP BY sh
+               HAVING COUNT(DISTINCT doc_id) >= {_BOILER_K})
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(b.sh) AS BIGINT) AS n_boiler,
+           ROUND(CAST(COUNT(b.sh) AS DOUBLE) / COUNT(*), 4) AS boiler_frac
+    FROM occ o LEFT JOIN boiler b USING (sh)
+    GROUP BY o.doc_id
+    """,
+)
+def q110_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    occ = docs.select("doc_id", F.explode(word_shingles(F.col("tk"), _BOILER_N)).alias("sh"))
+    boiler = (
+        occ.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_K)
+        .select("sh", F.lit(1).alias("__b"))
+    )
+    return (
+        occ.join(F.broadcast(boiler), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.count("__b").cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_boiler",
+            F.round(F.col("n_boiler").cast("double") / F.col("n_ngrams"), 4).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — benchmark decontamination (the n-gram-overlap scan every serious
+# pre-training pipeline runs against its eval sets): the held-out set is
+# docs with doc_id % 97 == 0; a training doc is contaminated if it shares
+# any 8-gram with any held-out doc. Reports every contaminated training
+# doc with its count of distinct shared 8-grams.
+#
+# Shape (100 TB): the held-out n-gram set is small (eval sets are MBs,
+# not TBs) -> distinct once, broadcast; the training corpus is scanned
+# once, exploded scan-locally, semi-reduced by the broadcast join, and
+# only matching (doc, ngram) rows reach the final groupBy. The training
+# side is never shuffled in full.
+# ---------------------------------------------------------------------------
+_DECON_N = 8
+_SH8_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(tk)-7, 1)+1),"
+    " i -> array_to_string(tk[i:i+7], ' ')))"
+)
+
+
+@register(
+    "q111_ngram_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    s AS (SELECT doc_id, unnest({_SH8_SQL}) AS sh FROM t),
+    bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM s JOIN bench USING (sh)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def q111_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("tk"), _DECON_N))).alias("sh"),
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

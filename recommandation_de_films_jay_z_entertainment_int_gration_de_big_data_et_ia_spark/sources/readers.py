@@ -76,16 +76,26 @@ def read_movies(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S3: parquet scan of one driver testdata table.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which the Spark parquet
-    reader rejects; we read nanos as long (legacy conf) and truncate to
-    microsecond timestamps — the same truncation DuckDB applies, so oracle
-    comparisons stay exact.
+    ``events.parquet``'s ``ts`` is normalized to a UTC-anchored
+    TIMESTAMP_LTZ regardless of how the fixture was written:
+
+    - TIMESTAMP(NANOS) fixtures are rejected by the Spark parquet reader;
+      we read nanos as long (legacy conf) and truncate to microsecond
+      timestamps — the same truncation DuckDB applies.
+    - timestamp[us] fixtures (no UTC adjustment) arrive as TIMESTAMP_NTZ,
+      which Spark 4 refuses to cast to numeric; we pin the wall-clock to
+      UTC (``to_utc_timestamp(ts, 'UTC')``), which is exactly DuckDB's
+      ``epoch()`` interpretation of a naive timestamp — so downstream
+      ``cast("long")`` epoch math agrees with the oracles on any session
+      timezone.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

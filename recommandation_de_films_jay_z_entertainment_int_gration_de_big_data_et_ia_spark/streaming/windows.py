@@ -18,33 +18,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Raw parquet schema of the events table (ts is TIMESTAMP(NANOS) on disk,
-# read as long nanos — same workaround as sources.readers.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Probe the on-disk schema of the events fixture with a batch footer
+    read. Fixtures have shipped ``ts`` as both TIMESTAMP(NANOS) (read as
+    long nanos under the legacy conf) and plain timestamp[us] (read as
+    TIMESTAMP_NTZ); the stream source must declare whichever is on disk."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file source; at scale this is the
-    same code over a Kafka/object-store source)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    same code over a Kafka/object-store source). ``ts`` is normalized to
+    a UTC-anchored TIMESTAMP_LTZ exactly like ``sources.readers.load_table``
+    so streaming and batch plans share expressions."""
+    schema = _events_raw_schema(spark, sf_dir)
     # file-source streaming needs a directory: point at sf_dir and glob
     # down to the single events file.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -119,4 +120,27 @@ def attribution_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
             F.col("view_ts").cast("long").alias("view_ts_s"),
             F.col("click_ts").cast("long").alias("click_ts_s"),
         )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """Streaming exact dedup to first occurrence of (user_id, event_type).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes the first-seen timestamp + delay — the
+    bounded-state form of dedup a 100 TB stream needs (a plain streaming
+    ``dropDuplicates`` accretes state forever). With a delay that covers
+    the fixture's whole time span the result equals batch
+    ``dropDuplicates`` exactly (proven in tests/test_streaming.py); in
+    production the delay is the dedup horizon.
+
+    Projecting to the key columns BEFORE dedup makes the output
+    deterministic (whichever physical row wins, the surviving values are
+    identical).
+    """
+    return (
+        events.select("user_id", "event_type", "ts")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
     )

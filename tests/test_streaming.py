@@ -127,3 +127,25 @@ def test_stream_stream_attribution_join_equals_batch(spark, sf_dir):
     )
     want = {(r.view_id, r.click_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_within_watermark_equals_batch(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (bounded state) with a horizon
+    covering the fixture's span must equal batch DISTINCT exactly — the
+    q114 contract that lets a streaming query carry a full hash oracle."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.windows import (
+        dedup_stream,
+    )
+
+    stream = dedup_stream(stream_events(spark, sf_dir), watermark="90 days")
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "t_dedup_wm", output_mode="append")
+    got = {(r.user_id, r.event_type) for r in spark.table("t_dedup_wm").collect()}
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
