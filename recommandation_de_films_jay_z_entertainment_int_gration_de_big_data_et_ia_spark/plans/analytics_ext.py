@@ -510,3 +510,57 @@ def q114_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q116 — robust outliers by median absolute deviation (q71's z-score uses
+# mean/stddev, which outliers themselves corrupt; MAD is the robust
+# variant every monitoring pipeline keeps alongside). Exact interpolated
+# medians (Spark `percentile` == DuckDB `quantile_cont`, both (n-1)
+# linear interpolation); deviations and the 3×MAD gate are rounded to
+# 6 dp so the boundary decision is cross-engine identical.
+#
+# Shape (100 TB): two grouped exact-percentile passes (each one shuffle
+# on event_type) + a broadcast join of the tiny per-type stats back onto
+# the stream. At monitoring cadence swap exact percentile for
+# approx_percentile (t-digest) and the second pass becomes mergeable.
+# ---------------------------------------------------------------------------
+@register(
+    "q116_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, ROUND(abs(e.value - m.med), 6) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE d.d > ROUND(3 * m.mad, 6)) AS BIGINT) AS n_outliers,
+           ROUND(MAX(d.d), 6) AS max_dev
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.round(F.abs(F.col("value") - F.col("med")), 6).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("d") > F.round(3 * F.col("mad"), 6), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("d"), 6).alias("max_dev"),
+        )
+    )

@@ -422,3 +422,56 @@ def q111_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — deterministic weighted sampling without replacement
+# (Efraimidis–Spirakis): each doc draws u from its md5 (16-bit slice,
+# (h+0.5)/65536 ∈ (0,1)) and keys on ln(u)/n_chars; the top-100 keys ARE
+# a weighted sample (P ∝ n_chars). Fully deterministic — both engines
+# replay the identical hash → identical sample. The key is rounded to
+# 8 dp (ln ulp differences live at ~1e-16 relative) and ties break on
+# doc_id, so the top-k cut is cross-engine exact.
+#
+# Shape (100 TB): no global sort — top-k via TakeOrderedAndProject
+# (per-partition partial top-k, then one k-row merge at the driver edge).
+# This is how you draw a quality-weighted pre-training subsample without
+# shuffling the corpus.
+# ---------------------------------------------------------------------------
+_WS_K = 100
+# 16-bit integer from the first 4 hex chars of md5(doc_id).
+_WS_H_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i+1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ")"
+)
+
+
+@register(
+    "q115_weighted_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             ROUND(ln((CAST({_WS_H_SQL} AS DOUBLE) + 0.5) / 65536.0)
+                   / CAST(n_chars AS DOUBLE), 8) AS key
+      FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, key
+    FROM k ORDER BY key DESC, doc_id ASC LIMIT {_WS_K}
+    """,
+)
+def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "double"
+    )
+    key = F.round(
+        F.log((h + F.lit(0.5)) / F.lit(65536.0)) / F.col("n_chars").cast("double"), 8
+    )
+    return (
+        docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"), key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(_WS_K)
+    )

@@ -280,3 +280,66 @@ def q105_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# q117 — semantic dedup (SemDeDup-style): embedding-cosine near-dup pairs
+# (the q39 LSH-bucketed graph) resolved into connected components, each
+# vector labeled with its cluster keeper (min vec_id) and a keep flag.
+# Vectors in no pair are their own singleton cluster. The oracle replays
+# the transitive closure with a recursive CTE (q78's pattern on the
+# embedding graph).
+#
+# Shape (100 TB): pair generation is the bucket equi-join (never
+# all-pairs); component resolution is iterative min-label propagation
+# whose rounds = cluster diameter (near-dup clusters are shallow);
+# the final left join back to the corpus is on vec_id. The corpus is
+# scanned once for bucketing and once for the final labeling join.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+@register(
+    "q117_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    cand AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b, ROUND({_cos_sql('va', 'vb')}, 4) AS score FROM cand)
+      WHERE score >= {_SEMDEDUP_THRESHOLD}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS node, b AS reachable FROM edges
+      UNION
+      SELECT r.node, e2.b FROM reach r JOIN edges e2 ON r.reachable = e2.a),
+    labels AS (
+      SELECT node, LEAST(node, MIN(reachable)) AS cluster_id
+      FROM reach GROUP BY node)
+    SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id,
+           (COALESCE(l.cluster_id, e.vec_id) = e.vec_id) AS keep
+    FROM e LEFT JOIN labels l ON e.vec_id = l.node
+    """,
+)
+def q117_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=_SEMDEDUP_THRESHOLD, planes=4
+    )
+    labels = dedup_clusters(pairs)
+    return (
+        emb.select("vec_id")
+        .join(labels, emb["vec_id"] == labels["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )

@@ -327,3 +327,66 @@ def q102_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q118 — gap-filled hourly series: every (event_type, hour) bucket in the
+# table's [min, max] hour span, zero-filled where no events landed (the
+# dense series a dashboard/forecaster consumes; sparse groupBy output
+# silently hides empty buckets). The dense axis is generated with
+# F.sequence/explode from a 1-row span aggregate — no driver loop, no UDF.
+#
+# Shape (100 TB): the span is a 1-row broadcast; the dense axis is
+# |hours| × |types| rows (tiny vs the fact table); the fact-side agg is
+# the usual partial+final hash agg, and the fill join is broadcast of the
+# AGGREGATED sparse frame into the dense axis when small — here the
+# dense axis and the agg are both small; the fact table is scanned once.
+# ---------------------------------------------------------------------------
+@register(
+    "q118_gapfill_hourly",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,
+             CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS hi
+      FROM events),
+    axis AS (
+      SELECT t.h AS window_start_s, et.event_type
+      FROM (SELECT unnest(range(lo, hi + 3600, 3600)) AS h FROM span) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) et),
+    agg AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT a.window_start_s, a.event_type,
+           CAST(COALESCE(g.n, 0) AS BIGINT) AS n_events
+    FROM axis a LEFT JOIN agg g
+      ON a.window_start_s = g.ws AND a.event_type = g.event_type
+    """,
+)
+def q118_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("long") / 3600) * 3600
+    span = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("window_start_s")
+    )
+    types = ev.select("event_type").distinct()
+    axis = hours.crossJoin(F.broadcast(types))
+    agg = ev.groupBy(hour.alias("ws"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        axis.join(
+            F.broadcast(agg),
+            (axis["window_start_s"] == agg["ws"])
+            & (axis["event_type"] == agg["event_type"]),
+            "left",
+        )
+        .select(
+            "window_start_s",
+            axis["event_type"].alias("event_type"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )

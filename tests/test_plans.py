@@ -273,3 +273,43 @@ def test_ivf_index_persists_with_partition_pruning(spark, sf_dir):
     want = indexed.filter(F.col("cell").isin(2, 5)).count()
     assert got == want and 0 < got < emb.count()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_q110_boilerplate_set_broadcasts(spark, sf_dir):
+    """The boilerplate 5-gram set must reach the occurrences frame as a
+    broadcast — the corpus-side explode must never shuffle to join it."""
+    plan = _plan(QUERIES["q110_boilerplate_ngrams"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q111_bench_ngrams_broadcast(spark, sf_dir):
+    """Decontamination joins the training side against a broadcast of the
+    held-out n-gram set (eval sets are tiny; the corpus is not shuffled)."""
+    plan = _plan(QUERIES["q111_ngram_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q112_profile_pruned_branches_no_expand(spark, sf_dir):
+    """The profile is a union of per-column branches: no Expand (the
+    multi-distinct rewrite that forces a SortAggregate over n_cols×
+    duplicated rows — measured 6× slower), and every branch's scan is
+    pruned to a single column."""
+    df = QUERIES["q112_column_profile"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" not in plan
+    # each FileScan reads exactly one column (ReadSchema mentions no comma)
+    for chunk in plan.split("ReadSchema: ")[1:]:
+        schema = chunk.split("\n")[0]
+        assert schema.count(":") == 1, f"branch scan not pruned to 1 column: {schema}"
+
+
+def test_q113_merge_is_single_join(spark, sf_dir):
+    """MERGE lowers to exactly one join (full outer on the key): base and
+    changes must not join more than once."""
+    # executedPlan only: _plan() concatenates all plan phases, which would
+    # triple-count the single join
+    df = QUERIES["q113_merge_upsert"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, f"expected 1 join, plan has {n_joins}"
+    assert "FullOuter" in plan
