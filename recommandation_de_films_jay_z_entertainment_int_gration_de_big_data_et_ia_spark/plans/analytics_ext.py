@@ -564,3 +564,30 @@ def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("d"), 6).alias("max_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — mergeable quantile sketch (KLL): per-priority p50/p90/p99 of
+# o_totalprice from kll_sketch_agg. The 100 TB shape for percentiles:
+# sketches build in one partial+final pass and MERGE across partitions /
+# days / tables (exact percentile does not merge; q60 is the exact
+# counterpart). rows-only by design: KLL compaction is randomized, so no
+# SQL oracle can replay it — tests/test_properties.py pins the rank-error
+# contract against the exact quantiles instead.
+# ---------------------------------------------------------------------------
+@register("q121_kll_quantile_sketch")
+def q121_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    sk = orders.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("v").alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return sk.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)), 2).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)), 2).alias("p90"),
+        F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)), 2).alias("p99"),
+    )

@@ -290,3 +290,67 @@ def q120_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — Z-order layout audit: interleave the low 8 bits of
+# (l_partkey % 256, l_suppkey % 256) into a Morton code, group rows into
+# 256 z-contiguous file groups, and report each group's row count and
+# per-dimension value ranges. This is the clustering key computation
+# behind lake-maintenance OPTIMIZE ZORDER: rows z-sorted this way give
+# 2-D locality, so a scan filtered on EITHER key prunes most groups
+# (the audit's per-group min/max ranges ARE the pruning statistics).
+# The interleave is pure div/mod arithmetic — identical in both engines,
+# no engine-native bit intrinsics — so the oracle is exact.
+#
+# Shape (100 TB): the z-value is a scan-local projection; the grouping
+# is one hash aggregate on an 8-bit key. The production write is
+# `repartitionByRange(zgroup).sortWithinPartitions(z)` + parquet — same
+# plan plus a range shuffle.
+# ---------------------------------------------------------------------------
+_Z_BITS = 8
+
+
+def _z_sql(p: str, s: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({p} // {1 << i}) % 2) * {2 * (4 ** i)}")
+        terms.append(f"(({s} // {1 << i}) % 2) * {4 ** i}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_col(p: F.Column, s: F.Column) -> F.Column:
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z + ((p / (1 << i)).cast("bigint") % 2) * F.lit(2 * (4 ** i))
+        z = z + ((s / (1 << i)).cast("bigint") % 2) * F.lit(4 ** i)
+    return z
+
+
+@register(
+    "q122_zorder_layout",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx FROM lineitem),
+    z AS (SELECT px, sx, {_z_sql('px', 'sx')} // 256 AS zgroup FROM q)
+    SELECT CAST(zgroup AS BIGINT) AS zgroup,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(px) AS BIGINT) AS px_lo, CAST(MAX(px) AS BIGINT) AS px_hi,
+           CAST(MIN(sx) AS BIGINT) AS sx_lo, CAST(MAX(sx) AS BIGINT) AS sx_hi
+    FROM z GROUP BY zgroup
+    """,
+)
+def q122_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("px"), (F.col("l_suppkey") % 256).alias("sx")
+    )
+    z = li.select(
+        "px", "sx", (_z_col(F.col("px"), F.col("sx")) / 256).cast("bigint").alias("zgroup")
+    )
+    return z.groupBy("zgroup").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("px").cast("bigint").alias("px_lo"),
+        F.max("px").cast("bigint").alias("px_hi"),
+        F.min("sx").cast("bigint").alias("sx_lo"),
+        F.max("sx").cast("bigint").alias("sx_hi"),
+    )

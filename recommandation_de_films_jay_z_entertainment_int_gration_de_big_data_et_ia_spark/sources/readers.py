@@ -73,6 +73,16 @@ def read_movies(spark: SparkSession, path: str) -> DataFrame:
     return read_delimited(spark, path, MOVIES_SCHEMA, sep="|")
 
 
+def _ntz_as_utc(col_name: str) -> F.Column:
+    """TIMESTAMP_NTZ -> TIMESTAMP_LTZ anchoring the naive wall-clock to
+    UTC, independent of the session timezone (NTZ-minus-NTZ is pure
+    wall-clock arithmetic; ``timestamp_micros`` is defined from epoch)."""
+    micros = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col_name})"
+    )
+    return F.timestamp_micros(micros)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S3: parquet scan of one driver testdata table.
 
@@ -84,10 +94,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       timestamps — the same truncation DuckDB applies.
     - timestamp[us] fixtures (no UTC adjustment) arrive as TIMESTAMP_NTZ,
       which Spark 4 refuses to cast to numeric; we pin the wall-clock to
-      UTC (``to_utc_timestamp(ts, 'UTC')``), which is exactly DuckDB's
-      ``epoch()`` interpretation of a naive timestamp — so downstream
-      ``cast("long")`` epoch math agrees with the oracles on any session
-      timezone.
+      UTC via pure NTZ arithmetic — ``timestampdiff(MICROSECOND,
+      NTZ-epoch, ts)`` then ``timestamp_micros`` — which is exactly
+      DuckDB's ``epoch()`` interpretation of a naive timestamp. NB:
+      ``to_utc_timestamp`` would NOT work here: it coerces NTZ→LTZ
+      through the SESSION timezone first, silently shifting every epoch
+      by the session offset on non-UTC drivers (caught by
+      tests/test_timezone.py).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -95,7 +108,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+            df = df.withColumn("ts", _ntz_as_utc("ts"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

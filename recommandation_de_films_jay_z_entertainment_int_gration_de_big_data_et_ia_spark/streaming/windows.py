@@ -44,7 +44,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(schema["ts"].dataType, T.LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(schema["ts"].dataType, T.TimestampNTZType):
-        return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        from ..sources.readers import _ntz_as_utc
+
+        return raw.withColumn("ts", _ntz_as_utc("ts"))
     return raw
 
 

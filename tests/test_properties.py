@@ -347,3 +347,36 @@ def test_chunking_covers_all_tokens_with_overlap(spark, sf_dir):
         last_start = 1 + 48 * (len(cs) - 1)
         covered = last_start - 1 + cs[-1][1]
         assert covered == n_tok[doc_id], (doc_id, covered, n_tok[doc_id])
+
+
+def test_kll_sketch_rank_error_bound(spark, sf_dir):
+    """q121's KLL estimates must land within a generous rank-error window
+    of the exact quantiles (default sketch k -> ~2% normalized rank
+    error; we assert ±5% to keep the test stable across sketch seeds)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import load_table
+
+    est = {
+        r.o_orderpriority: r
+        for r in entrymod.queries()["q121_kll_quantile_sketch"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    for p in (0.5, 0.9, 0.99):
+        lo_q, hi_q = max(p - 0.05, 0.0), min(p + 0.05, 1.0)
+        bounds = {
+            r.o_orderpriority: (r.lo, r.hi)
+            for r in orders.groupBy("o_orderpriority")
+            .agg(
+                F.percentile("v", lo_q).alias("lo"),
+                F.percentile("v", hi_q).alias("hi"),
+            )
+            .collect()
+        }
+        field = {0.5: "p50", 0.9: "p90", 0.99: "p99"}[p]
+        for prio, row in est.items():
+            lo, hi = bounds[prio]
+            v = getattr(row, field)
+            assert lo <= v <= hi, f"{field}[{prio}]={v} outside exact [{lo}, {hi}]"
