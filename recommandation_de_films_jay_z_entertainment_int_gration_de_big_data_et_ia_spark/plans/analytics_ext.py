@@ -591,3 +591,32 @@ def q121_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)), 2).alias("p90"),
         F.round(F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)), 2).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — stream-static enrichment join: the events STREAM joins the
+# static customer dimension per micro-batch (stateless; the dim is
+# re-read each trigger so dim updates flow without restart). Drained
+# with availableNow the result equals the batch join exactly, so this
+# streaming query carries a full hash oracle (q114's pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "q124_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q124_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..sources.readers import load_table as _lt
+    from ..streaming.windows import enrich_stream, run_stream_to_memory, stream_events
+
+    dim = _lt(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = enrich_stream(
+        stream_events(spark, sf_dir), dim, key="user_id", dim_key="c_custkey"
+    ).select("event_id", "event_type", "c_nationkey")
+    name = f"q124_sink_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(joined, name, output_mode="append")
+    return spark.table(name)

@@ -475,3 +475,112 @@ def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("key").desc(), F.col("doc_id").asc())
         .limit(_WS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — the end-to-end pre-training corpus pipeline, ONE declarative
+# plan composing the catalog's curation stages in production order:
+#   1. exact dedup, keep-first (md5 window — q31's shape)
+#   2. boilerplate gate: duplicated-5-gram fraction < 0.5 (q110)
+#   3. benchmark decontamination: drop docs sharing an 8-gram with the
+#      held-out set, which itself never enters the corpus (q111)
+#   4. deterministic shard assignment (q109's multiplicative hashes)
+#   5. per-shard report: docs, tokens, min id
+# The point is composability: every stage is a DataFrame->DataFrame
+# transform, so Catalyst sees ONE plan — gates fuse into scans, the
+# boilerplate/benchmark sets build once and broadcast, and nothing
+# materializes between stages.
+#
+# Shape (100 TB): 2 corpus-wide shuffles total (dedup window on the
+# content hash; final per-shard agg) + 2 tiny broadcast builds
+# (boilerplate set, benchmark 8-grams). The corpus is never shuffled for
+# the gates themselves.
+# ---------------------------------------------------------------------------
+@register(
+    "q123_pretraining_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS tk FROM documents
+               WHERE doc_id % 97 <> 0),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM t GROUP BY md5(text)),
+    d AS (SELECT t.* FROM t JOIN surv USING (doc_id)),
+    occ AS (SELECT doc_id, unnest({_SH5_SQL}) AS sh FROM d),
+    boiler AS (SELECT sh FROM occ GROUP BY sh
+               HAVING COUNT(DISTINCT doc_id) >= {_BOILER_K}),
+    bfrac AS (
+      SELECT o.doc_id,
+             CAST(COUNT(b.sh) AS DOUBLE) / COUNT(*) AS frac
+      FROM occ o LEFT JOIN boiler b USING (sh) GROUP BY o.doc_id),
+    clean AS (SELECT d.* FROM d JOIN bfrac USING (doc_id) WHERE bfrac.frac < 0.5),
+    bench AS (
+      SELECT DISTINCT unnest({_SH8_SQL}) AS sh
+      FROM (SELECT {TOKS_SQL} AS tk FROM documents WHERE doc_id % 97 = 0)),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM (SELECT doc_id, unnest({_SH8_SQL}) AS sh FROM clean) s
+      JOIN bench USING (sh)),
+    final AS (
+      SELECT c.doc_id, len(c.tk) AS n_tokens,
+             ((((c.doc_id * 2654435761 + 40503) % {_M32}) * 1103515245 + 12345) % {_M32}) % 16 AS shard
+      FROM clean c LEFT JOIN contaminated x ON c.doc_id = x.doc_id
+      WHERE x.doc_id IS NULL)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM final GROUP BY shard
+    """,
+)
+def q123_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text", tokens("text").alias("tk"))
+    )
+    # 1. exact dedup keep-first (window over the content hash: one
+    # shuffle, no duplicated scan subtree — q86's measured pattern)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "text")
+    )
+    # 2. boilerplate gate on the deduped corpus
+    occ = d.select("doc_id", F.explode(word_shingles(F.col("tk"), _BOILER_N)).alias("sh"))
+    boiler = (
+        occ.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOILER_K)
+        .select("sh", F.lit(1).alias("__b"))
+    )
+    bfrac = (
+        occ.join(F.broadcast(boiler), "sh", "left")
+        .groupBy("doc_id")
+        .agg((F.count("__b").cast("double") / F.count(F.lit(1))).alias("frac"))
+    )
+    clean = d.join(bfrac, "doc_id").filter(F.col("frac") < 0.5).drop("frac")
+    # 3. decontamination: anti-join on the broadcast held-out 8-gram set
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct(word_shingles(tokens("text"), _DECON_N))).alias("sh"))
+        .distinct()
+    )
+    clean_sh = clean.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("tk"), _DECON_N))).alias("sh")
+    )
+    contaminated = clean_sh.join(F.broadcast(bench), "sh").select("doc_id").distinct()
+    final = clean.join(contaminated, "doc_id", "left_anti")
+    # 4. deterministic shards (q109's hash chain)
+    h1 = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(_M32)
+    hv = (h1 * F.lit(1103515245) + F.lit(12345)) % F.lit(_M32)
+    return (
+        final.select("doc_id", F.size("tk").alias("n_tokens"), (hv % 16).alias("shard"))
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+        )
+    )

@@ -146,3 +146,12 @@ def dedup_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str, dim_key: str) -> DataFrame:
+    """Stream-static equi-join: each micro-batch probes the static
+    dimension (broadcast per batch — the dimension is read fresh each
+    trigger, so slowly-changing dims pick up updates without restarting
+    the query). Stateless: nothing is buffered, so the result equals the
+    batch join row-for-row (proven in tests/test_streaming.py)."""
+    return events.join(F.broadcast(dim), events[key] == dim[dim_key], "inner")

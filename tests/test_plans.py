@@ -313,3 +313,12 @@ def test_q113_merge_is_single_join(spark, sf_dir):
     n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert n_joins == 1, f"expected 1 join, plan has {n_joins}"
     assert "FullOuter" in plan
+
+
+def test_q123_pipeline_broadcasts_gate_sets(spark, sf_dir):
+    """The composed pre-training pipeline must broadcast both tiny gate
+    sets (boilerplate 5-grams, benchmark 8-grams) — the corpus side is
+    only shuffled for the dedup window and the final shard agg."""
+    df = QUERIES["q123_pretraining_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2

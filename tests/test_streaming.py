@@ -149,3 +149,25 @@ def test_streaming_dedup_within_watermark_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment is stateless: the drained stream join
+    must equal the batch join row-for-row (the q124 contract)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.windows import (
+        enrich_stream,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = enrich_stream(
+        stream_events(spark, sf_dir), dim, key="user_id", dim_key="c_custkey"
+    ).select("event_id", "c_nationkey")
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "t_enrich", output_mode="append")
+    got = {(r.event_id, r.c_nationkey) for r in spark.table("t_enrich").collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    want = {
+        (r.event_id, r.c_nationkey)
+        for r in ev.join(dim, ev["user_id"] == dim["c_custkey"]).collect()
+    }
+    assert got == want and len(got) > 0
