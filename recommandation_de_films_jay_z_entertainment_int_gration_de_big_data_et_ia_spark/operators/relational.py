@@ -411,3 +411,40 @@ def range_join_bucketed(
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("__bkt")
     )
+
+
+def merge_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics as one full-outer join (the core Delta/Iceberg
+    MERGE lowers to after file pruning): ``changes`` carries the key, an
+    op column ('U' update / 'D' delete / 'I' insert), and new values for
+    every non-key base column (same names). Deletes drop, updates win
+    over base values, inserts append; every surviving row is labeled
+    with ``merge_action`` in {'kept','updated','inserted'}.
+
+    The changes batch is typically ≪ base, so AQE broadcasts it and base
+    is never shuffled in that regime. Used by q123's fixture query
+    (plans/tables.py q113) and fuzz-verified against DuckDB in
+    tests/test_fuzz_differential.py.
+    """
+    payload = [c for c in base.columns if c != key]
+    ch = changes.select(
+        F.col(key).alias("__k"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__ch_{c}") for c in payload],
+    )
+    b = base.select(F.col(key).alias("__k"), *payload)
+    merged = b.join(ch, "__k", "full_outer")
+    keep = merged.filter(F.col("__op").isNull() | (F.col("__op") != "D"))
+    return keep.select(
+        F.col("__k").alias(key),
+        *[F.coalesce(f"__ch_{c}", c).alias(c) for c in payload],
+        F.when(F.col("__op") == "I", "inserted")
+        .when(F.col("__op") == "U", "updated")
+        .otherwise("kept")
+        .alias("merge_action"),
+    )

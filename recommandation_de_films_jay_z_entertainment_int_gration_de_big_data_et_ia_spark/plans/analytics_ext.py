@@ -620,3 +620,168 @@ def q124_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q124_sink_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(joined, name, output_mode="append")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q125 — theta-sketch set algebra: distinct users per event_type as
+# mergeable theta sketches, then UNION / INTERSECTION / DIFFERENCE
+# estimates across types — the sketch family's answer to "overlap of
+# audiences" without re-scanning (HLL q55 gives only distinct counts;
+# theta adds set operations). Below the sketch's nominal-entries bound
+# (2^12 = 4096) theta runs in exact mode, so at the driver's correctness
+# scale (sf0.01, ~1k distinct users) every estimate equals the exact
+# count and the query carries a full DuckDB oracle; the rank-error
+# property at arbitrary scale is separately asserted in
+# tests/test_properties.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q125_theta_set_ops",
+    oracle="""
+    SELECT 'view_users' AS set_name,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'view') AS BIGINT) AS est
+    UNION ALL
+    SELECT 'click_users',
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS BIGINT)
+    UNION ALL
+    SELECT 'view_or_click',
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE event_type IN ('view', 'click')) AS BIGINT)
+    UNION ALL
+    SELECT 'view_and_click',
+           CAST((SELECT COUNT(*) FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click')) AS BIGINT)
+    UNION ALL
+    SELECT 'view_not_click',
+           CAST((SELECT COUNT(*) FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+              EXCEPT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click')) AS BIGINT)
+    """,
+)
+def q125_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    sk = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    one = sk.groupBy().pivot("event_type", ["view", "click"]).agg(F.first("sk"))
+    return one.selectExpr(
+        """stack(5,
+           'view_users',     CAST(theta_sketch_estimate(view) AS BIGINT),
+           'click_users',    CAST(theta_sketch_estimate(click) AS BIGINT),
+           'view_or_click',  CAST(theta_sketch_estimate(theta_union(view, click)) AS BIGINT),
+           'view_and_click', CAST(theta_sketch_estimate(theta_intersection(view, click)) AS BIGINT),
+           'view_not_click', CAST(theta_sketch_estimate(theta_difference(view, click)) AS BIGINT)
+        ) AS (set_name, est)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — PageRank (3 fixed iterations, d=0.85) over the co-purchase
+# graph: parts are nodes, orders' basket pairs are (undirected) edges —
+# the iterative-numeric-algorithm shape (vs dedup_clusters' iterative
+# set algebra). Deterministic cross-engine: every per-edge contribution
+# pr(u)/deg(u) is rounded to DECIMAL(28,10) BEFORE the neighbor sum
+# (exact, order-independent), and each iteration's rank is recomposed
+# with identically-parenthesized double math; fixed iteration count so
+# the oracle is a plain CTE chain, no recursion.
+#
+# Shape (100 TB): per iteration ONE join (edges ⨝ ranks on src, ranks
+# frame ≪ edges) + one groupBy(dst) — the textbook distributed PageRank
+# step. Edge list + degrees are localCheckpointed once so iteration k
+# doesn't re-derive the basket explosion k times (measured pattern from
+# dedup_clusters). Rank vector stays distributed; N rides as a broadcast
+# 1-row frame, never a driver value.
+# ---------------------------------------------------------------------------
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    pair_cte = """
+    baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT DISTINCT p1.part AS a, p2.part AS b
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (SELECT node, 1.0 / n.n AS pr FROM deg CROSS JOIN n)
+    """
+    iters = []
+    for k in range(_PR_ITERS):
+        iters.append(f"""
+    c{k} AS (
+      SELECT e.b AS node,
+             CAST(ROUND(p.pr / deg.d, 10) AS DECIMAL(28,10)) AS c
+      FROM edges e JOIN pr{k} p ON e.a = p.node JOIN deg ON e.a = deg.node),
+    pr{k+1} AS (
+      SELECT s.node, (0.15 / n.n) + (0.85 * CAST(s.sc AS DOUBLE)) AS pr
+      FROM (SELECT node, SUM(c) AS sc FROM c{k} GROUP BY node) s CROSS JOIN n)
+    """)
+    return (
+        "WITH " + pair_cte + "," + ",".join(iters)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, ROUND(pr, 8) AS pagerank
+    FROM pr{_PR_ITERS} ORDER BY pagerank DESC, node ASC LIMIT 20
+    """
+    )
+
+
+@register("q126_pagerank_copurchase", oracle=_pr_oracle())
+def q126_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a AS a, b AS b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    edges = (
+        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = deg.localCheckpoint(eager=True)
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    pr = deg.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(pr, edges["a"] == pr["node"])
+            .join(deg.withColumnRenamed("node", "__dn"), edges["a"] == F.col("__dn"))
+            .select(
+                F.col("b").alias("node"),
+                F.round(F.col("pr") / F.col("d"), 10).cast("decimal(28,10)").alias("c"),
+            )
+        )
+        pr = (
+            contribs.groupBy("node")
+            .agg(F.sum("c").alias("sc"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    (F.lit(0.15) / F.col("n"))
+                    + (F.lit(0.85) * F.col("sc").cast("double"))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select(F.col("node").cast("bigint").alias("node"), F.round("pr", 8).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("node").asc())
+        .limit(20)
+    )

@@ -165,45 +165,33 @@ _MERGE_CHANGES_SQL = """
     """,
 )
 def q113_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import merge_cdc
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
     updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
-        F.col("o_orderkey").alias("k"),
+        "o_orderkey",
         F.lit("U").alias("op"),
-        (F.col("o_totalprice") + F.lit(10.0)).alias("ch_price"),
-        F.col("o_orderstatus").alias("ch_status"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        "o_orderstatus",
     )
     deletes = orders.filter(
         (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 7 != 0)
     ).select(
-        F.col("o_orderkey").alias("k"),
+        "o_orderkey",
         F.lit("D").alias("op"),
-        F.lit(None).cast("double").alias("ch_price"),
-        F.lit(None).cast("string").alias("ch_status"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
     )
     inserts = orders.filter(F.col("o_orderkey") % 11 == 0).select(
-        (-F.col("o_orderkey")).alias("k"),
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         F.lit("I").alias("op"),
-        F.col("o_totalprice").alias("ch_price"),
-        F.lit("N").alias("ch_status"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
-    base = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    merged = base.join(changes, "k", "full_outer")
-    return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
-        F.col("k").alias("o_orderkey"),
-        F.coalesce("ch_price", "price").alias("o_totalprice"),
-        F.coalesce("ch_status", "status").alias("o_orderstatus"),
-        F.when(F.col("op") == "I", "inserted")
-        .when(F.col("op") == "U", "updated")
-        .otherwise("kept")
-        .alias("merge_action"),
-    )
+    return merge_cdc(orders, changes, key="o_orderkey")
 
 
 # ---------------------------------------------------------------------------

@@ -127,3 +127,62 @@ def test_simhash_matches_duckdb(spark, duck, texts):
         ).fetchall()
     )
     assert got == want
+
+
+KEYS = st.integers(min_value=0, max_value=15)
+OPS = st.sampled_from(["U", "D", "I"])
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base_keys=st.lists(KEYS, min_size=1, max_size=10, unique=True),
+    change_items=st.lists(st.tuples(KEYS, OPS), min_size=0, max_size=10, unique_by=lambda t: t[0]),
+)
+def test_merge_cdc_matches_duckdb(spark, duck, base_keys, change_items):
+    """operators.relational.merge_cdc vs a DuckDB FULL OUTER JOIN replay
+    of MERGE semantics on random base/change sets: inserts on absent
+    keys, updates/deletes on any key (a delete for an absent key is a
+    legal no-op; an insert for a present key overwrites like an update —
+    both engines must agree on these edges too)."""
+    import pandas as pd
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.relational import (
+        merge_cdc,
+    )
+
+    base = spark.createDataFrame(
+        [(k, float(k * 10)) for k in base_keys], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [(k, op, float(k * 100)) for k, op in change_items], "k long, op string, v double"
+    )
+    got = {
+        (r.k, r.v, r.merge_action)
+        for r in merge_cdc(base, changes, key="k").collect()
+    }
+    duck.register("b_view", pd.DataFrame({"k": base_keys, "v": [float(k * 10) for k in base_keys]}))
+    duck.register(
+        "c_view",
+        pd.DataFrame(
+            {
+                "k": [k for k, _ in change_items],
+                "op": [op for _, op in change_items],
+                "v": [float(k * 100) for k, _ in change_items],
+            }
+        ).astype({"k": "int64", "op": "string", "v": "float64"}),
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in duck.execute(
+            """
+            SELECT COALESCE(c.k, b.k) AS k,
+                   COALESCE(c.v, b.v) AS v,
+                   CASE WHEN c.op = 'I' THEN 'inserted'
+                        WHEN c.op = 'U' THEN 'updated'
+                        ELSE 'kept' END AS merge_action
+            FROM b_view b FULL OUTER JOIN c_view c ON b.k = c.k
+            WHERE c.op IS NULL OR c.op <> 'D'
+            """
+        ).fetchall()
+    }
+    assert got == want

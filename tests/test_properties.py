@@ -380,3 +380,30 @@ def test_kll_sketch_rank_error_bound(spark, sf_dir):
             lo, hi = bounds[prio]
             v = getattr(row, field)
             assert lo <= v <= hi, f"{field}[{prio}]={v} outside exact [{lo}, {hi}]"
+
+
+def test_theta_sketch_error_bound(spark, sf_dir):
+    """q125's theta estimates must sit within 5% of the exact set sizes
+    at ANY scale (below 2^12 distinct the sketch is exact — the oracle
+    relies on that at sf0.01; this bound is the contract beyond it)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import load_table
+
+    est = {
+        r.set_name: r.est
+        for r in entrymod.queries()["q125_theta_set_ops"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    view = {r.user_id for r in ev.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    click = {r.user_id for r in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    exact = {
+        "view_users": len(view),
+        "click_users": len(click),
+        "view_or_click": len(view | click),
+        "view_and_click": len(view & click),
+        "view_not_click": len(view - click),
+    }
+    for k, want in exact.items():
+        got = est[k]
+        assert abs(got - want) <= max(0.05 * want, 1), f"{k}: est {got} vs exact {want}"
