@@ -584,3 +584,82 @@ def q123_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("min_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — split drift monitor: the domain (source) distribution of the
+# q80 hash-split train half vs the rest, reported as per-domain smoothed
+# KL-divergence terms p·ln(p/q) (add-1 smoothing so unseen domains don't
+# produce infinities). The check a corpus pipeline runs after any
+# resample/rebalance: a drifted split shows a fat kl_term on the domain
+# that moved. Per-term logs are rounded at 10 dp (ln ulp guard); a
+# consumer summing terms should cast to DECIMAL first (q106's
+# order-independence pattern).
+#
+# Shape (100 TB): one scan; the split flag is scan-local hash math; one
+# groupBy (source, split) over a tiny domain set; the per-domain totals
+# come from a window over that already-aggregated frame. The corpus is
+# shuffled once.
+# ---------------------------------------------------------------------------
+_SPLIT_H_SQL = (
+    "CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16"
+    " + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT)"
+)
+
+
+@register(
+    "q127_split_drift_kl",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CASE WHEN {_SPLIT_H_SQL} < 204 THEN 'train' ELSE 'eval' END AS split
+      FROM documents),
+    c AS (SELECT source,
+                 COUNT(*) FILTER (WHERE split = 'train') + 1 AS n_train,
+                 COUNT(*) FILTER (WHERE split = 'eval') + 1 AS n_eval
+          FROM s GROUP BY source),
+    t AS (SELECT source, n_train, n_eval,
+                 SUM(n_train) OVER () AS tot_train, SUM(n_eval) OVER () AS tot_eval
+          FROM c)
+    SELECT source,
+           CAST(n_train - 1 AS BIGINT) AS n_train,
+           CAST(n_eval - 1 AS BIGINT) AS n_eval,
+           ROUND(CAST(n_train AS DOUBLE) / tot_train, 6) AS p,
+           ROUND(CAST(n_eval AS DOUBLE) / tot_eval, 6) AS q,
+           ROUND((CAST(n_train AS DOUBLE) / tot_train)
+                 * ln((CAST(n_train AS DOUBLE) / tot_train)
+                      / (CAST(n_eval AS DOUBLE) / tot_eval)), 10) AS kl_term
+    FROM t
+    """,
+)
+def q127_split_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hexd = "0123456789abcdef"
+    h1 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    h2 = F.instr(F.lit(hexd), F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) - 1
+    h = h1.cast("bigint") * 16 + h2.cast("bigint")
+    s = docs.select(
+        "source", F.when(h < 204, "train").otherwise("eval").alias("split")
+    )
+    c = s.groupBy("source").agg(
+        (F.sum(F.when(F.col("split") == "train", 1).otherwise(0)) + 1).alias("n_train"),
+        (F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)) + 1).alias("n_eval"),
+    )
+    # totals via a global window over the tiny per-domain frame (q106's
+    # justified single-partition: rows = |domains|, broadcast-small)
+    t = c.select(
+        "source",
+        "n_train",
+        "n_eval",
+        F.sum("n_train").over(Window.partitionBy()).alias("tot_train"),
+        F.sum("n_eval").over(Window.partitionBy()).alias("tot_eval"),
+    )
+    p = F.col("n_train").cast("double") / F.col("tot_train")
+    q = F.col("n_eval").cast("double") / F.col("tot_eval")
+    return t.select(
+        "source",
+        (F.col("n_train") - 1).cast("bigint").alias("n_train"),
+        (F.col("n_eval") - 1).cast("bigint").alias("n_eval"),
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(p * F.log(p / q), 10).alias("kl_term"),
+    )

@@ -9,7 +9,7 @@ Window starts are surfaced as epoch seconds (BIGINT) — timezone-proof.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
@@ -389,4 +389,52 @@ def q118_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             axis["event_type"].alias("event_type"),
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — behavior transition matrix: per user, order events by the total
+# order (epoch-floored ts, event_id) and count consecutive event-type
+# bigrams; emit each transition's count and per-source-state probability
+# (the first-order Markov chain product analytics reads funnels from).
+# Probability = count/row-total as identically-parenthesized double math
+# rounded to 6 — cross-engine exact.
+#
+# Shape (100 TB): one shuffle on user_id for the lag window, then a
+# small (|types|²) aggregate; the per-from totals come from a window
+# over that tiny frame, not a second pass over events.
+# ---------------------------------------------------------------------------
+@register(
+    "q128_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+      FROM events),
+    c AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+          FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type),
+    t AS (SELECT from_type, to_type, n,
+                 SUM(n) OVER (PARTITION BY from_type) AS tot
+          FROM c)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS prob
+    FROM t
+    """,
+)
+def q128_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("long"), "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).filter(F.col("from_type").isNotNull())
+    c = o.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.withColumn("tot", F.sum("n").over(Window.partitionBy("from_type")))
+    return t.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("prob"),
     )

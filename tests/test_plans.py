@@ -322,3 +322,13 @@ def test_q123_pipeline_broadcasts_gate_sets(spark, sf_dir):
     df = QUERIES["q123_pretraining_pipeline"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q126_pagerank_broadcasts_rank_vector(spark, sf_dir):
+    """PageRank iterations must broadcast the per-node rank/degree frame
+    into the edges join — the edge list is never shuffled for a join
+    (the only per-iteration shuffle is the contribution aggregate)."""
+    df = QUERIES["q126_pagerank_copurchase"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
