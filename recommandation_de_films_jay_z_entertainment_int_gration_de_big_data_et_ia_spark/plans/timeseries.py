@@ -438,3 +438,160 @@ def q128_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — horizon dedup (the batch twin of q114's streaming
+# dropDuplicatesWithinWatermark): per (user, event_type), events closer
+# than 30 min to their predecessor collapse into one "burst"; keep the
+# first event of each burst. Expressed with the native session window —
+# the same merging-state machinery as q46 — so the batch and streaming
+# forms share semantics. Oracle: gaps-and-islands (lag + cumulative
+# new-burst flag), the classic SQL replay of session merging.
+# The burst's keeper is selected via a packed (t, event_id) integer key
+# (t*2^32 + id — engine-agnostic argmin; t < 2^31 and id < 2^32 keep
+# the pack inside int64 for any realistic fixture).
+# ---------------------------------------------------------------------------
+@register(
+    "q129_horizon_dedup",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_t
+      FROM events),
+    f AS (SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t >= 1800 THEN 1 ELSE 0 END AS new_burst
+          FROM o),
+    g AS (SELECT *, SUM(new_burst) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY t, event_id) AS burst
+          FROM f)
+    SELECT user_id, event_type,
+           CAST(MIN(t * 4294967296 + event_id) // 4294967296 AS BIGINT) AS first_ts_s,
+           CAST(MIN(t * 4294967296 + event_id) % 4294967296 AS BIGINT) AS kept_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_collapsed
+    FROM g GROUP BY user_id, event_type, burst
+    """,
+)
+def q129_horizon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min(F.col("ts").cast("long") * 4294967296 + F.col("event_id")).alias("__p"),
+            F.count(F.lit(1)).cast("bigint").alias("n_collapsed"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            (F.col("__p") / 4294967296).cast("bigint").alias("first_ts_s"),
+            (F.col("__p") % 4294967296).cast("bigint").alias("kept_event_id"),
+            "n_collapsed",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — chi-square independence audit between event_type and day-of-week:
+# observed cell counts vs expected under independence, with per-cell
+# chi² contributions. Day-of-week is epoch arithmetic ((d + 4) % 7,
+# 1970-01-01 = Thursday) — timezone-free and identical in both engines;
+# expected/chi² are identically-parenthesized double math on exact
+# counts, rounded to 6.
+# ---------------------------------------------------------------------------
+@register(
+    "q130_chisq_dow",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS BIGINT) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, dow, o,
+                 SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+                 SUM(o) OVER (PARTITION BY dow) AS col_tot,
+                 SUM(o) OVER () AS n
+          FROM c)
+    SELECT event_type, dow, CAST(o AS BIGINT) AS observed,
+           ROUND((CAST(row_tot AS DOUBLE) * col_tot) / n, 6) AS expected,
+           ROUND(((o - (CAST(row_tot AS DOUBLE) * col_tot) / n)
+                  * (o - (CAST(row_tot AS DOUBLE) * col_tot) / n))
+                 / ((CAST(row_tot AS DOUBLE) * col_tot) / n), 6) AS chi2_term
+    FROM t
+    """,
+)
+def q130_chisq_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dow = (((F.col("ts").cast("long") / 86400).cast("bigint") + 4) % 7).cast("bigint")
+    c = ev.groupBy("event_type", dow.alias("dow")).agg(F.count(F.lit(1)).alias("o"))
+    t = c.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = (F.col("row_tot").cast("double") * F.col("col_tot")) / F.col("n")
+    return t.select(
+        "event_type",
+        "dow",
+        F.col("o").cast("bigint").alias("observed"),
+        F.round(e, 6).alias("expected"),
+        F.round(((F.col("o") - e) * (F.col("o") - e)) / e, 6).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — grouped OLS trend: per event_type, regress value on event-day
+# with closed-form least squares over EXACT decimal sums (value rounded
+# to DECIMAL(18,6) first; x is integer days) — the slope/intercept
+# doubles are then identical in both engines because every float op on
+# top of the exact sums is identically parenthesized.
+# ---------------------------------------------------------------------------
+@register(
+    "q131_group_ols_trend",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS x,
+             CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS y
+      FROM events WHERE value IS NOT NULL),
+    s AS (SELECT event_type,
+                 COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+                 SUM(y) AS sy, SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+          FROM p GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS slope,
+           ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+)
+def q131_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = ev.select(
+        "event_type",
+        (F.col("ts").cast("long") / 86400).cast("bigint").alias("x"),
+        F.round("value", 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, sxxd = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    syd, sxyd = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 8).alias("slope"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+    )
