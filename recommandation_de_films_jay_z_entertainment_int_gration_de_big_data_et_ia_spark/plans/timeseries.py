@@ -595,3 +595,66 @@ def q131_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 8).alias("slope"),
         F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — weighted moving average per event-type daily series: the last 3
+# days' sums combined with fixed weights (0.5, 0.3, 0.2, newest first) —
+# the bounded-window smoother dashboards run (EWMA's exact finite
+# cousin; a true EWMA is the streaming applyInPandasWithState shape).
+# Daily sums and the weighted combination stay in EXACT decimal
+# arithmetic end-to-end and are emitted at FULL scale as strings — the
+# oracle exposed that not only double rounding but even decimal→decimal
+# tie rounding differs across engines (x.xx5 went HALF_UP in Spark,
+# down in DuckDB), so the only bit-stable surface is the unrounded
+# exact decimal.
+# ---------------------------------------------------------------------------
+@register(
+    "q132_weighted_moving_avg",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day, s,
+             LAG(s, 1) OVER (PARTITION BY event_type ORDER BY day) AS s1,
+             LAG(s, 2) OVER (PARTITION BY event_type ORDER BY day) AS s2
+      FROM d)
+    SELECT event_type, day,
+           CAST(s AS VARCHAR) AS day_sum,
+           CAST(CAST(CAST(0.5 AS DECIMAL(2,1)) * s
+                     + CAST(0.3 AS DECIMAL(2,1)) * s1
+                     + CAST(0.2 AS DECIMAL(2,1)) * s2 AS DECIMAL(30,7)) AS VARCHAR) AS wma3
+    FROM l WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+    """,
+)
+def q132_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type",
+        (F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
+    ).agg(F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("s"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type",
+        "day",
+        "s",
+        F.lag("s", 1).over(w).alias("s1"),
+        F.lag("s", 2).over(w).alias("s2"),
+    ).filter(F.col("s1").isNotNull() & F.col("s2").isNotNull())
+    import decimal
+
+    w5 = F.lit(decimal.Decimal("0.5"))
+    w3 = F.lit(decimal.Decimal("0.3"))
+    w2 = F.lit(decimal.Decimal("0.2"))
+    return lagged.select(
+        "event_type",
+        "day",
+        F.col("s").cast("string").alias("day_sum"),
+        (w5 * F.col("s") + w3 * F.col("s1") + w2 * F.col("s2"))
+        .cast("decimal(30,7)")
+        .cast("string")
+        .alias("wma3"),
+    )
