@@ -194,3 +194,46 @@ def q92_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — LATERAL join (correlated table subquery): each nation's top-3
+# customers by account balance, via a per-row correlated LIMIT — the SQL
+# surface for "top-N per group" that Catalyst decorrelates into the same
+# window plan the DataFrame API would build. Tie-broken on c_custkey so
+# the LIMIT cut is deterministic in both engines.
+# ---------------------------------------------------------------------------
+_Q133_SQL = """
+SELECT n.n_name, t.c_custkey, ROUND(CAST(CAST(t.c_acctbal AS DECIMAL(18,4)) AS DOUBLE), 2) AS acctbal
+FROM nation n,
+     LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) t
+"""
+
+
+@register("q133_lateral_topk", oracle=_Q133_SQL)
+def q133_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_Q133_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q134 — correlated EXISTS / NOT EXISTS (compiled to semi/anti joins):
+# suppliers with at least one high-quantity line shipped and no
+# discounted line — q57's membership semantics through the EXISTS
+# surface (NULL-safe where NOT IN famously is not).
+# ---------------------------------------------------------------------------
+_Q134_SQL = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09)
+"""
+
+
+@register("q134_exists_subquery", oracle=_Q134_SQL)
+def q134_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_Q134_SQL)

@@ -171,3 +171,34 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         for r in ev.join(dim, ev["user_id"] == dim["c_custkey"]).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_ewma_equals_sequential_batch(spark, sf_dir):
+    """The custom applyInPandasWithState EWMA must equal a sequential
+    per-key EWMA computed independently over the batch table in
+    event-time order (the recursion built-in windows can't express)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.stateful import (
+        ewma_per_key,
+    )
+
+    stream = ewma_per_key(stream_events(spark, sf_dir), alpha=0.3)
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "t_ewma", output_mode="update")
+    # update mode: last emit per key is the final state (single batch here)
+    got = {r.event_type: (r.ewma, r.n) for r in spark.table("t_ewma").collect()}
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("ts").cast("long").alias("t"), "event_id", "value")
+        .orderBy("event_type", "t", "event_id")
+        .collect()
+    )
+    want: dict[str, tuple[float, int]] = {}
+    acc: dict[str, tuple[float | None, int]] = {}
+    for r in rows:
+        e, n = acc.get(r.event_type, (None, 0))
+        e = r.value if e is None else 0.3 * r.value + 0.7 * e
+        acc[r.event_type] = (e, n + 1)
+    want = {k: (round(v, 6), n) for k, (v, n) in acc.items()}
+    assert got == want and len(got) > 0
