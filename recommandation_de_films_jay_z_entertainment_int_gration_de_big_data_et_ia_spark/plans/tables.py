@@ -342,3 +342,33 @@ def q122_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sx").cast("bigint").alias("sx_lo"),
         F.max("sx").cast("bigint").alias("sx_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — schema-evolution union: two snapshots of the same logical table
+# with drifted schemas (v1 lacks a column v2 added; v2 dropped one v1
+# had) combined with unionByName(allowMissingColumns=True) — absent
+# columns NULL-fill per row, the read-side half of schema evolution a
+# lake table needs. The snapshots are derived deterministically from
+# orders so the oracle replays the union as UNION ALL with explicit
+# NULL columns.
+# ---------------------------------------------------------------------------
+@register(
+    "q136_schema_evolution_union",
+    oracle="""
+    SELECT o_orderkey, 'v1' AS snapshot, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, 'v2', NULL, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q136_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.lit("v1").alias("snapshot"), "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.lit("v2").alias("snapshot"), "o_orderpriority"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

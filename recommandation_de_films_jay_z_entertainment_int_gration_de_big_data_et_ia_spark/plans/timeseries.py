@@ -658,3 +658,51 @@ def q132_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("wma3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — point-in-time (time-travel) lookup over the SCD2 history: the
+# state every user was in at 2024-01-15 00:00 UTC — the interval
+# containing T (valid_from <= T < valid_to). This is why q102 closes its
+# open version with a year-9999 high-date instead of NULL: the probe is
+# a plain range filter, partition/zone-map prunable at scale, no
+# NULL-handling branch.
+# ---------------------------------------------------------------------------
+_PIT_T = 1705276800  # 2024-01-15 00:00:00 UTC
+
+
+@register(
+    "q135_point_in_time",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+      FROM events),
+    chg AS (SELECT user_id, event_type, t, event_id FROM o
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+    hist AS (
+      SELECT user_id, event_type, t AS valid_from_s,
+             COALESCE(LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+                      253402300800) AS valid_to_s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS BIGINT) AS version
+      FROM chg)
+    SELECT user_id, event_type AS state_at_t, valid_from_s, version
+    FROM hist WHERE valid_from_s <= {_PIT_T} AND {_PIT_T} < valid_to_s
+    """,
+)
+def q135_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+    return hist.filter(
+        (F.col("valid_from_s") <= _PIT_T) & (F.lit(_PIT_T) < F.col("valid_to_s"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state_at_t"),
+        "valid_from_s",
+        "version",
+    )
