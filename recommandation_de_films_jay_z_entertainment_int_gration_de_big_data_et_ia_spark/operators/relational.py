@@ -440,9 +440,18 @@ def merge_cdc(
     b = base.select(F.col(key).alias("__k"), *payload)
     merged = b.join(ch, "__k", "full_outer")
     keep = merged.filter(F.col("__op").isNull() | (F.col("__op") != "D"))
+    # Change values apply UNCONDITIONALLY on a matched 'U'/'I' row — a
+    # NULL in the change payload sets the column to NULL, exactly like
+    # MERGE INTO ... UPDATE SET col = src.col (coalesce would silently
+    # keep the base value and diverge from real MERGE semantics).
     return keep.select(
         F.col("__k").alias(key),
-        *[F.coalesce(f"__ch_{c}", c).alias(c) for c in payload],
+        *[
+            F.when(F.col("__op").isNotNull(), F.col(f"__ch_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
         F.when(F.col("__op") == "I", "inserted")
         .when(F.col("__op") == "U", "updated")
         .otherwise("kept")

@@ -380,12 +380,9 @@ def q73_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q74_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # NB: no type hints — `from __future__ import annotations` stringifies
-    # them, which breaks pyspark's pandas_udf hint inference.
-    @pandas_udf("struct<e0: double, e1: double, l2norm: double>", PandasUDFType.SCALAR)
-    def norm_head(v):
+    def _norm_head(v):
         arrs = np.stack([np.asarray(x, dtype="float64") for x in v])
         # sequential-fold norm to match the oracle's list_reduce exactly
         nrm = np.sqrt(np.add.reduce(arrs * arrs, axis=1))
@@ -396,6 +393,14 @@ def q74_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l2norm": np.round(nrm, 4),
             }
         )
+
+    # Type-hint pandas UDF form (Series → DataFrame ≡ the old SCALAR
+    # struct UDF, no deprecated PandasUDFType). Annotations are assigned
+    # as REAL objects because `from __future__ import annotations`
+    # stringifies inline hints and pd/np live in function scope, which
+    # get_type_hints cannot resolve from module globals.
+    _norm_head.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    norm_head = pandas_udf(_norm_head, "struct<e0: double, e1: double, l2norm: double>")
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     out = emb.select("vec_id", norm_head("embedding").alias("s"))
@@ -699,7 +704,11 @@ def q125_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back to shuffle joins — the plan shape otherwise stands. N rides as a
 # broadcast 1-row frame, never a driver value.
 # ---------------------------------------------------------------------------
+# Damping + teleport as SEPARATE literals (not 1 - _PR_D, which is
+# 0.15000000000000002 in binary float): both the oracle f-string and the
+# Spark expressions reference these, so editing them edits both engines.
 _PR_D = 0.85
+_PR_TELEPORT = 0.15
 _PR_ITERS = 3
 
 
@@ -725,7 +734,7 @@ def _pr_oracle() -> str:
              CAST(ROUND(p.pr / deg.d, 10) AS DECIMAL(28,10)) AS c
       FROM edges e JOIN pr{k} p ON e.a = p.node JOIN deg ON e.a = deg.node),
     pr{k+1} AS (
-      SELECT s.node, (0.15 / n.n) + (0.85 * CAST(s.sc AS DOUBLE)) AS pr
+      SELECT s.node, ({_PR_TELEPORT} / n.n) + ({_PR_D} * CAST(s.sc AS DOUBLE)) AS pr
       FROM (SELECT node, SUM(c) AS sc FROM c{k} GROUP BY node) s CROSS JOIN n)
     """)
     return (
@@ -772,8 +781,8 @@ def q126_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 "d",
                 (
-                    (F.lit(0.15) / F.col("n"))
-                    + (F.lit(0.85) * F.col("sc").cast("double"))
+                    (F.lit(_PR_TELEPORT) / F.col("n"))
+                    + (F.lit(_PR_D) * F.col("sc").cast("double"))
                 ).alias("pr"),
             )
         )

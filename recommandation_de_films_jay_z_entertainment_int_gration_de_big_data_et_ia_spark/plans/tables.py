@@ -155,8 +155,8 @@ _MERGE_CHANGES_SQL = """
     base AS (SELECT o_orderkey AS k, o_totalprice AS price,
                     o_orderstatus AS status FROM orders)
     SELECT COALESCE(ch.k, base.k) AS o_orderkey,
-           COALESCE(ch.ch_price, base.price) AS o_totalprice,
-           COALESCE(ch.ch_status, base.status) AS o_orderstatus,
+           CASE WHEN ch.op IS NOT NULL THEN ch.ch_price ELSE base.price END AS o_totalprice,
+           CASE WHEN ch.op IS NOT NULL THEN ch.ch_status ELSE base.status END AS o_orderstatus,
            CASE WHEN ch.op = 'I' THEN 'inserted'
                 WHEN ch.op = 'U' THEN 'updated'
                 ELSE 'kept' END AS merge_action

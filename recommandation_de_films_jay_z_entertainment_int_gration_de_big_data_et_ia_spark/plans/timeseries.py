@@ -456,16 +456,22 @@ def q128_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q129_horizon_dedup",
     oracle="""
     WITH o AS (
+      -- Gap detection MUST use full-precision epoch(ts): Spark's
+      -- session_window merges on microsecond timestamps, so a pair with
+      -- a 1799.2s true gap (floored diff 1800) must merge here too.
+      -- Floored t is used only for the packed output key, matching the
+      -- Spark side's ts.cast('long'). (Same precision discipline as q46.)
       SELECT user_id, event_type, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS t,
-             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+             epoch(ts) AS t_us,
+             LAG(epoch(ts))
                OVER (PARTITION BY user_id, event_type
-                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_t
+                     ORDER BY epoch(ts), event_id) AS prev_t_us
       FROM events),
-    f AS (SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t >= 1800 THEN 1 ELSE 0 END AS new_burst
+    f AS (SELECT *, CASE WHEN prev_t_us IS NULL OR t_us - prev_t_us >= 1800 THEN 1 ELSE 0 END AS new_burst
           FROM o),
     g AS (SELECT *, SUM(new_burst) OVER (PARTITION BY user_id, event_type
-                                         ORDER BY t, event_id) AS burst
+                                         ORDER BY t_us, event_id) AS burst
           FROM f)
     SELECT user_id, event_type,
            CAST(MIN(t * 4294967296 + event_id) // 4294967296 AS BIGINT) AS first_ts_s,

@@ -136,14 +136,18 @@ OPS = st.sampled_from(["U", "D", "I"])
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     base_keys=st.lists(KEYS, min_size=1, max_size=10, unique=True),
-    change_items=st.lists(st.tuples(KEYS, OPS), min_size=0, max_size=10, unique_by=lambda t: t[0]),
+    change_items=st.lists(
+        st.tuples(KEYS, OPS, st.booleans()), min_size=0, max_size=10, unique_by=lambda t: t[0]
+    ),
 )
 def test_merge_cdc_matches_duckdb(spark, duck, base_keys, change_items):
     """operators.relational.merge_cdc vs a DuckDB FULL OUTER JOIN replay
     of MERGE semantics on random base/change sets: inserts on absent
     keys, updates/deletes on any key (a delete for an absent key is a
     legal no-op; an insert for a present key overwrites like an update —
-    both engines must agree on these edges too)."""
+    both engines must agree on these edges too). The boolean in each
+    change item makes the payload NULL: a 'U' carrying NULL must NULL
+    the column out (real MERGE), not keep the base value."""
     import pandas as pd
 
     from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.relational import (
@@ -154,7 +158,8 @@ def test_merge_cdc_matches_duckdb(spark, duck, base_keys, change_items):
         [(k, float(k * 10)) for k in base_keys], "k long, v double"
     )
     changes = spark.createDataFrame(
-        [(k, op, float(k * 100)) for k, op in change_items], "k long, op string, v double"
+        [(k, op, None if is_null else float(k * 100)) for k, op, is_null in change_items],
+        "k long, op string, v double",
     )
     got = {
         (r.k, r.v, r.merge_action)
@@ -165,9 +170,9 @@ def test_merge_cdc_matches_duckdb(spark, duck, base_keys, change_items):
         "c_view",
         pd.DataFrame(
             {
-                "k": [k for k, _ in change_items],
-                "op": [op for _, op in change_items],
-                "v": [float(k * 100) for k, _ in change_items],
+                "k": [k for k, _, _ in change_items],
+                "op": [op for _, op, _ in change_items],
+                "v": [None if is_null else float(k * 100) for k, _, is_null in change_items],
             }
         ).astype({"k": "int64", "op": "string", "v": "float64"}),
     )
@@ -176,7 +181,7 @@ def test_merge_cdc_matches_duckdb(spark, duck, base_keys, change_items):
         for r in duck.execute(
             """
             SELECT COALESCE(c.k, b.k) AS k,
-                   COALESCE(c.v, b.v) AS v,
+                   CASE WHEN c.op IS NOT NULL THEN c.v ELSE b.v END AS v,
                    CASE WHEN c.op = 'I' THEN 'inserted'
                         WHEN c.op = 'U' THEN 'updated'
                         ELSE 'kept' END AS merge_action

@@ -190,8 +190,11 @@ def test_stateful_ewma_equals_sequential_batch(spark, sf_dir):
     rows = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .select("event_type", F.col("ts").cast("long").alias("t"), "event_id", "value")
-        .orderBy("event_type", "t", "event_id")
+        # Full-precision ts (NOT floored to seconds): the operator folds
+        # rows sorted by microsecond ts + event_id, so the replay must
+        # use the identical ordering or same-second events could flip.
+        .select("event_type", "ts", "event_id", "value")
+        .orderBy("event_type", "ts", "event_id")
         .collect()
     )
     want: dict[str, tuple[float, int]] = {}

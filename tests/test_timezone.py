@@ -4,8 +4,11 @@ DuckDB oracles even when the Spark session runs in a non-UTC timezone.
 The driver evaluates the catalog on a VANILLA SparkSession (host-default
 timezone, whatever that is), while DuckDB's ``epoch()`` reads a naive
 timestamp as UTC. The engine therefore anchors ``events.ts`` to UTC at
-the source (``to_utc_timestamp(ts, 'UTC')`` in ``load_table``) and does
-all bucketing in epoch arithmetic, never calendar truncation. These
+the source via the NTZ-arithmetic rebase in ``sources/readers.py``
+(``_ntz_as_utc``: ``timestampdiff`` from the NTZ epoch +
+``timestamp_micros`` — NOT ``to_utc_timestamp``, which would shift the
+value through the session timezone) and does all bucketing in epoch
+arithmetic, never calendar truncation. These
 tests prove that contract by flipping the session timezone to a
 DST-observing offset zone and re-running the parity gate for every
 timestamp-sensitive query family: raw epoch casts (q101), windowed aggs
