@@ -129,3 +129,58 @@ def bm25_with_index(
         scored.withColumn(score_col, F.round(total, 4))
         .drop("__tk", "__dl", "n_docs", "sum_dl", "__dfmap")
     )
+
+
+def build_token_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted index ``postings(term, doc_id)``: one row per (doc,
+    DISTINCT token). The persistable structure behind the batched
+    more-like-this (reference ``api.py:124-135``'s per-request
+    genre-overlap scan, re-expressed as an index probe).
+
+    One corpus scan; the explode is map-side (no shuffle). At scale,
+    write it as parquet partitioned/bucketed by ``term`` once per corpus
+    snapshot — every query batch after that touches ONLY this table,
+    never the corpus.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+
+
+def more_like_this_batch(
+    postings: DataFrame,
+    target_ids: Sequence,
+    k: int = 5,
+) -> DataFrame:
+    """Batched more-like-this over the prebuilt postings index: for every
+    target doc in the batch, the top-k other docs by distinct-token
+    overlap — same scores as ``search.more_like_this`` (guarded
+    bit-identical for a singleton batch in tests/test_search.py), but
+    answering a WHOLE batch with one token equi-join instead of one
+    corpus scan per request.
+
+    Plan: target postings (tiny — |batch| docs' tokens, filtered off the
+    index, NOT the corpus) broadcast into the postings join; since
+    postings hold distinct tokens per doc, COUNT(*) per (qid, doc) IS
+    ``|tokens(target) ∩ tokens(doc)|``. One shuffle for the pair count,
+    one per-qid window for the top-k. The corpus is never scanned at
+    query time (plan-guarded: tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    targets = postings.filter(F.col("doc_id").isin(list(target_ids))).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    ov = (
+        postings.join(F.broadcast(targets), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("overlap"), F.asc("doc_id"))
+    return (
+        ov.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )

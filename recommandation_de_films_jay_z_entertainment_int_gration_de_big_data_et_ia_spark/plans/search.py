@@ -494,3 +494,46 @@ def q100_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q137 — BATCHED more-like-this against the prebuilt postings index
+# (closes q28's "per-query full-corpus scan" weakness): a whole batch of
+# target docs answered with ONE token equi-join against the inverted
+# index + a per-target window top-k. Same overlap semantics as q28
+# (reference api.py:124-135) — bit-identical for a singleton batch
+# (tests/test_search.py); the postings join replaces the per-request
+# corpus scan, so a serving tier issues N requests for the cost of one
+# index pass. Overlap counts are exact integers — no rounding to defend.
+# ---------------------------------------------------------------------------
+_MLT_BATCH = (0, 7, 42)
+
+
+@register(
+    "q137_mlt_indexed_batch",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS term FROM documents),
+    t AS (SELECT doc_id AS qid, term FROM p WHERE doc_id IN {_MLT_BATCH}),
+    ov AS (
+      SELECT t.qid, p.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM p JOIN t ON p.term = t.term
+      WHERE p.doc_id != t.qid
+      GROUP BY t.qid, p.doc_id)
+    SELECT qid, doc_id, overlap, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY overlap DESC, doc_id ASC) AS rn
+      FROM ov)
+    WHERE rn <= 5
+    ORDER BY qid, rank
+    """,
+)
+def q137_mlt_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained here — the postings index is built in the same job
+    (one corpus scan); at scale it is written as parquet bucketed by
+    term once per corpus snapshot and the query path below is unchanged
+    (and then touches the corpus zero times — plan-guarded in
+    tests/test_plans.py with a persisted index)."""
+    from ..operators.textindex import build_token_postings, more_like_this_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = build_token_postings(docs, "doc_id", "text")
+    return more_like_this_batch(postings, list(_MLT_BATCH), k=5)

@@ -332,3 +332,28 @@ def test_q126_pagerank_broadcasts_rank_vector(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mlt_indexed_batch_needs_zero_corpus_scans(spark, sf_dir):
+    """Once the postings index is persisted, a more-like-this batch must
+    touch ONLY the index: zero scans of documents.parquet in the plan
+    (the q28 per-request corpus scan is what this operator retires),
+    with the tiny target side broadcast into the postings join."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        build_token_postings,
+        more_like_this_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdir = os.path.join(TMP, "mlt_postings")
+    shutil.rmtree(pdir, ignore_errors=True)
+    write_parquet(build_token_postings(docs, "doc_id", "text"), pdir)
+    out = more_like_this_batch(spark.read.parquet(pdir), [0, 7, 42], k=5)
+    plan = _plan(out)
+    corpus_scans = sum(
+        1 for ln in plan.splitlines() if "Scan parquet" in ln and "documents" in ln
+    )
+    assert corpus_scans == 0, f"expected 0 corpus scans, got {corpus_scans}"
+    assert "BroadcastHashJoin" in plan
+    assert out.count() > 0
+    shutil.rmtree(pdir, ignore_errors=True)

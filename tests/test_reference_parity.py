@@ -166,3 +166,29 @@ def test_multimatch_indexed_matches_inline(spark, sf_dir):
         ).collect()
     }
     assert inline and indexed == inline
+
+
+def test_mlt_indexed_singleton_matches_q28(spark, sf_dir):
+    """The batched postings-index more-like-this with a singleton batch
+    must be BIT-IDENTICAL to the per-query q28 operator (same target,
+    same k): identical (doc_id, overlap) sets in identical rank order —
+    overlap is an exact integer, so no tolerance."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.search import (
+        more_like_this,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        build_token_postings,
+        more_like_this_batch,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = [(r.doc_id, r.overlap) for r in more_like_this(docs, "doc_id", "text", target_id=0, k=5).collect()]
+    postings = build_token_postings(docs, "doc_id", "text")
+    batched = [
+        (r.doc_id, r.overlap)
+        for r in more_like_this_batch(postings, [0], k=5).orderBy("rank").collect()
+    ]
+    assert base and batched == base
