@@ -19,29 +19,106 @@ All ranking is deterministic (score desc, movieId asc).
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import normalize_text, tokens
 from . import search as S
 
+_SEARCH_FIELDS: dict[str, float] = {"title": 3.0, "genres_text": 1.0}
 
-def lookup_title(movies: DataFrame, title_query: str, size: int = 5) -> tuple[str, DataFrame]:
+
+@dataclass(frozen=True)
+class MovieIndex:
+    """The serving tier's persisted index (the engine's analog of the
+    reference's ES ``movies`` index, elasticsearch_ingest.py:92-105):
+
+    - ``docs`` — one row per movie with the payload columns PLUS the
+      precomputed ``__title_norm`` phrase-probe column, so a title
+      lookup is a substring filter on a materialized column, never a
+      per-request re-normalization of the corpus;
+    - ``postings`` — ``(field, term, movieId)`` distinct-token inverted
+      index over title and the flattened genres text, so fuzzy search
+      expands query terms against the (small) vocabulary and probes by
+      term equality instead of re-tokenizing every movie per request.
+
+    Both frames are plain DataFrames: build once per corpus snapshot,
+    ``write_parquet`` them (postings bucketed by term at scale), and
+    serve every request from the index alone.
+    """
+
+    docs: DataFrame
+    postings: DataFrame
+
+
+def build_movie_index_tables(movies: DataFrame) -> MovieIndex:
+    """One corpus scan per frame; the postings explode is map-side."""
+    docs = movies.select(
+        "movieId",
+        "title",
+        "release_date",
+        "genres",
+        F.concat(F.lit(" "), normalize_text("title"), F.lit(" ")).alias("__title_norm"),
+    )
+    tp = movies.select(
+        F.lit("title").alias("field"),
+        F.explode(F.array_distinct(tokens("title"))).alias("term"),
+        "movieId",
+    )
+    gp = movies.withColumn("genres_text", F.concat_ws(" ", "genres")).select(
+        F.lit("genres_text").alias("field"),
+        F.explode(F.array_distinct(tokens("genres_text"))).alias("term"),
+        "movieId",
+    )
+    return MovieIndex(docs=docs, postings=tp.unionByName(gp))
+
+
+def movie_frame(movies: DataFrame | MovieIndex) -> DataFrame:
+    """The payload-columns view of either serving input."""
+    if isinstance(movies, MovieIndex):
+        return movies.docs.select("movieId", "title", "release_date", "genres")
+    return movies
+
+
+def lookup_title(
+    movies: DataFrame | MovieIndex, title_query: str, size: int = 5
+) -> tuple[str, DataFrame]:
     """Phrase-match a title; returns (status, frame) where status ∈
-    {'none', 'ambiguous', 'unique'} mirroring api.py:95-116's branches."""
-    hits = movies.filter(S.phrase_match("title", title_query)).select(
-        "movieId", "title", "release_date", "genres"
-    ).orderBy(F.asc("movieId")).limit(size)
+    {'none', 'ambiguous', 'unique'} mirroring api.py:95-116's branches.
+
+    Against a :class:`MovieIndex`, the probe is a substring filter on the
+    PRECOMPUTED ``__title_norm`` column (plan-guarded: no per-request
+    regexp normalization); results are identical to the inline
+    ``phrase_match`` path because the stored column is exactly the
+    normalized haystack that path builds per request."""
+    if isinstance(movies, MovieIndex):
+        norm = re.sub(r"[^a-z0-9]+", " ", title_query.lower()).strip()
+        hits = (
+            movies.docs.filter(F.col("__title_norm").contains(f" {norm} "))
+            .select("movieId", "title", "release_date", "genres")
+            .orderBy(F.asc("movieId"))
+            .limit(size)
+        )
+    else:
+        hits = movies.filter(S.phrase_match("title", title_query)).select(
+            "movieId", "title", "release_date", "genres"
+        ).orderBy(F.asc("movieId")).limit(size)
     n = hits.count()
     status = "none" if n == 0 else ("unique" if n == 1 else "ambiguous")
     return status, hits
 
 
 def recommend_by_genre_overlap(
-    movies: DataFrame, movie_id: int, genres: list[str], k: int = 5
+    movies: DataFrame | MovieIndex, movie_id: int, genres: list[str], k: int = 5
 ) -> DataFrame:
     """bool{must: terms(genres), must_not: term(movieId)} ranked by genre
-    overlap size (deterministic stand-in for ES relevance)."""
+    overlap size (deterministic stand-in for ES relevance). The genres
+    array is a stored column in both serving inputs — no tokenization
+    either way."""
+    frame = movie_frame(movies)
     pred = S.bool_query(
         must=[S.terms_overlap(F.col("genres"), genres)],
         must_not=[S.term("movieId", movie_id)],
@@ -50,7 +127,7 @@ def recommend_by_genre_overlap(
         F.array_intersect(F.col("genres"), F.array(*[F.lit(g) for g in genres]))
     )
     return (
-        movies.filter(pred)
+        frame.filter(pred)
         .select("movieId", "title", "release_date", "genres", overlap.alias("score"))
         .orderBy(F.desc("score"), F.asc("movieId"))
         .limit(k)
@@ -58,11 +135,38 @@ def recommend_by_genre_overlap(
 
 
 def recommend_by_title_keywords(
-    movies: DataFrame, movie_id: int, title: str, k: int = 5, min_len: int = 4
+    movies: DataFrame | MovieIndex, movie_id: int, title: str, k: int = 5, min_len: int = 4
 ) -> DataFrame:
     """Fallback when the source movie has no genres: any long title word
-    matches (minimum_should_match=1), ranked by #matching words."""
+    matches (minimum_should_match=1), ranked by #matching words.
+
+    Against a :class:`MovieIndex`: exact-term probes of the title
+    postings (duplicate query words keep their multiplicity, matching
+    the inline path's per-word ``array_contains`` sum)."""
     words = [w for w in title.lower().replace("(", " ").replace(")", " ").split() if len(w) >= min_len]
+    if isinstance(movies, MovieIndex):
+        if not words:
+            return movie_frame(movies).filter(F.lit(False)).withColumn(
+                "score", F.lit(0)
+            )
+        spark = movies.docs.sparkSession
+        mult: dict[str, int] = {}
+        for w in words:
+            mult[w] = mult.get(w, 0) + 1
+        wf = spark.createDataFrame(list(mult.items()), "term string, mult int")
+        scores = (
+            movies.postings.filter(F.col("field") == "title")
+            .join(F.broadcast(wf), "term")
+            .groupBy("movieId")
+            .agg(F.sum("mult").cast("int").alias("score"))
+        )
+        return (
+            movies.docs.join(scores, "movieId")
+            .filter((F.col("movieId") != movie_id) & (F.col("score") >= 1))
+            .select("movieId", "title", "release_date", "genres", "score")
+            .orderBy(F.desc("score"), F.asc("movieId"))
+            .limit(k)
+        )
     toks = tokens("title")
     score = S.keyword_match_count(toks, words, min_len=min_len)
     return (
@@ -74,21 +178,60 @@ def recommend_by_title_keywords(
     )
 
 
-def search_hits(movies: DataFrame, query: str) -> DataFrame:
+def search_hits(movies: DataFrame | MovieIndex, query: str) -> DataFrame:
     """All docs matching the ``GET /search`` fuzzy multi_match (title^3,
     genres^1, AUTO fuzziness), score > 0, before pagination — the frame
-    behind both the page window and the ``hits.total.value`` count."""
+    behind both the page window and the ``hits.total.value`` count.
+
+    Against a :class:`MovieIndex`, this is Lucene's actual fuzzy plan:
+    each query term expands against the per-field VOCABULARY (distinct
+    postings terms — small) by edit distance, expanded terms probe the
+    postings by equality, and a doc scores boost × (#query-term
+    occurrences fuzzily present in the field). Presence-per-(field,
+    query-term) semantics and 4-digit rounding are identical to the
+    inline ``multi_match_score`` path (sums of 3.0/1.0 are exact in
+    binary float, so fold order is immaterial); guarded equal in
+    tests/test_serving.py."""
     terms = [t for t in query.lower().split() if t]
+    if isinstance(movies, MovieIndex):
+        if not terms:
+            return movie_frame(movies).filter(F.lit(False)).withColumn(
+                "score", F.round(F.lit(0.0), 4)
+            )
+        spark = movies.docs.sparkSession
+        qf = F.broadcast(
+            spark.createDataFrame(
+                [(i, t, S.auto_fuzziness(t)) for i, t in enumerate(terms)],
+                "qi int, qterm string, dist int",
+            )
+        )
+        vocab = movies.postings.select("field", "term").distinct()
+        expanded = vocab.join(
+            qf, F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("dist")
+        ).select("field", "term", "qi")
+        boost = F.when(F.col("field") == "title", F.lit(_SEARCH_FIELDS["title"])).otherwise(
+            F.lit(_SEARCH_FIELDS["genres_text"])
+        )
+        scores = (
+            movies.postings.join(F.broadcast(expanded), ["field", "term"])
+            .select("movieId", "field", "qi")
+            .distinct()
+            .groupBy("movieId")
+            .agg(F.round(F.sum(boost), 4).alias("score"))
+        )
+        return movies.docs.drop("__title_norm").join(scores, "movieId").filter(
+            F.col("score") > 0
+        )
     return S.multi_match_score(
         movies.withColumn("genres_text", F.concat_ws(" ", "genres")),
-        {"title": 3.0, "genres_text": 1.0},
+        {"title": _SEARCH_FIELDS["title"], "genres_text": _SEARCH_FIELDS["genres_text"]},
         terms,
         fuzzy=True,
     ).filter(F.col("score") > 0)
 
 
 def search_movies(
-    movies: DataFrame, query: str, page: int = 1, size: int = 10
+    movies: DataFrame | MovieIndex, query: str, page: int = 1, size: int = 10
 ) -> DataFrame:
     """Fuzzy multi_match (title^3, genres^1, AUTO fuzziness) + pagination
     clamps (page ≥ 1, size 1..100)."""

@@ -32,9 +32,16 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
 from .operators import movierec
+from .operators.movierec import MovieIndex
 
 VERSION = "1.0.0"
 Response = tuple[int, dict[str, Any]]
+
+# Every endpoint accepts either the raw movies DataFrame (ad-hoc path)
+# or a prebuilt movierec.MovieIndex (the production serving path: each
+# request probes the persisted index instead of re-tokenizing the
+# corpus; responses are identical — tests/test_serving.py runs the
+# golden answers against BOTH inputs).
 
 
 def _doc(row: Row) -> dict[str, Any]:
@@ -50,7 +57,7 @@ def _doc(row: Row) -> dict[str, Any]:
     }
 
 
-def recommend_endpoint(movies: DataFrame, body: dict | None) -> Response:
+def recommend_endpoint(movies: DataFrame | MovieIndex, body: dict | None) -> Response:
     """``POST /recommend`` (api.py:74-162): title lookup with 404 /
     disambiguation branches, then genre-overlap recommendations — or the
     title-keyword fallback when the movie has no genres, with keywords
@@ -86,7 +93,7 @@ def recommend_endpoint(movies: DataFrame, body: dict | None) -> Response:
     }
 
 
-def movie_endpoint(movies: DataFrame, movie_id) -> Response:
+def movie_endpoint(movies: DataFrame | MovieIndex, movie_id) -> Response:
     """``GET /movie/<id>`` (api.py:164-184): exact-id lookup. A
     non-numeric id makes the reference's ES term query throw, surfacing
     as its 500 branch — mirrored here."""
@@ -94,8 +101,9 @@ def movie_endpoint(movies: DataFrame, movie_id) -> Response:
         mid = int(str(movie_id))
     except (TypeError, ValueError) as e:
         return 500, {"error": f"Error retrieving movie: {e}"}
+    frame = movierec.movie_frame(movies)
     rows = (
-        movies.filter(movies["movieId"] == mid)
+        frame.filter(frame["movieId"] == mid)
         .select("movieId", "title", "release_date", "genres")
         .limit(1)
         .collect()
@@ -105,7 +113,7 @@ def movie_endpoint(movies: DataFrame, movie_id) -> Response:
     return 200, _doc(rows[0])
 
 
-def search_endpoint(movies: DataFrame, args: dict) -> Response:
+def search_endpoint(movies: DataFrame | MovieIndex, args: dict) -> Response:
     """``GET /search`` (api.py:186-238): fuzzy multi_match over
     title^3 + genres with offset pagination. Clamps mirror the reference
     exactly: page < 1 → 1; size outside 1..100 → reset to the DEFAULT 10
@@ -148,13 +156,13 @@ def search_endpoint(movies: DataFrame, args: dict) -> Response:
         return 500, {"error": f"Error during search: {e}"}
 
 
-def health_endpoint(movies: DataFrame | None) -> Response:
+def health_endpoint(movies: DataFrame | MovieIndex | None) -> Response:
     """``GET /health`` (api.py:240-249). The backend liveness probe is a
     1-row query against the movie frame (the engine's analog of
     ``es.ping()``); the response keeps the reference's keys with
     ``engine`` standing in for ``elasticsearch``."""
     try:
-        ok = movies is not None and movies.limit(1).count() >= 0
+        ok = movies is not None and movierec.movie_frame(movies).limit(1).count() >= 0
     except Exception:  # noqa: BLE001
         ok = False
     backend = "OK" if ok else "NOT CONNECTED"

@@ -27,9 +27,16 @@ pytestmark = pytest.mark.skipif(
 DOC_KEYS = {"movieId", "title", "release_date", "genres"}  # ES _source shape
 
 
-@pytest.fixture(scope="module")
-def movies(spark):
-    return pipelines.build_movie_index(spark, f"{DATA}/u.item").cache()
+@pytest.fixture(scope="module", params=["frame", "index"])
+def movies(spark, request):
+    """Every golden test runs twice: against the raw movies frame (the
+    ad-hoc path) and against the prebuilt MovieIndex (the production
+    serving path) — the responses must be identical."""
+    frame = pipelines.build_movie_index(spark, f"{DATA}/u.item").cache()
+    if request.param == "frame":
+        return frame
+    idx = movierec.build_movie_index_tables(frame)
+    return movierec.MovieIndex(docs=idx.docs.cache(), postings=idx.postings.cache())
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +99,8 @@ def test_recommend_keyword_fallback_branch(movies):
     (api.py:119-135). MovieLens-100k's 'unknown'-genre movies have empty
     name-arrays in the index."""
     empty = (
-        movies.filter(F.coalesce(F.size("genres"), F.lit(0)) == 0)
+        movierec.movie_frame(movies)
+        .filter(F.coalesce(F.size("genres"), F.lit(0)) == 0)
         .select("movieId", "title")
         .collect()
     )
@@ -203,3 +211,47 @@ def test_index_doc(movies):
     code, body = serving.index_endpoint()
     assert code == 200
     assert set(body["endpoints"]) == {"/recommend", "/movie/<id>", "/search", "/health"}
+
+
+# ---------------------------------------------------------------------------
+# Index-backed serving: plan guards
+# ---------------------------------------------------------------------------
+
+def test_serving_index_probe_plans(spark, movies):
+    """With the MovieIndex PERSISTED as parquet, per-request work must be
+    an index probe + top-k, not a corpus re-tokenize: the title-lookup
+    plan contains no regexp normalization (the probe column is
+    materialized), and the fuzzy-search plan's levenshtein expansion
+    runs against the vocabulary/postings, with every scan reading the
+    index tables."""
+    import shutil
+    import tempfile
+
+    if isinstance(movies, movierec.MovieIndex):
+        pytest.skip("one persisted-index round is enough")
+    tmp = tempfile.mkdtemp(prefix="movie_idx_")
+    try:
+        built = movierec.build_movie_index_tables(movies)
+        built.docs.write.mode("overwrite").parquet(f"{tmp}/docs")
+        built.postings.write.mode("overwrite").parquet(f"{tmp}/postings")
+        idx = movierec.MovieIndex(
+            docs=spark.read.parquet(f"{tmp}/docs"),
+            postings=spark.read.parquet(f"{tmp}/postings"),
+        )
+
+        _, hits = movierec.lookup_title(idx, "Toy Story", size=5)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "regexp_replace" not in plan, "lookup must probe the stored norm column"
+        assert "docs" in plan and "u.item" not in plan
+
+        scored = movierec.search_hits(idx, "stor wars")
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "u.item" not in plan and "regexp_replace" not in plan
+        # probe semantics must equal the inline tokenize path exactly
+        inline = {
+            (r.movieId, r.score) for r in movierec.search_hits(movies, "stor wars").collect()
+        }
+        indexed = {(r.movieId, r.score) for r in scored.collect()}
+        assert indexed == inline and len(inline) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
