@@ -161,15 +161,34 @@ def q54_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: HyperLogLog sketches are engine-specific (Spark HLL++ vs
-# DuckDB's), so approximate counts can't hash-match an oracle; the exact
-# bound check lives in tests/test_properties.py.
-@register("q55_approx_distinct")
+# Bounded oracle: HyperLogLog sketches are engine-specific (Spark HLL++
+# vs DuckDB's), so the approximate count itself can't hash-match — but
+# its ERROR BOUND can: both sides emit the exact stats plus a boolean
+# that the HLL++ estimate lies within 3×rsd (= 6%) of the exact distinct
+# count; the oracle asserts the inequality as literal TRUE. HLL++ is
+# deterministic for fixed data, so the hash is stable; the raw estimate
+# stays observable via operators (and the property test pins the same
+# bound).
+@register(
+    "q55_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q55_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+    )
+    rel_err = F.abs(F.col("__approx") - F.col("exact_parts")) / F.col("exact_parts")
+    return agg.select(
+        "l_returnflag", "n", "exact_parts", (rel_err <= 0.06).alias("approx_within_3rsd")
     )
 
 # ---------------------------------------------------------------------------
