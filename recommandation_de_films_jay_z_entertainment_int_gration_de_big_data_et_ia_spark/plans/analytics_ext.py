@@ -840,3 +840,103 @@ def q126_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — CUPED variance reduction for experiment metrics (the standard
+# pre-experiment-covariate adjustment): per user, x = pre-period metric
+# (sum of 'view' values), y = experiment metric (sum of 'purchase'
+# values); per synthetic arm (user_id % 2), theta = cov(x,y)/var(x) from
+# EXACT decimal moment sums (q131's discipline: 6-rounded decimal
+# values, integer×decimal products — order-independent, bit-identical
+# across engines), then var(y - theta·(x - x̄)) and the achieved
+# reduction, all derived from the same six sums with identical
+# parenthesization in both engines. One shuffle on user_id, one on arm.
+# ---------------------------------------------------------------------------
+@register(
+    "q139_cuped_adjustment",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) END) AS x,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) END) AS y
+      FROM events GROUP BY user_id),
+    p AS (SELECT user_id % 2 AS arm, x, y FROM u
+          WHERE x IS NOT NULL AND y IS NOT NULL),
+    s AS (SELECT arm, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+          FROM p GROUP BY arm),
+    t AS (SELECT arm, CAST(n AS BIGINT) AS n,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(syy AS DOUBLE) AS syyd,
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+          FROM s)
+    SELECT arm, n,
+           ROUND(syd / nd, 6) AS mean_y,
+           ROUND((syyd / nd) - (syd / nd) * (syd / nd), 8) AS var_y,
+           ROUND(((syyd - 2 * theta * sxyd + theta * theta * sxxd) / nd)
+                 - ((syd - theta * sxd) / nd) * ((syd - theta * sxd) / nd), 8) AS var_cuped,
+           ROUND(theta, 8) AS theta
+    FROM t
+    """,
+)
+def q139_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", dec(F.col("value")))).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", dec(F.col("value")))).alias("y"),
+    )
+    p = u.filter(F.col("x").isNotNull() & F.col("y").isNotNull()).select(
+        (F.col("user_id") % 2).alias("arm"), "x", "y"
+    )
+    s = p.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd, syyd = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    t = s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n"),
+        nd.alias("nd"),
+        sxd.alias("sxd"),
+        syd.alias("syd"),
+        sxxd.alias("sxxd"),
+        sxyd.alias("sxyd"),
+        syyd.alias("syyd"),
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias("theta"),
+    )
+    th = F.col("theta")
+    return t.select(
+        "arm",
+        "n",
+        F.round(F.col("syd") / F.col("nd"), 6).alias("mean_y"),
+        F.round(
+            (F.col("syyd") / F.col("nd"))
+            - (F.col("syd") / F.col("nd")) * (F.col("syd") / F.col("nd")),
+            8,
+        ).alias("var_y"),
+        F.round(
+            ((F.col("syyd") - 2 * th * F.col("sxyd") + th * th * F.col("sxxd")) / F.col("nd"))
+            - ((F.col("syd") - th * F.col("sxd")) / F.col("nd"))
+            * ((F.col("syd") - th * F.col("sxd")) / F.col("nd")),
+            8,
+        ).alias("var_cuped"),
+        F.round(th, 8).alias("theta"),
+    )

@@ -343,3 +343,149 @@ def q117_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — seeded fixed-iteration k-means over the embedding corpus (the
+# document-clustering primitive a curation pipeline uses for diversity
+# sampling / SemDeDup cluster priors). Deterministic end-to-end, so it
+# carries an EXACT oracle like q126's PageRank:
+#   - init: centroids = the vectors of the k smallest vec_ids (seeded,
+#     engine-agnostic);
+#   - assign: argmin squared-L2, folded per element IN ARRAY ORDER in
+#     double (identical fold both engines), ties -> smallest cluster id;
+#   - update: per-dimension means via exact DECIMAL(18,6) sums of
+#     6-rounded components (order-independent across partitions /
+#     engines), divided back into double;
+#   - 2 Lloyd rounds, then a final assignment reports cluster sizes,
+#     inertia (decimal sum of 6-rounded distances), and the first two
+#     centroid coordinates.
+# 100 TB: each round is one broadcast of k·d doubles into the corpus
+# scan + one (cluster, dim) shuffle of decimal partial sums — the
+# canonical map-side-combine shape; no driver round-trips, k and the
+# iteration count are plan constants.
+# ---------------------------------------------------------------------------
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def _km_dist_sql(v: str, c: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({v})+1),"
+        f" i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i]))),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _km_oracle() -> str:
+    # e: corpus with double vectors; cent0: seeded initial centroids
+    parts = [f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+          FROM embeddings),
+    cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vd AS c
+              FROM e WHERE vec_id < {_KM_K})
+    """]
+    for it in range(_KM_ITERS):
+        parts.append(f"""
+    d{it} AS (
+      SELECT e.vec_id, e.vd, c.cid, {_km_dist_sql('e.vd', 'c.c')} AS dist
+      FROM e CROSS JOIN cent{it} c),
+    a{it} AS (
+      SELECT vec_id, vd, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d{it})
+      WHERE rn = 1),
+    s{it} AS (
+      SELECT cid, u.s.pos AS pos,
+             SUM(CAST(ROUND(u.s.x, 6) AS DECIMAL(18,6))) AS sx,
+             COUNT(*) AS n
+      FROM a{it}, UNNEST(list_transform(range(1, len(vd)+1),
+                         i -> struct_pack(pos := i, x := vd[i]))) AS u(s)
+      GROUP BY cid, u.s.pos),
+    cent{it + 1} AS (
+      SELECT cid, list(CAST(sx AS DOUBLE) / n ORDER BY pos) AS c
+      FROM s{it} GROUP BY cid)
+    """)
+    final = f"""
+    df AS (
+      SELECT e.vec_id, c.cid, {_km_dist_sql('e.vd', 'c.c')} AS dist
+      FROM e CROSS JOIN cent{_KM_ITERS} c),
+    af AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df)
+      WHERE rn = 1)
+    SELECT a.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(a.dist, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS inertia,
+           ROUND(MIN(c.c[1]), 6) AS c0,
+           ROUND(MIN(c.c[2]), 6) AS c1
+    FROM af a JOIN cent{_KM_ITERS} c ON a.cid = c.cid
+    GROUP BY a.cid
+    """
+    return "WITH " + ",".join(parts) + "," + final
+
+
+@register("q138_kmeans_embeddings", oracle=_km_oracle())
+def q138_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
+    )
+    w_seed = Window.orderBy("vec_id")
+    cent = (
+        e.filter(F.col("vec_id") < _KM_K)
+        .select((F.row_number().over(w_seed) - 1).cast("int").alias("cid"), F.col("vd").alias("c"))
+    )
+
+    def dist_col():
+        return F.aggregate(
+            F.zip_with("vd", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w_min = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    for _ in range(_KM_ITERS):
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist_col())
+            .withColumn("rn", F.row_number().over(w_min))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "vd", "cid")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("vd").alias("pos0", "x"))
+            .groupBy("cid", "pos0")
+            .agg(
+                F.sum(F.round("x", 6).cast("decimal(18,6)")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cent = (
+            sums.select(
+                "cid", "pos0", (F.col("sx").cast("double") / F.col("n")).alias("m")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos0", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("c"))
+        )
+    final = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist_col())
+        .withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.round("dist", 6).cast("decimal(18,6)")).cast("double"), 6
+            ).alias("inertia"),
+        )
+    )
+    coords = cent.select(
+        F.col("cid").alias("cluster_id"),
+        F.round(F.element_at("c", 1), 6).alias("c0"),
+        F.round(F.element_at("c", 2), 6).alias("c1"),
+    )
+    return final.join(F.broadcast(coords), "cluster_id")
