@@ -47,6 +47,7 @@ def load_all() -> None:
         ml,
         multimodal,
         relational_ext2,
+        resolution,
         search,
         similarity,
         tables,

@@ -511,3 +511,83 @@ def test_multimodal_real_decode_when_pil_present(spark):
     )
     rows = MM.decode_images(docs).collect()
     assert [(r.doc_id, r.width, r.height, r.mode) for r in rows] == [(1, 1, 1, "L")]
+
+
+def test_entity_resolution_links_to_true_entity(spark, sf_dir):
+    """q140: every corrupted record must link to an original carrying the
+    SAME p_name as its true source — min-dist + min-key tie-break may pick
+    a different partkey among identically-named parts, but never a
+    different name (the corruption distance is the floor within the
+    block)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.resolution import (
+        q140_entity_resolution,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    res = q140_entity_resolution(spark, sf_dir)
+    truth = part.selectExpr("p_partkey + 1000000 AS dirty_id", "p_name AS true_name")
+    matched = part.selectExpr("p_partkey AS match_id", "p_name AS matched_name")
+    joined = res.join(truth, "dirty_id").join(matched, "match_id")
+    n_total = joined.count()
+    assert n_total == part.count(), "every dirty record must resolve"
+    n_wrong = joined.filter("matched_name <> true_name").count()
+    assert n_wrong == 0, f"{n_wrong} dirty records linked to a different entity name"
+
+
+def test_misra_gries_superset_guarantee_any_partitioning(spark, sf_dir):
+    """The MG candidate union must contain every true heavy hitter for ANY
+    partitioning, and the full q142 output must be partitioning-invariant
+    (the exact-recount filter makes the sketch a pruning device only)."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.resolution import (
+        _MG_K,
+        _NORM_SPARK,
+        misra_gries_candidates,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.expr(_NORM_SPARK) != "")
+        .select(F.split(F.expr(_NORM_SPARK), " +").alias("ts"))
+        .select(F.explode("ts").alias("token"))
+    )
+    n = toks.count()
+    exact = {
+        r.token
+        for r in toks.groupBy("token").count().filter(F.col("count") * (_MG_K + 1) > n).collect()
+    }
+    assert exact, "fixture should have at least one heavy hitter"
+    for parts in (1, 3, 11):
+        cands = {
+            r.token
+            for r in misra_gries_candidates(toks.repartition(parts), "token", _MG_K).collect()
+        }
+        assert exact <= cands, f"MG dropped a true heavy hitter at {parts} partitions"
+
+
+def test_incremental_agg_merge_empty_delta_is_identity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.resolution import (
+        _mv_rollup,
+        incremental_agg_merge,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    mv = _mv_rollup(orders)
+    merged = incremental_agg_merge(mv, _mv_rollup(orders.filter(F.lit(False))))
+    base = mv.select(
+        "o_custkey", "cnt", F.round(F.col("rev").cast("double"), 2).alias("rev")
+    )
+    assert merged.exceptAll(base).count() == 0
+    assert base.exceptAll(merged).count() == 0
