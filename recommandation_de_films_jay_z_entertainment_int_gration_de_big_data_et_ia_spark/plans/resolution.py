@@ -243,3 +243,79 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
 
     schema = f"{col} string, est long"
     return df.mapInPandas(summarize, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# q144 — bucketed co-located join: orders and customer are materialized
+# ONCE as bucketed tables (8 buckets on the join key, sorted within
+# buckets); every subsequent join on that key is Exchange-free — the
+# sort-merge join reads matching buckets directly (plan-guarded in
+# tests/test_plans.py). This is THE pattern for repeated 100 TB fact⨝dim
+# joins: pay one shuffle at ingest, then never again; bucket count scales
+# with cluster width (8 here only to keep test fixtures small).
+#
+# The catalog entry returns a per-mktsegment rollup of the joined tables
+# so the oracle (plain join+agg SQL) checks values, while the pytest plan
+# guard separately proves the physical join has no shuffle on either
+# side.
+# ---------------------------------------------------------------------------
+_BKT_BUCKETS = 8
+
+
+def bucketed_table(spark: SparkSession, df: DataFrame, name: str, key: str) -> DataFrame:
+    """Materialize ``df`` as a bucketed+sorted managed table (idempotent
+    per session: reused if it already exists in the catalog). A stale
+    warehouse directory from a previous process (the in-memory catalog
+    does not survive restarts, the files do) is cleared first —
+    otherwise saveAsTable fails with LOCATION_ALREADY_EXISTS."""
+    if not spark.catalog.tableExists(name):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        (
+            df.write.bucketBy(_BKT_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@register(
+    "q144_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q144_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    orders = bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        f"bkt_orders_{tag}",
+        "o_custkey",
+    )
+    customer = bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        f"bkt_customer_{tag}",
+        "c_custkey",
+    )
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast("double"), 2
+            ).alias("rev"),
+        )
+    )

@@ -712,3 +712,63 @@ def q135_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from_s",
         "version",
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — STREAMING sessionization (q46 through Structured Streaming's
+# merging-session state store, drained with availableNow in append
+# mode). The oracle is the batch lag/cumsum session construction in
+# FULL-PRECISION microseconds (per the q129 lesson: gap and emission
+# comparisons never floor; only output columns do) plus the emission
+# predicate probed and pinned in tests/test_streaming.py:
+#   watermark_us = (max_event_us // 1000 - delay_ms) * 1000   (ms truncation)
+#   emitted      iff session_end_us <= watermark_us           (non-strict)
+# Sessions the final watermark has not passed remain in state and are
+# NOT in the output — the oracle excludes exactly those.
+# ---------------------------------------------------------------------------
+_SESS_GAP_US = 1_800_000_000  # 30 minutes
+_SESS_DELAY_MS = 600_000  # 10 minutes
+
+
+@register(
+    "q143_streaming_sessions",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+      FROM events),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t >= {_SESS_GAP_US} THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+    numbered AS (
+      SELECT user_id, t,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_num
+      FROM flagged),
+    sess AS (
+      SELECT user_id,
+             MIN(t) AS start_us, MAX(t) AS end_last_us, COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sess_num),
+    wm AS (
+      SELECT ((MAX(epoch_us(ts)) // 1000) - {_SESS_DELAY_MS}) * 1000 AS wm_us FROM events)
+    SELECT user_id,
+           start_us // 1000000 AS session_start_s,
+           n_events,
+           end_last_us // 1000000 - start_us // 1000000 AS duration_s
+    FROM sess, wm
+    WHERE end_last_us + {_SESS_GAP_US} <= wm_us
+    """,
+)
+def q143_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.windows import run_stream_to_memory, session_counts, stream_events
+
+    name = f"q143_sink_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(
+        session_counts(stream_events(spark, sf_dir), gap="30 minutes", watermark="10 minutes"),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)

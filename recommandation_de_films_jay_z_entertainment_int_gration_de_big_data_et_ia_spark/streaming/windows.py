@@ -155,3 +155,36 @@ def enrich_stream(events: DataFrame, dim: DataFrame, key: str, dim_key: str) -> 
     the query). Stateless: nothing is buffered, so the result equals the
     batch join row-for-row (proven in tests/test_streaming.py)."""
     return events.join(F.broadcast(dim), events[key] == dim[dim_key], "inner")
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming gap-based sessionization: q46's exact ``session_window``
+    expression with a watermark so the merging-session state store can
+    finalize and evict. In APPEND mode a session is emitted once the
+    event-time watermark passes its end (probe-pinned semantics, see
+    tests/test_streaming.py::test_streaming_session_emission_boundary):
+
+    - watermark = (max event time seen, TRUNCATED to whole milliseconds)
+      − delay; comparisons happen in microseconds;
+    - a session is emitted iff session_end_us <= watermark_us
+      (NON-strict — a session ending exactly at the watermark flushes).
+
+    Sessions still open (or ending after the final watermark) stay in
+    state — at 100 TB the state store holds only sessions inside the
+    watermark horizon per user, and availableNow's final eviction batch
+    flushes everything the watermark has passed.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("session_start_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .select("user_id", "session_start_s", "n_events", "duration_s")
+    )

@@ -357,3 +357,40 @@ def test_mlt_indexed_batch_needs_zero_corpus_scans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert out.count() > 0
     shutil.rmtree(pdir, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """q144: joining the two bucketed tables on the bucket key must be
+    Exchange-free on BOTH join inputs — bucketing replaces the shuffle.
+    Broadcast is disabled so the cheap path can't mask a missing bucket
+    optimization; only the final single-row-ish groupBy may exchange."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.resolution import (
+        bucketed_table,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = bucketed_table(
+            spark,
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            "bkt_guard_orders",
+            "o_custkey",
+        )
+        customer = bucketed_table(
+            spark,
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            "bkt_guard_customer",
+            "c_custkey",
+        )
+        joined = orders.join(customer, orders["o_custkey"] == customer["c_custkey"]).select(
+            "o_orderkey", "c_mktsegment"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_guard_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_guard_customer")

@@ -205,3 +205,36 @@ def test_stateful_ewma_equals_sequential_batch(spark, sf_dir):
         acc[r.event_type] = (e, n + 1)
     want = {k: (round(v, 6), n) for k, (v, n) in acc.items()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_session_emission_boundary(spark, tmp_path):
+    """Pins the q143 emission semantics the oracle encodes: the final
+    watermark is (max event time truncated to MILLISECONDS) − delay, and a
+    session is emitted iff session_end_us <= watermark_us (NON-strict).
+    Constructed cases straddle the boundary at sub-millisecond offsets —
+    this is the test that keeps the oracle honest by construction, not by
+    fixture luck (round-3 ADVICE on q129)."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.windows import (
+        run_stream_to_memory,
+        session_counts,
+    )
+
+    # gap 1800 s, delay 600 s. Max event 10000.000500 truncates to
+    # 10000.000 ms => watermark 9400.000. Lone sessions ending at:
+    #   user 3: 9400.000000 (== wm)  -> emitted (non-strict)
+    #   user 4: 9400.000500 (> wm)   -> withheld
+    #   user 5: 9399.999500 (< wm)   -> emitted
+    # user 2 (the max event itself) ends at 11800.0005 -> withheld.
+    rows = [(2, 10000.000500), (3, 7600.000000), (4, 7600.000500), (5, 7599.999500)]
+    src = str(tmp_path / "events_src")
+    df = spark.createDataFrame(rows, "user_id int, t double").select(
+        "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = session_counts(stream, gap="1800 seconds", watermark="600 seconds")
+    run_stream_to_memory(agg, "session_boundary_probe", output_mode="append")
+    emitted = sorted(r.user_id for r in spark.table("session_boundary_probe").collect())
+    assert emitted == [3, 5]
