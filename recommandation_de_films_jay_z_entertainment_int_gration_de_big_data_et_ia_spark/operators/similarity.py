@@ -208,11 +208,18 @@ def cosine_topk_ivf(
 
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float,
-    planes: int = 4, score_col: str = "score",
+    planes: int = 4, score_col: str = "score", max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: candidate
     pairs share a sign-pattern bucket (equality join — shuffle on bucket,
     never quadratic in the corpus), then exact cosine ≥ threshold verifies.
+
+    ``max_bucket`` is the mega-bucket guard (the dedup family's
+    ``max_bucket=200`` discipline): buckets holding more vectors than the
+    cap are EXCLUDED from pair generation — without it, a duplication
+    factor of d inflates in-bucket pairs by d², which the sf1 rehearsal
+    measured as 96× wall-clock on the 10×-replicated corpus (PERF.md).
+    The cap is mirrored verbatim in the DuckDB oracles of q39/q117.
     """
     # norms computed once per vector (not per pair: cosine() would fold
     # both norms again for every candidate pair — 3 folds/pair vs 1)
@@ -222,6 +229,14 @@ def embedding_neardup_pairs(
         norm(F.col(vec_col)).alias("__nrm"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
+    if max_bucket is not None:
+        keep = (
+            b.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("__bucket")
+        )
+        b = b.join(F.broadcast(keep), "__bucket")
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"), F.col("__bucket"),

@@ -940,3 +940,75 @@ def q139_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_cuped"),
         F.round(th, 8).alias("theta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — triangle counting over the support-pruned co-purchase graph
+# (q126's basket pairs, kept only when two parts co-occur in >= 2
+# orders). Canonical a<b<c orientation: each triangle is materialized
+# exactly once by joining the ordered edge list to itself twice
+# (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)), then per-node participation counts.
+# Output: top-20 nodes by triangle membership.
+#
+# Shape (100 TB): the support threshold is the degree bound — it prunes
+# the quadratic tail of popular nodes BEFORE the self-joins (the same
+# role as dedup's max_bucket cap); the ordered orientation halves the
+# edge list and removes all duplicate/rotated triangles without a
+# post-hoc distinct. Two shuffles (self-join keys), no iteration.
+# ---------------------------------------------------------------------------
+_TRI_MIN_SUP = 2
+
+
+@register(
+    "q146_triangle_count",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT p1.part AS a, p2.part AS b, COUNT(*) AS sup
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part GROUP BY a, b),
+    edges AS (SELECT a, b FROM pairs WHERE sup >= {_TRI_MIN_SUP}),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+           JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+    nodes AS (
+      SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+    SELECT node, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY node
+    ORDER BY n_triangles DESC, node ASC LIMIT 20
+    """,
+)
+def q146_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a AS a, b AS b))))"
+    )
+    edges = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUP)
+        .select("a", "b")
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(20)
+    )

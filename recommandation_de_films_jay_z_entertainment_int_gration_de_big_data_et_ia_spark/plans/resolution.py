@@ -60,6 +60,18 @@ _ER_CORRUPT = "regexp_replace(p_name, '[aeiou]', '', 'g')"
     """,
 )
 def q140_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note (sf1 rehearsal, PERF.md): the naive dirty×originals
+    # in-block join is quadratic under duplication — measured 112× at
+    # 10× data (identical names replicate, blocks grow 10×, pairs 100×).
+    # Fix: canonicalize originals to DISTINCT (p_name, p_brand) entities
+    # first (match_id = min partkey per entity). Output-equivalent to the
+    # row-level join + (dist, match_id) window — the global winner is
+    # always achieved at some entity's min partkey, so minimizing over
+    # entity representatives minimizes over all rows — while the pair
+    # count becomes O(dirty × distinct-entities-per-block), INDEPENDENT
+    # of the duplication factor. The oracle keeps the row-level
+    # formulation (same output by the argument above), so parity also
+    # proves the equivalence.
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     dirty = part.select(
         (F.col("p_partkey") + 1000000).alias("dirty_id"),
@@ -67,10 +79,11 @@ def q140_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
     )
     skel = lambda c: F.expr(_ER_SKEL.format(name=c).replace(", 'g'", ""))  # noqa: E731
+    entities = part.groupBy("p_name", "p_brand").agg(F.min("p_partkey").alias("p_partkey"))
     blocked = (
         dirty.withColumn("bk", skel("name"))
         .join(
-            part.withColumn("bk", skel("p_name")),
+            F.broadcast(entities.withColumn("bk", skel("p_name"))),
             ["bk", "p_brand"],
         )
         .select(

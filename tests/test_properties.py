@@ -591,3 +591,27 @@ def test_incremental_agg_merge_empty_delta_is_identity(spark, sf_dir):
     )
     assert merged.exceptAll(base).count() == 0
     assert base.exceptAll(merged).count() == 0
+
+
+def test_neardup_bucket_cap_inactive_at_test_scales(spark):
+    """The q39/q117 mega-bucket guard (max_bucket=300) must be a no-op on
+    organic fixtures: capped and uncapped pair sets identical at the
+    correctness scales. (At the 10x-replicated sf1 rehearsal the cap IS
+    active by design — PERF.md sf1 table.)"""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf, "embeddings")
+        capped = embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, planes=4, max_bucket=300
+        )
+        uncapped = embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, planes=4
+        )
+        assert capped.exceptAll(uncapped).count() == 0, sf
+        assert uncapped.exceptAll(capped).count() == 0, sf
