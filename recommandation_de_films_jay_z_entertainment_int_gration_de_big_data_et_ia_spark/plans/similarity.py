@@ -513,3 +513,216 @@ def q138_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("c", 2), 6).alias("c1"),
     )
     return final.join(F.broadcast(coords), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# q148/q149 — product quantization (PQ), the ANN technique that makes
+# billion-vector search affordable: split each 64-d vector into m=4
+# 16-d subspaces, learn a tiny per-subspace codebook (k=4 centroids,
+# q138's seeded-init + one Lloyd refinement + exact-decimal means), and
+# store each vector as m uint8 codes. Queries then scan CODES with a
+# broadcast lookup table of query↔centroid distances (ADC) instead of
+# touching raw vectors.
+#
+# Determinism (cross-engine exact, q138's discipline): seeded init =
+# the subspace slices of the k smallest vec_ids; distances are
+# left-to-right double folds (F.aggregate ↔ list_reduce); centroid
+# updates are DECIMAL(18,6) sums of 6-rounded components; argmin ties
+# break on smallest code id; the ADC sum is a decimal sum of 6-rounded
+# LUT entries.
+#
+# Shape (100 TB): codebooks are k·m·(d/m) doubles — broadcast
+# everywhere; encoding is one corpus scan + a (subspace, code, dim)
+# partial-sum shuffle per Lloyd round; the ADC query scan reads ONLY
+# the (vec_id, codes) table (m bytes/vector instead of 4·d) and sums m
+# broadcast-LUT entries per row — no vector math at query time.
+# ---------------------------------------------------------------------------
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (m * sub = 64)
+_PQ_K = 4  # codes per subspace
+
+
+def _pq_sub_sql(v: str, s: int) -> str:
+    return f"list_transform({v}[{s * _PQ_SUB + 1}:{s * _PQ_SUB + _PQ_SUB}], x -> CAST(x AS DOUBLE))"
+
+
+def _pq_dist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+    )
+
+
+def _pq_codebook_sql() -> str:
+    """CTE chain: sub (vec slices) → cent0 (seeded) → a0 (assign) →
+    cent (refined decimal-mean codebook) → code (final encoding)."""
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, {_pq_sub_sql('embedding', s)} AS sv FROM embeddings"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    sub AS ({subs}),
+    cent0 AS (
+      SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS cid,
+             sv AS c
+      FROM sub WHERE vec_id < {_PQ_K}),
+    d0 AS (
+      SELECT sub.vec_id, sub.s, sub.sv, c.cid, {_pq_dist_sql('sub.sv', 'c.c')} AS dist
+      FROM sub JOIN cent0 c ON sub.s = c.s),
+    a0 AS (
+      SELECT vec_id, s, sv, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM d0)
+      WHERE rn = 1),
+    sums AS (
+      SELECT s, cid, u.e.pos AS pos,
+             SUM(CAST(ROUND(u.e.x, 6) AS DECIMAL(18,6))) AS sx, COUNT(*) AS n
+      FROM a0, UNNEST(list_transform(range(1, len(sv)+1),
+                      i -> struct_pack(pos := i, x := sv[i]))) AS u(e)
+      GROUP BY s, cid, u.e.pos),
+    cent AS (
+      SELECT s, cid, list(CAST(sx AS DOUBLE) / n ORDER BY pos) AS c
+      FROM sums GROUP BY s, cid),
+    dc AS (
+      SELECT sub.vec_id, sub.s, c.cid, {_pq_dist_sql('sub.sv', 'c.c')} AS dist
+      FROM sub JOIN cent c ON sub.s = c.s),
+    code AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM dc)
+      WHERE rn = 1)
+    """
+
+
+@register(
+    "q148_pq_codebook",
+    oracle=f"""
+    WITH {_pq_codebook_sql()}
+    SELECT code.s AS subspace, code.cid AS code_id,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(MIN(c.c[1]), 6) AS c0
+    FROM code JOIN cent c ON code.s = c.s AND code.cid = c.cid
+    GROUP BY code.s, code.cid
+    """,
+)
+def q148_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    code, cent = _pq_encode(spark, sf_dir)
+    return (
+        code.groupBy(F.col("s").alias("subspace"), F.col("cid").alias("code_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .join(
+            F.broadcast(
+                cent.select(
+                    F.col("s").alias("subspace"),
+                    F.col("cid").alias("code_id"),
+                    F.round(F.element_at("c", 1), 6).alias("c0"),
+                )
+            ),
+            ["subspace", "code_id"],
+        )
+        .select("subspace", "code_id", "n", "c0")
+    )
+
+
+@register(
+    "q149_pq_adc_topk",
+    oracle=f"""
+    WITH {_pq_codebook_sql()},
+    q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
+    lut AS (
+      SELECT c.s, c.cid,
+             CAST(ROUND({_pq_dist_sql('q.qv', 'c.c')}, 6) AS DECIMAL(18,6)) AS d
+      FROM cent c JOIN q ON c.s = q.s),
+    adc AS (
+      SELECT code.vec_id, SUM(lut.d) AS dist
+      FROM code JOIN lut ON code.s = lut.s AND code.cid = lut.cid
+      WHERE code.vec_id != 0
+      GROUP BY code.vec_id)
+    SELECT vec_id, ROUND(CAST(dist AS DOUBLE), 6) AS adc_dist
+    FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q149_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    code, cent = _pq_encode(spark, sf_dir)
+    sub = _pq_sub_frame(spark, sf_dir)
+    qv = sub.filter(F.col("vec_id") == 0).select("s", F.col("sv").alias("qv"))
+    lut = (
+        cent.join(F.broadcast(qv), "s")
+        .select(
+            "s", "cid", F.round(_pq_dist(F.col("qv"), F.col("c")), 6).cast("decimal(18,6)").alias("d")
+        )
+    )
+    adc = (
+        code.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    return (
+        adc.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round(F.col("dist").cast("double"), 6).alias("adc_dist"))
+    )
+
+
+def _pq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _pq_sub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_sub_frame_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def pq_sub_frame_df(emb: DataFrame) -> DataFrame:
+    slices = F.array(
+        *[
+            F.transform(
+                F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB), lambda x: x.cast("double")
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return emb.select("vec_id", F.posexplode(slices).alias("s", "sv"))
+
+
+def _pq_encode(spark: SparkSession, sf_dir: str):
+    return pq_encode_df(_pq_sub_frame(spark, sf_dir))
+
+
+def pq_encode_df(sub: DataFrame):
+    """Returns (code, cent): final (vec_id, s, cid) encoding and the
+    refined per-subspace codebook (s, cid, c). ``sub`` is the
+    (vec_id, s, sv) subspace frame from :func:`pq_sub_frame_df`."""
+    from pyspark.sql import Window
+
+    w_seed = Window.partitionBy("s").orderBy("vec_id")
+    cent0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", (F.row_number().over(w_seed) - 1).cast("int").alias("cid"), F.col("sv").alias("c")
+    )
+    w_min = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
+
+    def assign(cent: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(cent), "s")
+            .withColumn("dist", _pq_dist(F.col("sv"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w_min))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "sv", "cid")
+        )
+
+    a0 = assign(cent0)
+    sums = (
+        a0.select("s", "cid", F.posexplode("sv").alias("pos0", "x"))
+        .groupBy("s", "cid", "pos0")
+        .agg(
+            F.sum(F.round("x", 6).cast("decimal(18,6)")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = (
+        sums.select("s", "cid", "pos0", (F.col("sx").cast("double") / F.col("n")).alias("m"))
+        .groupBy("s", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos0", "m"))).alias("pm"))
+        .select("s", "cid", F.transform("pm", lambda st: st["m"]).alias("c"))
+    )
+    code = assign(cent).select("vec_id", "s", "cid")
+    return code, cent

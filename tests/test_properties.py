@@ -615,3 +615,81 @@ def test_neardup_bucket_cap_inactive_at_test_scales(spark):
         )
         assert capped.exceptAll(uncapped).count() == 0, sf
         assert uncapped.exceptAll(capped).count() == 0, sf
+
+
+def test_pq_codes_bounded_and_adc_recall_on_planted_clusters(spark, sf_dir):
+    """PQ sanity in two parts. (1) On the real fixture: every
+    (vec, subspace) gets exactly one code in [0, K). (2) ADC recall is
+    meaningless on isotropic random vectors (quantization error >> gap
+    between neighbors, same rationale as the LSH planted-cluster test),
+    so recall is pinned on a planted corpus: 4 well-separated centers
+    seeded as vec_ids 0-3 (= the codebook init), members = center +
+    0.03*noise. Every exact and every ADC top-10 hit for the center-0
+    query must be a cluster-0 member (cluster-level recall 1.0; in-cluster
+    ranking is re-ranking's job, not PQ's)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _pq_dist,
+        _pq_encode,
+        pq_encode_df,
+        pq_sub_frame_df,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    code, cent = _pq_encode(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    assert code.count() == n_vec * _PQ_M
+    assert code.filter((F.col("cid") < 0) | (F.col("cid") >= _PQ_K)).count() == 0
+
+    rng = np.random.RandomState(7)
+    centers = [rng.normal(size=64) * 4.0 for _ in range(_PQ_K)]
+    rows = [(c, centers[c].astype("float32").tolist()) for c in range(_PQ_K)]
+    vid = _PQ_K
+    for c in range(_PQ_K):
+        for _ in range(15):
+            rows.append(
+                (vid, (centers[c] + 0.03 * rng.normal(size=64)).astype("float32").tolist())
+            )
+            vid += 1
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sub = pq_sub_frame_df(planted)
+    pcode, pcent = pq_encode_df(sub)
+    lutq = sub.filter(F.col("vec_id") == 0).select("s", F.col("sv").alias("qv"))
+    lut = pcent.join(F.broadcast(lutq), "s").select(
+        "s", "cid", F.round(_pq_dist(F.col("qv"), F.col("c")), 6).cast("decimal(18,6)").alias("d")
+    )
+    adc = (
+        pcode.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    vd = planted.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vd")
+    )
+    target = vd.filter(F.col("vec_id") == 0).select(F.col("vd").alias("qv"))
+    exact = (
+        vd.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select("vec_id", _pq_dist(F.col("vd"), F.col("qv")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    exact_ids = {r.vec_id for r in exact.collect()}
+    adc_ids = {r.vec_id for r in adc.collect()}
+    # Within a cluster every member shares the same codes, so ADC cannot
+    # rank INSIDE the cluster (that's re-ranking's job in a real PQ
+    # pipeline); the planted guarantee is cluster-level: every ADC hit
+    # and every exact hit must be a cluster-0 member.
+    cluster0 = set(range(_PQ_K, _PQ_K + 15))
+    assert exact_ids <= cluster0, f"exact top-10 escaped cluster 0: {sorted(exact_ids - cluster0)}"
+    assert adc_ids <= cluster0, f"ADC top-10 escaped cluster 0: {sorted(adc_ids - cluster0)}"
