@@ -245,3 +245,114 @@ def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q77_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q150 — rolling 7-day distinct users (WAU per day). Spark has no
+# COUNT(DISTINCT) OVER a range frame, so the engine uses the bounded-
+# explode rewrite: dedupe to (user, day), fan each row out to the ≤7
+# target days it contributes to, then an exact per-day distinct count.
+# Explode factor = window length (a plan constant), so this is linear —
+# the shape that replaces the unsupported windowed distinct at 100 TB.
+# Day is epoch-day arithmetic (timezone-free), output clipped to days
+# that actually have events (INNER join to the observed-day set).
+# ---------------------------------------------------------------------------
+@register(
+    "q150_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    fan AS (
+      SELECT d.day AS target_day, ud.user_id
+      FROM ud JOIN days d ON d.day BETWEEN ud.day AND ud.day + 6)
+    SELECT target_day AS epoch_day, COUNT(DISTINCT user_id) AS wau
+    FROM fan GROUP BY target_day
+    """,
+)
+def q150_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    fanned = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("target_day")
+    )
+    days = ud.select("day").distinct().withColumnRenamed("day", "target_day")
+    return (
+        fanned.join(F.broadcast(days), "target_day")
+        .groupBy(F.col("target_day").alias("epoch_day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151 — analytic-window suite: the full ranking/navigation family in one
+# plan (rank, dense_rank, percent_rank, cume_dist, ntile, lag, lead,
+# nth_value) over per-segment customer balances — the SQL surface a
+# warehouse migration checks first. One shuffle on the partition key;
+# values rounded to 6 dp so the rational percent_rank/cume_dist compare
+# bit-identically.
+# ---------------------------------------------------------------------------
+_Q151_SQL = """
+SELECT c_mktsegment, c_custkey,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       LAG(c_custkey, 1, -1) OVER w AS prev_ck,
+       LEAD(c_custkey, 1, -1) OVER w AS next_ck,
+       NTH_VALUE(c_custkey, 3) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_ck
+FROM customer
+WHERE c_acctbal > 9000
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@register("q151_window_suite", oracle=_Q151_SQL)
+def q151_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q151_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q152 — multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL keep
+# per-row multiplicities (q19 covers the DISTINCT variants). Engine side
+# uses DataFrame intersectAll/exceptAll; surfaced as value + an exact
+# output-multiplicity count so the hash compare proves the bag
+# semantics, not just membership.
+# ---------------------------------------------------------------------------
+@register(
+    "q152_multiset_ops",
+    oracle="""
+    WITH ia AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+    ea AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n FROM ia GROUP BY o_custkey
+    UNION ALL
+    SELECT 'except_all', o_custkey, COUNT(*) FROM ea GROUP BY o_custkey
+    """,
+)
+def q152_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    big = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    ia = (
+        f.intersectAll(big)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    ea = (
+        f.exceptAll(big)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    return ia.unionAll(ea)
