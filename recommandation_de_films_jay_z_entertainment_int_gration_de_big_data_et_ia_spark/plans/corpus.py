@@ -663,3 +663,69 @@ def q127_split_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q"),
         F.round(p * F.log(p / q), 10).alias("kl_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — training-shard export with manifest: q109's deterministic global
+# shuffle is MATERIALIZED (repartition by shard, sorted within, parquet
+# partitioned by shard under .tmp) and then read back to produce the
+# manifest every dataloader consumes: per shard, row count, key range,
+# and an ORDER-SENSITIVE fingerprint (md5 of the '-'-joined doc ids in
+# position order). The oracle recomputes the manifest from the hash
+# math alone — a match proves the write→read round trip preserved both
+# membership and order. Shape (100 TB): one shuffle to shards, one
+# write, manifest is a per-shard aggregate of the written files.
+# ---------------------------------------------------------------------------
+@register(
+    "q153_shard_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, ((doc_id * 2654435761 + 40503) % {_M32}) AS h1 FROM documents),
+    h2 AS (SELECT doc_id, ((h1 * 1103515245 + 12345) % {_M32}) AS hv FROM h),
+    sharded AS (
+      SELECT doc_id, CAST(hv % 32 AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hv % 32 ORDER BY hv, doc_id) AS pos
+      FROM h2)
+    SELECT shard, COUNT(*) AS n_rows,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), '-' ORDER BY pos)) AS order_hash
+    FROM sharded GROUP BY shard
+    """,
+)
+def q153_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h1 = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(_M32)
+    hashed = docs.select(
+        "doc_id", ((h1 * F.lit(1103515245) + F.lit(12345)) % F.lit(_M32)).alias("hv")
+    )
+    sharded = hashed.select(
+        "doc_id", "hv", (F.col("hv") % 32).cast("bigint").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    ordered = sharded.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+    path = os.path.join(root, f"shard_export_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    (
+        ordered.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "doc_id"))), lambda s: s["doc_id"]
+    )
+    return (
+        back.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(F.encode(F.concat_ws("-", ids_in_order), "UTF-8")).alias("order_hash"),
+        )
+    )

@@ -901,3 +901,55 @@ def q147_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "model", "touch_type", F.round(F.col("rev").cast("double"), 4).alias("rev"), "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — STREAMING left-outer click attribution: q87's stream-stream
+# interval join in LEFT OUTER form, so unattributed views surface as
+# NULL-click rows once the watermark closes their match window. The
+# oracle is the batch interval join UNION'd with the unmatched views
+# whose end-exclusive window the final watermark has passed:
+#   wm_us = (min(max_view_ms, max_click_ms) - delay_ms) * 1000
+#   null-emit iff view_ts + 30min <= wm_us   (probe-pinned, strict
+#   window end ⇒ non-strict watermark comparison).
+# ---------------------------------------------------------------------------
+_ATTR_WIN_US = 1_800_000_000  # 30 minutes
+_ATTR_DELAY_MS = 7_200_000  # 2 hours
+
+
+@register(
+    "q154_streaming_left_attribution",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, epoch_us(ts) AS vt
+      FROM events WHERE event_type = 'view'),
+    c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT v.user_id, v.view_id, c.click_id
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.ct >= v.vt AND c.ct < v.vt + {_ATTR_WIN_US}),
+    wm AS (
+      SELECT (LEAST((SELECT MAX(vt) // 1000 FROM v),
+                    (SELECT MAX(ct) // 1000 FROM c)) - {_ATTR_DELAY_MS}) * 1000 AS wmu),
+    unm AS (
+      SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id
+      FROM v, wm
+      WHERE v.vt + {_ATTR_WIN_US} <= wm.wmu
+        AND NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id))
+    SELECT user_id, view_id, click_id FROM m
+    UNION ALL SELECT user_id, view_id, click_id FROM unm
+    """,
+)
+def q154_streaming_left_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.windows import attribution_join_left, run_stream_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    name = f"q154_sink_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(attribution_join_left(views, clicks), name, output_mode="append")
+    return spark.table(name)

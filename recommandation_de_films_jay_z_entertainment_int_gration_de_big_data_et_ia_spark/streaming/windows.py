@@ -188,3 +188,40 @@ def session_counts(
         )
         .select("user_id", "session_start_s", "n_events", "duration_s")
     )
+
+
+def attribution_join_left(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits — with its
+    attributed click(s) when one lands inside [view_ts, view_ts + 30 min),
+    or with NULL click columns once the join watermark proves no click can
+    arrive. Null-emission semantics (probe-pinned,
+    tests/test_streaming.py::test_left_outer_join_null_emission_boundary):
+
+    - watermark_us = (min over both sides of ms-TRUNCATED max event time)
+      − delay, in microseconds;
+    - an unmatched view emits NULL iff view_ts + 30 min <= watermark_us
+      (its end-EXCLUSIVE match window has closed);
+    - matched rows emit as matches arrive, independent of the watermark.
+
+    State: the view side buffers only views whose window the watermark
+    has not closed — bounded by the interval + delay horizon per key.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "2 hours")
+    c = clicks.select(
+        F.col("user_id").alias("click_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "2 hours")
+    return v.join(
+        c,
+        [
+            F.col("user_id") == F.col("click_user_id"),
+            F.col("click_ts") >= F.col("view_ts"),
+            F.col("click_ts") < F.col("view_ts") + F.expr("interval 30 minutes"),
+        ],
+        "leftOuter",
+    ).select("user_id", "view_id", "click_id")

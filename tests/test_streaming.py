@@ -238,3 +238,49 @@ def test_streaming_session_emission_boundary(spark, tmp_path):
     run_stream_to_memory(agg, "session_boundary_probe", output_mode="append")
     emitted = sorted(r.user_id for r in spark.table("session_boundary_probe").collect())
     assert emitted == [3, 5]
+
+
+def test_left_outer_join_null_emission_boundary(spark, tmp_path):
+    """Pins q154's null-emission rule: with the end-EXCLUSIVE match window
+    [view_ts, view_ts+gap), an unmatched view emits its NULL row iff
+    view_ts + gap <= watermark (non-strict), where watermark =
+    min(ms-truncated max event time of both sides) − delay. Constructed
+    sub-millisecond boundary cases; matched rows emit regardless."""
+    from pyspark.sql import functions as F
+
+    T = 100000.0
+    views = [(1, 10, 97000.0), (1, 11, 97600.0), (1, 12, 97600.0005), (1, 13, 99000.0), (1, 20, 96000.0), (1, 99, T)]
+    clicks = [(1, 500, 96600.0), (1, 501, T)]
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    vdf = spark.createDataFrame(views, "user_id int, view_id int, t double").select(
+        "user_id", "view_id", F.timestamp_seconds("t").alias("view_ts")
+    )
+    cdf = spark.createDataFrame(clicks, "user_id int, click_id int, t double").select(
+        F.col("user_id").alias("click_user_id"), "click_id",
+        F.timestamp_seconds("t").alias("click_ts"),
+    )
+    vdf.coalesce(1).write.mode("overwrite").parquet(vsrc)
+    cdf.coalesce(1).write.mode("overwrite").parquet(csrc)
+    # delay 600 s, gap 1800 s -> wm = 99400.000:
+    #   v10 end 98800     < wm  -> NULL emitted
+    #   v11 end 99400.000 == wm -> NULL emitted (non-strict)
+    #   v12 end 99400.0005 > wm -> held in state
+    #   v13/v99/v20 match clicks -> emitted as matches
+    v = spark.readStream.schema(vdf.schema).parquet(vsrc).withWatermark("view_ts", "600 seconds")
+    c = spark.readStream.schema(cdf.schema).parquet(csrc).withWatermark("click_ts", "600 seconds")
+    j = v.join(
+        c,
+        [
+            F.col("user_id") == F.col("click_user_id"),
+            F.col("click_ts") >= F.col("view_ts"),
+            F.col("click_ts") < F.col("view_ts") + F.expr("interval 1800 seconds"),
+        ],
+        "leftOuter",
+    ).select("view_id", "click_id")
+    q = (
+        j.writeStream.format("memory").queryName("lo_boundary").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {(r.view_id, r.click_id) for r in spark.table("lo_boundary").collect()}
+    assert rows == {(10, None), (11, None), (13, 501), (20, 500), (99, 501)}
