@@ -205,11 +205,24 @@ def q65_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: drives the actual Structured Streaming path (readStream →
-# watermarked tumbling agg → availableNow drain) and returns the drained
-# result as a batch frame. Streaming execution isn't SQL-replayable by the
-# oracle, but tests/test_streaming.py proves it equals the batch q44.
-@register("q66_streaming_tumbling")
+# Drives the actual Structured Streaming path (readStream → watermarked
+# tumbling agg → availableNow drain in COMPLETE mode) and returns the
+# drained result as a batch frame. Complete mode emits every window, and
+# since round 4 the streaming agg uses the exact-DECIMAL sum discipline,
+# so the drained output is bit-identical to batch q44 — which is exactly
+# the oracle below (same SQL as q44). The last rows-only streaming entry
+# is retired; tests/test_streaming.py still proves the equivalence
+# end-to-end.
+@register(
+    "q66_streaming_tumbling",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY window_start_s, event_type
+    """,
+)
 def q66_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 

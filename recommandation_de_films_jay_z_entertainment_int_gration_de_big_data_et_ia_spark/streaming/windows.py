@@ -52,11 +52,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """1-hour tumbling count+sum per event_type — the q44 expression with a
-    watermark bound for streaming state cleanup."""
+    watermark bound for streaming state cleanup. The sum goes through the
+    catalog's exact-DECIMAL discipline so the drained complete-mode
+    output is bit-identical to batch q44 (and hash-oracle-able: q66)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
         .select(
             F.col("w.start").cast("long").alias("window_start_s"),
             "event_type",

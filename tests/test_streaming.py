@@ -29,7 +29,10 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     batch = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("s"),
+        )
         .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n", "s")
     )
     want = {(r.ws, r.event_type): (r.n, r.s) for r in batch.collect()}
