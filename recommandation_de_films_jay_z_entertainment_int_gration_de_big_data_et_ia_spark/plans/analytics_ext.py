@@ -1025,3 +1025,72 @@ def q146_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — strict ORDERED funnel with per-step conversion windows (q61 is
+# the unordered 2-step variant): signup → first view STRICTLY AFTER the
+# signup within 7 days → first purchase strictly after that view within
+# 7 days. Staged conditional aggregation: stage k's anchor is joined
+# back (shuffle on user_id) and stage k+1 is a conditional MIN against
+# it — the scalable alternative to per-user event-array folds, and each
+# step is one grouped pass. Full-precision microsecond comparisons.
+# ---------------------------------------------------------------------------
+_FUNNEL_STEP_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "q155_ordered_funnel",
+    oracle=f"""
+    WITH t1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s
+      FROM events GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS v
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'view' AND t1.s IS NOT NULL
+        AND epoch_us(e.ts) > t1.s AND epoch_us(e.ts) <= t1.s + {_FUNNEL_STEP_US}
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > t2.v AND epoch_us(e.ts) <= t2.v + {_FUNNEL_STEP_US}
+      GROUP BY e.user_id)
+    SELECT 'signup' AS stage, COUNT(*) AS n_users FROM t1 WHERE s IS NOT NULL
+    UNION ALL SELECT 'view_within_7d', COUNT(*) FROM t2
+    UNION ALL SELECT 'purchase_within_7d', COUNT(*) FROM t3
+    """,
+)
+def q155_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tu")
+    )
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("tu"))).alias("s")
+    ).filter(F.col("s").isNotNull())
+    t2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .filter((F.col("tu") > F.col("s")) & (F.col("tu") <= F.col("s") + _FUNNEL_STEP_US))
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("v"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("tu") > F.col("v")) & (F.col("tu") <= F.col("v") + _FUNNEL_STEP_US))
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("p"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy().agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(t1, "signup")
+        .unionAll(stage(t2, "view_within_7d"))
+        .unionAll(stage(t3, "purchase_within_7d"))
+    )

@@ -678,3 +678,58 @@ def q104_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — feature hashing (the "hashing trick"): tokens are hashed into a
+# fixed 64-bucket index space (16-bit md5 prefix % 64 — portable to the
+# oracle via the q115 hex-decode), term frequencies summed per bucket,
+# and each document surfaces its sparse vector as a sorted "idx:tf"
+# string. The fixed-width feature space is what lets a 100 TB text
+# pipeline feed linear models without a vocabulary build: no global
+# dictionary, no second pass, collisions bounded by design. One explode
+# + one (doc, bucket) shuffle.
+# ---------------------------------------------------------------------------
+_FH_BUCKETS = 64
+_FH_H_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(t), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ")"
+)
+
+
+@register(
+    "q156_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array({NORM_SQL}, ' +')) AS t
+      FROM documents WHERE {NORM_SQL} <> ''),
+    tf AS (
+      SELECT doc_id, {_FH_H_SQL} % {_FH_BUCKETS} AS idx, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, idx)
+    SELECT doc_id,
+           string_agg(CAST(idx AS VARCHAR) || ':' || CAST(tf AS VARCHAR), ' ' ORDER BY idx) AS features
+    FROM tf GROUP BY doc_id
+    """,
+)
+def q156_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")
+    toks = docs.filter(norm != "").select(
+        "doc_id", F.explode(F.split(norm, " +")).alias("t")
+    )
+    idx = (F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long") % _FH_BUCKETS)
+    tf = toks.groupBy("doc_id", idx.alias("idx")).agg(F.count(F.lit(1)).alias("tf"))
+    pair = F.concat_ws(":", F.col("idx").cast("string"), F.col("tf").cast("string"))
+    return (
+        tf.select("doc_id", F.struct("idx", pair.alias("p")).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list("s")), lambda s: s["p"])
+            ).alias("features")
+        )
+    )
