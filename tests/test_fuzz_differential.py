@@ -191,3 +191,42 @@ def test_merge_cdc_matches_duckdb(spark, duck, base_keys, change_items):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cutoff_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_incremental_agg_merge_equals_recompute(spark, cutoff_frac):
+    """q141's algebra fuzzed: for ANY date cutoff splitting orders into
+    MV/delta (including empty MV and empty delta at the extremes),
+    merge(MV, delta) must equal the full recompute row-for-row."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.resolution import (
+        _mv_rollup,
+        incremental_agg_merge,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).first()
+    lo, hi = bounds.lo, bounds.hi
+    cutoff = lo + (hi - lo) * cutoff_frac
+    merged = incremental_agg_merge(
+        _mv_rollup(orders.filter(F.col("o_orderdate") < F.lit(cutoff))),
+        _mv_rollup(orders.filter(F.col("o_orderdate") >= F.lit(cutoff))),
+    )
+    full = _mv_rollup(orders).select(
+        "o_custkey", "cnt", F.round(F.col("rev").cast("double"), 2).alias("rev")
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
