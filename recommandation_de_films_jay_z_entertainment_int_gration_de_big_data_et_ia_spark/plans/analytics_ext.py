@@ -1094,3 +1094,144 @@ def q155_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(t2, "view_within_7d"))
         .unionAll(stage(t3, "purchase_within_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — decile calibration curve (the model-prep binning every ranking /
+# propensity pipeline builds): users are bucketed into equal-frequency
+# deciles by their total 'view' spend, and each decile reports its user
+# count, exact decimal spend mean, and purchase-conversion rate. ntile
+# over one grouped pass + a conditional aggregate — two shuffles total.
+# Rates are ROUND()ed from integer ratios so both engines emit identical
+# doubles.
+# ---------------------------------------------------------------------------
+@register(
+    "q157_calibration_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS spend,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    b AS (SELECT user_id, spend, converted,
+                 NTILE(10) OVER (ORDER BY spend DESC, user_id) AS decile
+          FROM u)
+    SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_users,
+           ROUND(CAST(SUM(spend) AS DOUBLE) / COUNT(*), 6) AS avg_spend,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+    FROM b GROUP BY decile
+    """,
+)
+def q157_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dec6 = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", dec6).otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("spend"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))
+    b = u.withColumn("decile", F.ntile(10).over(w))
+    return b.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("spend").cast("double") / F.count(F.lit(1)), 6).alias("avg_spend"),
+        F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — table diff (snapshot reconciliation, the data-eng "what changed
+# between loads" tool): snapshot A = orders as-is; snapshot B = a
+# deterministic mutation (rows with key % 101 == 0 dropped; status
+# flipped to 'X' for key % 97 == 0; keys shifted by +10M appended for
+# key % 103 == 0). One full-outer join on the key comparing a row
+# fingerprint (md5 of the '|'-joined business columns) classifies every
+# key as added / removed / changed / unchanged; output is the per-class
+# count plus min/max affected key — the audit summary a 100 TB
+# reconciliation job would emit (the join is the only shuffle; row
+# fingerprints are scan-local).
+# ---------------------------------------------------------------------------
+_DIFF_FP = "md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || CAST(ROUND(o_totalprice, 2) AS VARCHAR))"
+
+
+@register(
+    "q158_table_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k, {_DIFF_FP} AS fp FROM orders),
+    b_base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0),
+    b_added AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0),
+    b_all AS (SELECT * FROM b_base UNION ALL SELECT * FROM b_added),
+    b AS (SELECT o_orderkey AS k, {_DIFF_FP} AS fp FROM b_all),
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.fp <> b.fp THEN 'changed'
+                  ELSE 'unchanged' END AS class
+      FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT class, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+    FROM d GROUP BY class
+    """,
+)
+def q158_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        fp = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.round("o_totalprice", 2).cast("string"),
+            )
+        )
+        return df.select(F.col("o_orderkey").alias("k"), fp.alias("fp"))
+
+    a = fingerprint(orders)
+    b_base = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    b_added = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"), "o_orderstatus", "o_totalprice"
+    )
+    b = fingerprint(b_base.unionAll(b_added))
+    d = (
+        a.select(F.col("k").alias("ak"), F.col("fp").alias("afp"))
+        .join(
+            b.select(F.col("k").alias("bk"), F.col("fp").alias("bfp")),
+            F.col("ak") == F.col("bk"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("ak", "bk").alias("k"),
+            F.when(F.col("ak").isNull(), "added")
+            .when(F.col("bk").isNull(), "removed")
+            .when(F.col("afp") != F.col("bfp"), "changed")
+            .otherwise("unchanged")
+            .alias("class"),
+        )
+    )
+    return d.groupBy("class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
