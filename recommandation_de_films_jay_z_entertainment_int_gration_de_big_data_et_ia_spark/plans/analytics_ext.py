@@ -1235,3 +1235,83 @@ def q158_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — k-hop reachability (bounded graph traversal, the BFS cousin of
+# q126's PageRank and q146's triangles): from the smallest node of the
+# support-pruned co-purchase graph, every node reachable in <= 3 hops
+# with its minimal hop count. Fixed-depth frontier expansion — one
+# edges-join + dedupe per hop, the iterative-join shape that replaces
+# recursive CTEs on Spark; the oracle chains the same three expansions
+# as plain CTEs. Frontier/visited frames stay node-sized (<< edges).
+# ---------------------------------------------------------------------------
+_KHOP_EDGE_CTE = f"""
+    baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT p1.part AS a, p2.part AS b, COUNT(*) AS sup
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part GROUP BY a, b),
+    dedges AS (SELECT a, b FROM pairs WHERE sup >= {_TRI_MIN_SUP}),
+    edges AS (SELECT a, b FROM dedges UNION SELECT b, a FROM dedges)
+"""
+
+
+@register(
+    "q161_khop_reachability",
+    oracle=f"""
+    WITH {_KHOP_EDGE_CTE},
+    seed AS (SELECT MIN(a) AS s FROM edges),
+    h1 AS (SELECT DISTINCT e.b AS node FROM edges e JOIN seed ON e.a = seed.s),
+    h2 AS (
+      SELECT DISTINCT e.b AS node FROM edges e JOIN h1 ON e.a = h1.node
+      WHERE e.b NOT IN (SELECT s FROM seed) AND e.b NOT IN (SELECT node FROM h1)),
+    h3 AS (
+      SELECT DISTINCT e.b AS node FROM edges e JOIN h2 ON e.a = h2.node
+      WHERE e.b NOT IN (SELECT s FROM seed)
+        AND e.b NOT IN (SELECT node FROM h1)
+        AND e.b NOT IN (SELECT node FROM h2))
+    SELECT node, 1 AS hops FROM h1
+    UNION ALL SELECT node, 2 FROM h2
+    UNION ALL SELECT node, 3 FROM h3
+    """,
+)
+def q161_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a AS a, b AS b))))"
+    )
+    directed = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUP)
+        .select("a", "b")
+    )
+    edges = directed.unionAll(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.localCheckpoint()  # truncate lineage before iteration
+    seed = edges.groupBy().agg(F.min("a").alias("node"))
+    visited = seed
+    out = None
+    frontier = seed
+    for hop in (1, 2, 3):
+        frontier = (
+            edges.join(
+                frontier.select(F.col("node").alias("a")), "a"
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        labeled = frontier.select("node", F.lit(hop).alias("hops"))
+        out = labeled if out is None else out.unionAll(labeled)
+        visited = visited.unionAll(frontier.select("node"))
+    return out

@@ -356,3 +356,52 @@ def q152_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "o_custkey", "n")
     )
     return ia.unionAll(ea)
+
+
+# ---------------------------------------------------------------------------
+# q160 — approx percentile with a bounded oracle (q55's discipline for
+# the quantile family): Spark's approx_percentile is a deterministic
+# t-digest-style sketch whose estimate can't hash-match DuckDB's exact
+# quantile, but its RANK ERROR can be gated. Both engines emit exact
+# grouped stats plus a boolean that the approximate p50/p95 each fall
+# within the exact p45–p55 / p90–p99 bands (±0.05 rank, 5000× the
+# documented accuracy=10000 bound — generous, so the gate is stable,
+# not lucky). At 100 TB this is the mergeable one-pass quantile path;
+# the exact interpolated percentile (q60) is the two-pass audit.
+# ---------------------------------------------------------------------------
+@register(
+    "q160_approx_percentile_bounded",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
+           TRUE AS p50_in_band, TRUE AS p95_in_band
+    FROM events GROUP BY event_type
+    """,
+)
+def q160_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(value, 0.5)").alias("__e50"),
+        F.expr("percentile(value, 0.95)").alias("__e95"),
+        F.expr("percentile(value, 0.45)").alias("__lo50"),
+        F.expr("percentile(value, 0.55)").alias("__hi50"),
+        F.expr("percentile(value, 0.90)").alias("__lo95"),
+        F.expr("percentile(value, 0.99)").alias("__hi95"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__a50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("__a95"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("__e50", 6).alias("exact_p50"),
+        F.round("__e95", 6).alias("exact_p95"),
+        ((F.col("__a50") >= F.col("__lo50")) & (F.col("__a50") <= F.col("__hi50"))).alias(
+            "p50_in_band"
+        ),
+        ((F.col("__a95") >= F.col("__lo95")) & (F.col("__a95") <= F.col("__hi95"))).alias(
+            "p95_in_band"
+        ),
+    )

@@ -237,3 +237,34 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 def q134_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "supplier", "lineitem")
     return spark.sql(_Q134_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q159 — NOT IN with NULLs (three-valued-logic trap): `k NOT IN
+# (subquery)` is FALSE-or-UNKNOWN for EVERY row once the subquery
+# returns a single NULL, so the naive anti-join rewrite is wrong. The
+# catalog entry exercises both flavors side by side against a subquery
+# that genuinely contains NULLs: NOT IN (empty result, by SQL
+# semantics) vs NOT EXISTS (the null-safe rewrite users actually want).
+# Catalyst plans NOT IN as NullAwareAntiJoin — the engine inherits the
+# correct semantics from the optimizer rather than hand-rolling them.
+# ---------------------------------------------------------------------------
+_Q159_SQL = """
+WITH probe AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+null_keys AS (
+  SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders WHERE o_totalprice > 200000)
+SELECT 'not_in' AS variant, COUNT(*) AS n FROM probe
+WHERE c_custkey NOT IN (SELECT k FROM null_keys)
+UNION ALL
+SELECT 'not_exists', COUNT(*) FROM probe p
+WHERE NOT EXISTS (SELECT 1 FROM null_keys nk WHERE nk.k = p.c_custkey)
+"""
+
+
+@register("q159_not_in_nulls", oracle=_Q159_SQL)
+def q159_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q159_SQL)
