@@ -405,3 +405,62 @@ def q160_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFram
             "p95_in_band"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — contribution / share-of-total analytics (ratio_to_report): each
+# nation's revenue as a share of its region's total and of the grand
+# total, plus its rank within the region. Exact decimal revenue sums;
+# the shares are single-rounded integer-decimal ratios so both engines
+# emit identical doubles. Shape: one fact aggregation (shuffle on
+# nation), then window sums over the TINY nation-level rollup — the
+# share windows never touch fact rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q162_revenue_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation)
+    SELECT region, nation,
+           ROUND(CAST(rev AS DOUBLE), 2) AS rev,
+           ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6) AS region_share,
+           ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS total_share,
+           CAST(RANK() OVER (PARTITION BY region ORDER BY rev DESC, nation) AS BIGINT) AS rank_in_region
+    FROM rev
+    """,
+)
+def q162_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy("region").orderBy(F.col("rev").desc(), F.col("nation"))
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_region).cast("double"), 6
+        ).alias("region_share"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_all).cast("double"), 6
+        ).alias("total_share"),
+        F.rank().over(w_rank).cast("bigint").alias("rank_in_region"),
+    )

@@ -693,3 +693,31 @@ def test_pq_codes_bounded_and_adc_recall_on_planted_clusters(spark, sf_dir):
     cluster0 = set(range(_PQ_K, _PQ_K + 15))
     assert exact_ids <= cluster0, f"exact top-10 escaped cluster 0: {sorted(exact_ids - cluster0)}"
     assert adc_ids <= cluster0, f"ADC top-10 escaped cluster 0: {sorted(adc_ids - cluster0)}"
+
+
+def test_khop_hops_are_minimal_on_planted_graph(spark):
+    """q161's frontier expansion must label every node with its MINIMAL
+    hop distance. Planted graph: a path 1-2-3-4-5 plus a shortcut 1-4 —
+    node 4 must be hop 1 (shortcut), node 5 hop 2, and the path must not
+    relabel them at larger depths."""
+    from pyspark.sql import functions as F
+
+    edges_directed = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    directed = spark.createDataFrame(edges_directed, "a long, b long")
+    edges = directed.unionAll(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    seed = edges.groupBy().agg(F.min("a").alias("node"))
+    visited, frontier, out = seed, seed, None
+    for hop in (1, 2, 3):
+        frontier = (
+            edges.join(frontier.select(F.col("node").alias("a")), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        labeled = frontier.select("node", F.lit(hop).alias("hops"))
+        out = labeled if out is None else out.unionAll(labeled)
+        visited = visited.unionAll(frontier.select("node"))
+    got = {r.node: r.hops for r in out.collect()}
+    assert got == {2: 1, 4: 1, 3: 2, 5: 2}
