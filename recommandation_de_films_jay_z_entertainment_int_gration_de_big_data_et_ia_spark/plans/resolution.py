@@ -276,22 +276,32 @@ _BKT_BUCKETS = 8
 
 
 def bucketed_table(spark: SparkSession, df: DataFrame, name: str, key: str) -> DataFrame:
-    """Materialize ``df`` as a bucketed+sorted managed table (idempotent
-    per session: reused if it already exists in the catalog). A stale
-    warehouse directory from a previous process (the in-memory catalog
-    does not survive restarts, the files do) is cleared first —
+    """Materialize ``df`` as a bucketed+sorted table (idempotent per
+    session: reused if it already exists in the catalog). The table is
+    EXTERNAL at an explicit path under the repo's ``.tmp`` — never the
+    session warehouse dir, which is a static conf derived from the
+    DRIVER PROCESS's cwd and may be read-only or unexpected on a vanilla
+    driver session. A stale path from a previous process (the in-memory
+    catalog does not survive restarts, the files do) is cleared first —
     otherwise saveAsTable fails with LOCATION_ALREADY_EXISTS."""
     if not spark.catalog.tableExists(name):
+        import os
         import shutil
-        from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".tmp",
+            "bucketed",
+        )
+        path = os.path.join(root, name)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
         (
             df.write.bucketBy(_BKT_BUCKETS, key)
             .sortBy(key)
             .mode("overwrite")
             .format("parquet")
+            .option("path", path)
             .saveAsTable(name)
         )
     return spark.table(name)
