@@ -464,3 +464,94 @@ def q162_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_share"),
         F.rank().over(w_rank).cast("bigint").alias("rank_in_region"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — stickiness (DAU/WAU): the product-analytics companion of q150 —
+# per day, distinct daily actives over distinct trailing-7-day actives,
+# via the same bounded-explode rewrite (no windowed COUNT DISTINCT in
+# any engine). Ratio rounded from exact integer counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q163_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    fan AS (
+      SELECT d.day AS target_day, ud.user_id
+      FROM ud JOIN days d ON d.day BETWEEN ud.day AND ud.day + 6),
+    wau AS (SELECT target_day AS day, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY target_day)
+    SELECT dau.day AS epoch_day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def q163_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = ud.select("day").distinct().withColumnRenamed("day", "target_day")
+    wau = (
+        ud.select(
+            "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("target_day")
+        )
+        .join(F.broadcast(days), "target_day")
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        F.col("day").alias("epoch_day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 — week-over-week growth: weekly exact-decimal revenue with lag
+# deltas and percent change (the reporting rollup every finance
+# dashboard runs). Week = epoch-day // 7 (timezone-free, no calendar
+# ambiguity); pct change NULL for the first week, rounded from a single
+# double division.
+# ---------------------------------------------------------------------------
+@register(
+    "q164_wow_growth",
+    oracle="""
+    WITH w AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000) // 7 AS week,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY week)
+    SELECT week, ROUND(CAST(rev AS DOUBLE), 2) AS rev,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY week) AS DOUBLE), 2) AS delta,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY week) AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY week) AS DOUBLE), 6) AS pct_change
+    FROM w
+    """,
+)
+def q164_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate arrives as TIMESTAMP_NTZ (parquet without UTC
+    # adjustment); pure NTZ arithmetic == DuckDB's epoch_us of a naive
+    # timestamp, with no session-timezone coercion (readers.py lesson).
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)"
+    )
+    week = (micros / F.lit(86400000000)).cast("bigint") / 7
+    w = (
+        orders.groupBy(week.cast("bigint").alias("week"))
+        .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev"))
+    )
+    lag = F.lag("rev").over(Window.orderBy("week"))
+    return w.select(
+        "week",
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round((F.col("rev") - lag).cast("double"), 2).alias("delta"),
+        F.round((F.col("rev") - lag).cast("double") / lag.cast("double"), 6).alias(
+            "pct_change"
+        ),
+    )
