@@ -953,3 +953,175 @@ def q154_streaming_left_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     name = f"q154_sink_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(attribution_join_left(views, clicks), name, output_mode="append")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q165 — LINEAR-interpolation gap fill (q118 zero-fills; real sensor /
+# metric pipelines interpolate): per event_type, the hourly mean series
+# on a dense hour axis, with missing hours linearly interpolated
+# between the nearest observed neighbors (edge gaps clamp to the
+# nearest boundary value). Neighbor lookup is last/first-IGNORE-NULLS
+# over the dense axis; the interpolation expression is singly-rounded
+# with identical parenthesization in both engines. Exact decimal hour
+# means; the dense axis is generated per type from min/max hour
+# (sequence+explode — scan-local, never a driver loop).
+# ---------------------------------------------------------------------------
+@register(
+    "q165_interpolated_series",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+             ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS v
+      FROM events GROUP BY event_type, hour),
+    axis AS (
+      SELECT event_type, UNNEST(range(MIN(hour), MAX(hour) + 1)) AS hour
+      FROM hourly GROUP BY event_type),
+    dense AS (
+      SELECT a.event_type, a.hour, h.v
+      FROM axis a LEFT JOIN hourly h ON a.event_type = h.event_type AND a.hour = h.hour),
+    nb AS (
+      SELECT event_type, hour, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM dense)
+    SELECT event_type, hour,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE ROUND(pv + (nv - pv) * (CAST(hour - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 6)
+           END AS value_filled,
+           (v IS NULL) AS interpolated
+    FROM nb
+    """,
+)
+def q165_interpolated_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.unix_micros("ts") / F.lit(3600000000)).cast("bigint")
+    hourly = (
+        ev.groupBy("event_type", hour.alias("hour"))
+        .agg(
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+    )
+    axis = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("hour"))
+    )
+    dense = axis.join(hourly, ["event_type", "hour"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    nb = dense.select(
+        "event_type",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("hour") - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")).cast("double")),
+        6,
+    )
+    return nb.select(
+        "event_type",
+        "hour",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — session bounce rate: share of q46 sessions containing exactly
+# one event, per user-activity bucket (light/medium/heavy by session
+# count). Rides the exact session construction; rates rounded from
+# integer ratios.
+# ---------------------------------------------------------------------------
+@register(
+    "q166_bounce_rate",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+      FROM events),
+    flagged AS (
+      SELECT user_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t >= {_SESS_GAP_US} THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+    numbered AS (
+      SELECT user_id, t, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_num
+      FROM flagged),
+    sess AS (SELECT user_id, sess_num, COUNT(*) AS n_events
+             FROM numbered GROUP BY user_id, sess_num),
+    per_user AS (
+      SELECT user_id, COUNT(*) AS n_sessions,
+             SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+      FROM sess GROUP BY user_id),
+    bucketed AS (
+      SELECT CASE WHEN n_sessions >= 30 THEN 'heavy'
+                  WHEN n_sessions >= 15 THEN 'medium' ELSE 'light' END AS activity,
+             n_sessions, n_bounces
+      FROM per_user)
+    SELECT activity, COUNT(*) AS n_users,
+           CAST(SUM(n_sessions) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_bounces) AS BIGINT) AS n_bounces,
+           ROUND(CAST(SUM(n_bounces) AS DOUBLE) / SUM(n_sessions), 6) AS bounce_rate
+    FROM bucketed GROUP BY activity
+    """,
+)
+def q166_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+    )
+    activity = (
+        F.when(F.col("n_sessions") >= 30, "heavy")
+        .when(F.col("n_sessions") >= 15, "medium")
+        .otherwise("light")
+    )
+    return (
+        per_user.select(activity.alias("activity"), "n_sessions", "n_bounces")
+        .groupBy("activity")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_sessions").alias("n_sessions"),
+            F.sum("n_bounces").alias("n_bounces"),
+            F.round(
+                F.sum("n_bounces").cast("double") / F.sum("n_sessions"), 6
+            ).alias("bounce_rate"),
+        )
+    )
