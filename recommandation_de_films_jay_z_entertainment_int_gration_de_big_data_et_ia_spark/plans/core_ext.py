@@ -555,3 +555,90 @@ def q164_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — quantile-rank normalization (per-group rank transform to [0,1]):
+# the distribution-free feature scaling that survives outliers where
+# min-max (q74's Arrow path) does not. percent_rank per event_type over
+# (value, event_id) — the id tiebreak makes ranks of duplicate values
+# deterministic in both engines. One shuffle on the group key.
+# ---------------------------------------------------------------------------
+@register(
+    "q167_quantile_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(value, 6) AS value,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS qnorm
+    FROM events WHERE event_id % 17 = 0
+    """,
+)
+def q167_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    w = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("qnorm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — out-of-order (late-data) audit: the observability metric every
+# event-time streaming pipeline tracks to SIZE ITS WATERMARK — per
+# event_type, how many events arrive behind the per-user running
+# maximum event time (ordered by event_id as arrival order), the p95 of
+# that lateness, and the max. Lateness in whole seconds from
+# full-precision microsecond running maxima; exact interpolated p95.
+# ---------------------------------------------------------------------------
+@register(
+    "q168_lateness_audit",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM events),
+    lat AS (
+      SELECT event_type,
+             CASE WHEN prev_max IS NOT NULL AND prev_max > t
+                  THEN (prev_max - t) // 1000000 ELSE 0 END AS late_s,
+             CASE WHEN prev_max IS NOT NULL AND prev_max > t THEN 1 ELSE 0 END AS is_late
+      FROM o)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           ROUND(CAST(SUM(is_late) AS DOUBLE) / COUNT(*), 6) AS late_share,
+           ROUND(quantile_cont(late_s, 0.95), 6) AS p95_late_s,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM lat GROUP BY event_type
+    """,
+)
+def q168_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.unix_micros("ts")
+    o = ev.select("event_type", t.alias("t"), F.max(t).over(w).alias("prev_max"))
+    is_late = F.col("prev_max").isNotNull() & (F.col("prev_max") > F.col("t"))
+    lat = o.select(
+        "event_type",
+        F.when(is_late, ((F.col("prev_max") - F.col("t")) / 1000000).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("late_s"),
+        F.when(is_late, 1).otherwise(0).alias("is_late"),
+    )
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+        F.round(F.sum("is_late").cast("double") / F.count(F.lit(1)), 6).alias("late_share"),
+        F.round(F.expr("percentile(late_s, 0.95)"), 6).alias("p95_late_s"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )
