@@ -1315,3 +1315,118 @@ def q161_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = labeled if out is None else out.unionAll(labeled)
         visited = visited.unionAll(frontier.select("node"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# q169 — association rules over co-purchase baskets (support /
+# confidence / lift — the market-basket completion of q73/q146): for
+# every ordered item pair with support >= 2, confidence = sup(a,b) /
+# sup(a) and lift = N·sup(a,b) / (sup(a)·sup(b)). All ratios are
+# single-rounded integer divisions, so cross-engine doubles match.
+# Top-20 rules by lift. Shape: the q126 basket-pair explode + one
+# broadcast join of per-item supports — never all-pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "q169_association_rules",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    n AS (SELECT COUNT(*) AS n_baskets FROM baskets),
+    item AS (
+      SELECT u.part AS item, COUNT(*) AS sup_i
+      FROM baskets, UNNEST(parts) AS u(part) GROUP BY u.part),
+    pair AS (
+      SELECT p1.part AS a, p2.part AS b, COUNT(*) AS sup
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part GROUP BY a, b HAVING COUNT(*) >= {_TRI_MIN_SUP})
+    SELECT a, b, CAST(sup AS BIGINT) AS sup,
+           ROUND(CAST(sup AS DOUBLE) / ia.sup_i, 6) AS confidence,
+           ROUND(CAST(n.n_baskets AS DOUBLE) * sup / (ia.sup_i * ib.sup_i), 6) AS lift
+    FROM pair JOIN item ia ON pair.a = ia.item
+              JOIN item ib ON pair.b = ib.item
+              CROSS JOIN n
+    ORDER BY lift DESC, a ASC, b ASC LIMIT 20
+    """,
+)
+def q169_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    n = baskets.groupBy().agg(F.count(F.lit(1)).alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("parts").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("sup_i"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a AS a, b AS b))))"
+    )
+    pair = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUP)
+    )
+    ia = item.select(F.col("item").alias("a"), F.col("sup_i").alias("sup_a"))
+    ib = item.select(F.col("item").alias("b"), F.col("sup_i").alias("sup_b"))
+    return (
+        pair.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.col("sup").cast("bigint").alias("sup"),
+            F.round(F.col("sup").cast("double") / F.col("sup_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_baskets").cast("double") * F.col("sup")
+                / (F.col("sup_a") * F.col("sup_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — latest-snapshot compaction (the Kafka-log-compaction /
+# CDC-read pattern): per (user_id, event_type) key, keep only the most
+# recent record by full-precision (ts, event_id). One window top-1 per
+# key — at 100 TB this is the nightly compaction that bounds table
+# growth; at read time the same window is the "current state" view.
+# ---------------------------------------------------------------------------
+@register(
+    "q170_snapshot_compaction",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           epoch_us(ts) // 1000000 AS last_ts_s,
+           ROUND(value, 6) AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q170_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            (F.unix_micros("ts") / 1000000).cast("bigint").alias("last_ts_s"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
