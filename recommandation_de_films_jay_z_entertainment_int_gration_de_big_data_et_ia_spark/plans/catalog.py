@@ -40,6 +40,7 @@ def load_all() -> None:
     """Import all plan modules so their queries register."""
     from . import (  # noqa: F401
         analytics_ext,
+        analytics_ext2,
         core,
         core_ext,
         corpus,
