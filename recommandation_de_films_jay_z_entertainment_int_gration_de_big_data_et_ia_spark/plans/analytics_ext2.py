@@ -194,3 +194,220 @@ def q173_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("current_streak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — Welch's t-test between two event cohorts (the A/B-test
+# primitive behind q139's CUPED): per-cohort n / mean / variance from
+# EXACT decimal sums (sum, sum-of-squares of the DECIMAL(18,4)-cast
+# value — decimal x decimal products are exact, so both engines feed
+# bit-identical doubles into the final formula), then the Welch
+# statistic and Satterthwaite df in identically-shaped double
+# arithmetic, single-rounded. One scan, one 2-group aggregate — the
+# whole test is a map-side-combinable agg at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q174_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS svv
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type),
+    m AS (
+      SELECT event_type, n, sv / n AS mean,
+             (svv - sv * sv / n) / (n - 1) AS var
+      FROM s),
+    ab AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'click' THEN mean END) AS m1,
+        MAX(CASE WHEN event_type = 'click' THEN var END) AS v1,
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'view' THEN mean END) AS m2,
+        MAX(CASE WHEN event_type = 'view' THEN var END) AS v2
+      FROM m)
+    SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+           ROUND(m1, 6) AS mean_click, ROUND(m2, 6) AS mean_view,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(
+             (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)),
+             6) AS welch_df
+    FROM ab
+    """,
+)
+def q174_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vdec = F.col("value").cast("decimal(18,4)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("sv"),
+        F.sum(vdec * vdec).cast("double").alias("svv"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    def _pick(col: str, et: str) -> F.Column:
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+    ab = m.groupBy().agg(
+        _pick("n", "click").alias("n1"),
+        _pick("mean", "click").alias("m1"),
+        _pick("var", "click").alias("v1"),
+        _pick("n", "view").alias("n2"),
+        _pick("mean", "view").alias("m2"),
+        _pick("var", "view").alias("v2"),
+    )
+    se2_1 = F.col("v1") / F.col("n1")
+    se2_2 = F.col("v2") / F.col("n2")
+    return ab.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_view"),
+        F.round(F.col("m1"), 6).alias("mean_click"),
+        F.round(F.col("m2"), 6).alias("mean_view"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2_1 + se2_2), 6).alias("t_stat"),
+        F.round(
+            (se2_1 + se2_2) * (se2_1 + se2_2)
+            / (se2_1 * se2_1 / (F.col("n1") - 1) + se2_2 * se2_2 / (F.col("n2") - 1)),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 — Benford first-digit audit over order totals (fraud/data-quality
+# screen): the leading digit is taken from the INTEGER part's string
+# form (integer-to-string is exact in every engine — no float-formatting
+# or log10 edge cases), counted, and compared to the Benford expectation
+# log10(1 + 1/d). Output: digit, count, observed share, expected share,
+# absolute deviation, and the chi-square contribution. One scan + one
+# 9-group agg; the global total is a broadcast 1-row frame.
+# ---------------------------------------------------------------------------
+@register(
+    "q175_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / t.total, 6) AS observed,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
+           ROUND(abs(CAST(n AS DOUBLE) / t.total - log10(1.0 + 1.0 / digit)), 6) AS abs_dev,
+           ROUND(
+             (CAST(n AS DOUBLE) - t.total * log10(1.0 + 1.0 / digit))
+             * (CAST(n AS DOUBLE) - t.total * log10(1.0 + 1.0 / digit))
+             / (t.total * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def q175_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    c = (
+        orders.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy().agg(F.sum("n").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    diff = F.col("n").cast("double") - F.col("total") * exp
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(obs, 6).alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+        F.round(diff * diff / (F.col("total") * exp), 6).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — Pearson correlation matrix over the lineitem measures
+# (feature-screening primitive for the q139/q131 model-prep family):
+# all pairwise correlations among quantity / extendedprice / discount /
+# tax in ONE scan — a single aggregate computes every decimal sum and
+# exact pairwise product-sum (10 of them); the 6 correlations are then
+# identically-shaped double expressions over that broadcast 1-row
+# frame, unpivoted to (col_a, col_b, corr) rows. At 100 TB this stays a
+# map-side-combinable single-pass agg — never one job per pair.
+# ---------------------------------------------------------------------------
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            # DECIMAL(28,4) operands force int128 storage in DuckDB —
+            # DECIMAL(18)x DECIMAL(18) would overflow its int64 fast path.
+            # The product is exact either way, matching Spark's (37,8).
+            sums.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(28,4)) * CAST({b} AS DECIMAL(28,4))) AS DOUBLE)"
+                f" AS p_{a}_{b}"
+            )
+    arms = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            arms.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" ROUND((n * p_{a}_{b} - s_{a} * s_{b})"
+                f" / (sqrt(n * p_{a}_{a} - s_{a} * s_{a})"
+                f" * sqrt(n * p_{b}_{b} - s_{b} * s_{b})), 6) AS corr FROM s"
+            )
+    return "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem) " + " UNION ALL ".join(arms)
+
+
+@register("q176_corr_matrix", oracle=_corr_oracle())
+def q176_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast("decimal(18,4)") * F.col(b).cast("decimal(18,4)"))
+                .cast("double")
+                .alias(f"p_{a}_{b}")
+            )
+    s = li.groupBy().agg(*aggs)
+    arms = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            corr = (
+                F.col("n") * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            ) / (
+                F.sqrt(F.col("n") * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * F.sqrt(F.col("n") * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            arms.append(
+                s.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(corr, 6).alias("corr"),
+                )
+            )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionAll(arm)
+    return out
