@@ -411,3 +411,296 @@ def q176_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for arm in arms[1:]:
         out = out.unionAll(arm)
     return out
+
+
+def _dot_ext_sql(a: str, b: str) -> str:
+    # Same array-ordered fold as plans.similarity._dot_sql / operators.similarity.dot.
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cos_ext_sql(a: str, b: str) -> str:
+    return f"({_dot_ext_sql(a, b)} / (sqrt({_dot_ext_sql(a, a)}) * sqrt({_dot_ext_sql(b, b)})))"
+
+
+# ---------------------------------------------------------------------------
+# q177 — int8 scalar quantization ANN (the memory-bound companion to
+# the q148/q149 product-quantization path): per-dimension min/max over
+# the corpus (one posexplode aggregate -> a broadcast 1-row stats
+# frame; never a driver collect), each float quantized to one of 256
+# levels, reconstructed at the level midpoint, and ranked by cosine
+# against the FULL-precision query vector (asymmetric distance). The
+# exact score rides along so the quantization error is visible per hit.
+# At 100 TB the codes are 4x smaller than float32 and the stats frame
+# is 64 doubles — the scan is the only distributed work.
+# Determinism: floor/least/midpoint arithmetic is identically shaped in
+# both engines; folds are array-ordered (operators.similarity.dot).
+# ---------------------------------------------------------------------------
+_SQ_RECON = (
+    "list_transform(range(1, len(v)+1), i -> mins[i] +"
+    " (least(floor((CAST(v[i] AS DOUBLE) - mins[i]) / (maxs[i] - mins[i]) * 256.0),"
+    " 255.0) + 0.5) * (maxs[i] - mins[i]) / 256.0)"
+)
+
+
+@register(
+    "q177_int8_quantized_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    d AS (SELECT i, MIN(CAST(v[i] AS DOUBLE)) AS mn, MAX(CAST(v[i] AS DOUBLE)) AS mx
+          -- dim is fixed at 64 (embeddings schema); DuckDB's range() table
+          -- function cannot take the lateral len(v)
+          FROM e, range(1, 65) t(i) GROUP BY i),
+    s AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM d),
+    r AS (SELECT vec_id, v, {_SQ_RECON} AS rv FROM e CROSS JOIN s),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND({_cos_ext_sql('rv', 'qv')}, 4) AS score_q,
+           ROUND({_cos_ext_sql('v', 'qv')}, 4) AS score_exact
+    FROM r CROSS JOIN q
+    WHERE vec_id != 0
+    ORDER BY score_q DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q177_int8_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    stats = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+            ).alias("mins"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+            ).alias("maxs"),
+        )
+    )
+
+    def _recon(v):  # mirrors _SQ_RECON
+        def level(x, i):
+            mn = F.element_at("mins", i + 1)
+            mx = F.element_at("maxs", i + 1)
+            code = F.least(
+                F.floor((x.cast("double") - mn) / (mx - mn) * 256.0).cast("double"),
+                F.lit(255.0),
+            )
+            return mn + (code + F.lit(0.5)) * (mx - mn) / 256.0
+
+        return F.transform(v, level)
+
+    r = emb.crossJoin(F.broadcast(stats)).withColumn("rv", _recon(F.col("v")))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        r.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("rv"), F.col("qv")) / (norm(F.col("rv")) * norm(F.col("qv"))), 4).alias("score_q"),
+            F.round(dot(F.col("v"), F.col("qv")) / (norm(F.col("v")) * norm(F.col("qv"))), 4).alias("score_exact"),
+        )
+        .orderBy(F.desc("score_q"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 — count-min sketch with exact-recount audit (the mergeable-sketch
+# companion to q142's Misra-Gries and q55's HLL): d=4 rows x w=256
+# buckets, hash_j(key) = 16-bit md5 slice of 'j|key' mod 256 (portable
+# md5 discipline — functions/text.py). The sketch is ONE map-side-
+# combinable groupBy over (row, bucket) — 1,024 cells regardless of
+# input size — and the per-key estimate is min over the 4 probed cells.
+# Output: the 20 heaviest part keys with exact count, CMS estimate and
+# overcount (est >= exact always; equality when no collision).
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 256
+
+
+def _md5_16bit_sql(expr: str) -> str:
+    # 16-bit int from the first 4 hex chars of md5(expr) (corpus.py pattern).
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+def _cms_bucket_sql(j: int) -> str:
+    key_expr = f"'{j}|' || CAST(l_partkey AS VARCHAR)"
+    return f"(({_md5_16bit_sql(key_expr)}) % {_CMS_W})"
+
+
+def _cms_bucket_col(j: int) -> F.Column:
+    key = F.concat(F.lit(f"{j}|"), F.col("l_partkey").cast("string"))
+    return (F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % _CMS_W).cast(
+        "int"
+    )
+
+
+@register(
+    "q178_count_min_sketch",
+    oracle=f"""
+    WITH cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql(j)} AS b, COUNT(*) AS n FROM lineitem GROUP BY b"
+        for j in range(_CMS_D)
+      )}),
+    exact AS (SELECT l_partkey AS key, COUNT(*) AS exact FROM lineitem GROUP BY l_partkey),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT key, exact, {j} AS j, {_cms_bucket_sql(j).replace('l_partkey', 'key')} AS b FROM exact"
+        for j in range(_CMS_D)
+      )}),
+    est AS (
+      SELECT p.key, p.exact, MIN(c.n) AS est
+      FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b
+      GROUP BY p.key, p.exact)
+    SELECT CAST(key AS BIGINT) AS key, CAST(exact AS BIGINT) AS exact,
+           CAST(est AS BIGINT) AS est, CAST(est - exact AS BIGINT) AS overcount
+    FROM est ORDER BY exact DESC, key ASC LIMIT 20
+    """,
+)
+def q178_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    hashed = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cms_bucket_col(j).alias("b"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb")
+    )
+    cells = hashed.groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exact = li.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select(
+        F.col("l_partkey"),
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cms_bucket_col(j).alias("b"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select(
+        F.col("l_partkey").alias("key"), "exact", F.col("jb.j").alias("j"), F.col("jb.b").alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("key", "exact")
+        .agg(F.min("n").alias("est"))
+    )
+    return (
+        est.select(
+            F.col("key").cast("bigint").alias("key"),
+            F.col("exact").cast("bigint").alias("exact"),
+            F.col("est").cast("bigint").alias("est"),
+            (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact"), F.asc("key"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — sorted-neighborhood near-dup detection (the sort-based
+# alternative to q32's LSH blocking, classic Hernandez-Stolfo SNM):
+# documents are ordered by their normalized text, and each doc is
+# compared ONLY to its next `_SNM_WINDOW` neighbors in that order (LEAD
+# windows — linear work, never all-pairs). Pairs with token-Jaccard >=
+# `_SNM_THRESHOLD` survive. The window is partitioned by the first
+# character of the sort key, so at 100 TB the sort is a bounded
+# per-prefix-block range sort (lengthen the prefix to shrink blocks) —
+# the documented SNM trade-off: boundary pairs across blocks are missed,
+# exactly as bucket-boundary pairs are missed by LSH banding.
+# Token/normalization spec is shared with the dedup family
+# (functions.text.normalize_text / plans.dedup.NORM_SQL).
+# ---------------------------------------------------------------------------
+_SNM_WINDOW = 3
+_SNM_THRESHOLD = 0.2
+from .dedup import NORM_SQL as _SNM_NORM_SQL  # noqa: E402
+from .dedup import TOKS_SQL as _SNM_TOKS_SQL  # noqa: E402
+
+
+@register(
+    "q179_sorted_neighborhood",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SNM_NORM_SQL} AS sk,
+             list_distinct({_SNM_TOKS_SQL}) AS tk
+      FROM documents),
+    p AS (
+      SELECT doc_id AS id_a, tk AS tk_a,
+             {" , ".join(
+               f"LEAD(doc_id, {o}) OVER w AS id_b{o}, LEAD(tk, {o}) OVER w AS tk_b{o}"
+               for o in range(1, _SNM_WINDOW + 1)
+             )}
+      FROM t
+      WINDOW w AS (PARTITION BY substr(sk, 1, 1) ORDER BY sk, doc_id)),
+    pairs AS (
+      {" UNION ALL ".join(
+        f"SELECT id_a, id_b{o} AS id_b, {o} AS nbr_offset, tk_a, tk_b{o} AS tk_b FROM p WHERE id_b{o} IS NOT NULL"
+        for o in range(1, _SNM_WINDOW + 1)
+      )})
+    SELECT id_a, id_b, CAST(nbr_offset AS INT) AS nbr_offset,
+           ROUND(CAST(len(list_intersect(tk_a, tk_b)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(tk_a, tk_b))) AS DOUBLE), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(len(list_intersect(tk_a, tk_b)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(tk_a, tk_b))) AS DOUBLE) >= {_SNM_THRESHOLD}
+    """,
+)
+def q179_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("sk"),
+        F.array_distinct(tokens(F.col("text"))).alias("tk"),
+    )
+    w = Window.partitionBy(F.substring("sk", 1, 1)).orderBy("sk", "doc_id")
+    p = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("tk").alias("tk_a"),
+        *[F.lead("doc_id", o).over(w).alias(f"id_b{o}") for o in range(1, _SNM_WINDOW + 1)],
+        *[F.lead("tk", o).over(w).alias(f"tk_b{o}") for o in range(1, _SNM_WINDOW + 1)],
+    )
+    arms = []
+    for o in range(1, _SNM_WINDOW + 1):
+        arms.append(
+            p.filter(F.col(f"id_b{o}").isNotNull()).select(
+                "id_a",
+                F.col(f"id_b{o}").alias("id_b"),
+                F.lit(o).cast("int").alias("nbr_offset"),
+                "tk_a",
+                F.col(f"tk_b{o}").alias("tk_b"),
+            )
+        )
+    pairs = arms[0]
+    for arm in arms[1:]:
+        pairs = pairs.unionAll(arm)
+    jac = F.size(F.array_intersect("tk_a", "tk_b")).cast("double") / F.size(
+        F.array_union("tk_a", "tk_b")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _SNM_THRESHOLD)
+        .select("id_a", "id_b", "nbr_offset", F.round("jaccard", 4).alias("jaccard"))
+    )
