@@ -704,3 +704,171 @@ def q179_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _SNM_THRESHOLD)
         .select("id_a", "id_b", "nbr_offset", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 — Pareto coverage set (the 80/20 completion of q162's
+# contribution shares): parts ranked by exact-DECIMAL revenue; emit the
+# minimal prefix whose cumulative share reaches 80% (the crossing row
+# included — predicate: cumulative share BEFORE this row < 0.8). The
+# cumulative window runs over the per-part aggregate (dimension-bounded,
+# ~200k rows at 100 TB — not the fact table), so the single-partition
+# cumulative window is safe at scale; the fact-side work is one
+# map-side-combinable groupBy. Shares divide DECIMAL sums in double at
+# the very end, identically parenthesized in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q180_pareto_coverage",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT partkey, rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, partkey ASC) AS rnk,
+             SUM(rev) OVER (ORDER BY rev DESC, partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS total
+      FROM per_part)
+    SELECT CAST(rnk AS BIGINT) AS rnk, partkey,
+           -- round the exact DECIMAL, THEN cast: rounding the double would
+           -- tie-break .525 cases differently per engine
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM ranked
+    WHERE CAST(cum - rev AS DOUBLE) / CAST(total AS DOUBLE) < 0.8
+    """,
+)
+def q180_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).alias("rev")
+    )
+    w_order = Window.orderBy(F.desc("rev"), F.asc("partkey"))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "partkey",
+        "rev",
+        F.row_number().over(w_order).alias("rnk"),
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+    )
+    return ranked.filter(
+        (F.col("cum") - F.col("rev")).cast("double") / F.col("total").cast("double") < 0.8
+    ).select(
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "partkey",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 6).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — Gini coefficient of customer revenue concentration (inequality
+# audit over the q172 monetary base): G = 2*sum(i*x_i)/(n*sum(x)) -
+# (n+1)/n with x sorted ascending (ties broken by custkey — the same
+# total order in both engines). sum(i*x_i) multiplies the BIGINT rank
+# into the DECIMAL revenue, so both sums stay exact; the final formula
+# is one double expression over a 1-row frame. The rank window runs on
+# the per-customer aggregate (dimension-bounded at scale).
+# ---------------------------------------------------------------------------
+@register(
+    "q181_gini_revenue",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev ASC, custkey ASC) AS i
+      FROM per_cust),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(rev) AS total,
+             SUM(CAST(i AS DECIMAL(18,0)) * rev) AS weighted
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(total AS DOUBLE), 2) AS total_revenue,
+           ROUND(2.0 * CAST(weighted AS DOUBLE) / (n * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def q181_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    ranked = per_cust.select(
+        "rev", F.row_number().over(Window.orderBy(F.asc("rev"), F.asc("custkey"))).alias("i")
+    )
+    s = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("rev")).alias("weighted"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("total").cast("double"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("weighted").cast("double")
+            / (F.col("n") * F.col("total").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q182 — Shannon entropy of the order-priority mix per nation
+# (distribution-drift primitive alongside q127's KL divergence).
+# Order-independence discipline: the per-(nation, priority) term
+# p*ln(p) is an irrational double, and summing doubles is
+# order-sensitive — so each term is rounded to DECIMAL(18,12) FIRST and
+# the decimal terms are summed exactly (any order), then negated and
+# single-rounded. With <= 5 priorities per nation the 5e-13 worst-case
+# term rounding is invisible at the output's 6 decimals.
+# ---------------------------------------------------------------------------
+@register(
+    "q182_priority_entropy",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name AS nation, o.o_orderpriority AS prio
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    cnt AS (SELECT nation, prio, COUNT(*) AS k FROM j GROUP BY nation, prio),
+    tot AS (SELECT nation, SUM(k) AS total FROM cnt GROUP BY nation),
+    terms AS (
+      SELECT c.nation, t.total,
+             CAST(ROUND((CAST(k AS DOUBLE) / t.total) * ln(CAST(k AS DOUBLE) / t.total), 12)
+                  AS DECIMAL(18,12)) AS term
+      FROM cnt c JOIN tot t ON c.nation = t.nation)
+    SELECT nation, CAST(MAX(total) AS BIGINT) AS n_orders,
+           ROUND(CAST(-SUM(term) AS DOUBLE), 6) AS entropy
+    FROM terms GROUP BY nation
+    """,
+)
+def q182_priority_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("prio"))
+    )
+    cnt = j.groupBy("nation", "prio").agg(F.count(F.lit(1)).alias("k"))
+    tot = cnt.groupBy("nation").agg(F.sum("k").alias("total"))
+    p = F.col("k").cast("double") / F.col("total")
+    terms = cnt.join(tot, "nation").select(
+        "nation",
+        "total",
+        F.round(p * F.log(p), 12).cast("decimal(18,12)").alias("term"),
+    )
+    return terms.groupBy("nation").agg(
+        F.max("total").cast("bigint").alias("n_orders"),
+        F.round((-F.sum("term")).cast("double"), 6).alias("entropy"),
+    )
