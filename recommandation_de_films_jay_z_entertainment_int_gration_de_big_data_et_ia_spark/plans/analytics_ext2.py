@@ -872,3 +872,96 @@ def q182_priority_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").cast("bigint").alias("n_orders"),
         F.round((-F.sum("term")).cast("double"), 6).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — CUSUM change-point detection over hourly series (batch twin of
+# the streaming EWMA family in streaming/stateful.py): per event_type,
+# the one-sided CUSUM s_t = max(0, s_{t-1} + (x_t - mean)) over the
+# hourly value sums, alarming when s_t > 3*stddev. The recursion is
+# genuinely sequential, so the Spark side is an Arrow-batched
+# applyInPandas over event_type groups — state per group is the HOURLY
+# series (bounded: hours, not events; a year is 8,760 rows per key), and
+# the heavy part (the hourly aggregate) is a plain map-side-combinable
+# groupBy. mean/std are computed ENGINE-SIDE from exact decimal sums
+# and joined into the series (never recomputed in pandas, whose
+# fold order would differ); pandas only replays the identically-shaped
+# max(0, s + (x - mean)) IEEE steps. Oracle: recursive CTE stepping all
+# event_types in lockstep by hour rank.
+# ---------------------------------------------------------------------------
+@register(
+    "q183_cusum_drift",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, hour_s),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS svv
+      FROM hourly GROUP BY event_type),
+    param AS (
+      SELECT event_type, sv / n AS mean,
+             sqrt((svv - sv * sv / n) / (n - 1)) AS sd
+      FROM stats),
+    seq AS (
+      SELECT h.event_type, h.hour_s, h.x, p.mean, p.sd,
+             ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hour_s) AS rn
+      FROM hourly h JOIN param p ON h.event_type = p.event_type),
+    walk AS (
+      SELECT event_type, hour_s, x, mean, sd, rn,
+             greatest(0.0, x - mean) AS s
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.event_type, q.hour_s, q.x, q.mean, q.sd, q.rn,
+             greatest(0.0, w.s + (q.x - q.mean)) AS s
+      FROM seq q JOIN walk w ON q.event_type = w.event_type AND q.rn = w.rn + 1)
+    SELECT event_type, hour_s, ROUND(x, 2) AS x, ROUND(s, 6) AS cusum,
+           s > 3 * sd AS alarm
+    FROM walk
+    """,
+)
+def q183_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_s"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("x_dec"))
+        .select("event_type", "hour_s", F.col("x_dec").cast("double").alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,4)")).cast("double").alias("sv"),
+        F.sum(F.col("x").cast("decimal(18,4)") * F.col("x").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    param = stats.select(
+        "event_type",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)).alias("sd"),
+    )
+    seq = hourly.join(F.broadcast(param), "event_type")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour_s").reset_index(drop=True)
+        s = 0.0
+        out = []
+        for x, mean in zip(pdf["x"], pdf["mean"]):
+            s = max(0.0, s + (x - mean))
+            out.append(s)
+        pdf["cusum"] = out
+        pdf["alarm"] = pdf["cusum"] > 3 * pdf["sd"]
+        pdf["x"] = pdf["x"].round(2)
+        pdf["cusum"] = pdf["cusum"].round(6)
+        return pdf[["event_type", "hour_s", "x", "cusum", "alarm"]]
+
+    return seq.groupBy("event_type").applyInPandas(
+        walk, schema="event_type string, hour_s bigint, x double, cusum double, alarm boolean"
+    )
