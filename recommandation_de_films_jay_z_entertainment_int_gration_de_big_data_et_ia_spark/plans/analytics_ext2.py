@@ -637,6 +637,7 @@ _SNM_WINDOW = 3
 _SNM_THRESHOLD = 0.2
 from .dedup import NORM_SQL as _SNM_NORM_SQL  # noqa: E402
 from .dedup import TOKS_SQL as _SNM_TOKS_SQL  # noqa: E402
+from .dedup import LSH_PAIRS_CTE as _LSH_PAIRS_CTE  # noqa: E402
 
 
 @register(
@@ -964,4 +965,197 @@ def q183_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return seq.groupBy("event_type").applyInPandas(
         walk, schema="event_type string, hour_s bigint, x double, cusum double, alarm boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — bigram-LM perplexity per document (the conditional-probability
+# extension of q106's unigram LM quality): add-one-smoothed p(b|a) =
+# (c2(a,b)+1)/(c1(a)+V) over corpus bigram/unigram counts, per-doc
+# perplexity = exp(-avg ln p). Joins: doc bigrams -> c2 on (a,b), ->
+# c1 on (a) — two key-partitioned shuffles over the bigram stream; V and
+# nothing else is broadcast. Order-independence: each ln p term is
+# rounded to DECIMAL(20,12) and decimal-summed per doc (q182's
+# discipline), so the per-doc average is engine-order-proof.
+# ---------------------------------------------------------------------------
+@register(
+    "q184_bigram_perplexity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SNM_TOKS_SQL} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+      FROM t, UNNEST(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    c2 AS (SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b),
+    c1 AS (SELECT a, COUNT(*) AS n1 FROM bg GROUP BY a),
+    v AS (SELECT COUNT(DISTINCT u.t) AS vocab FROM t, UNNEST(tk) AS u(t)),
+    terms AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(ln((CAST(c2.n2 AS DOUBLE) + 1.0) / (CAST(c1.n1 AS DOUBLE) + v.vocab)), 12)
+                  AS DECIMAL(20,12)) AS lp
+      FROM bg JOIN c2 ON bg.a = c2.a AND bg.b = c2.b
+              JOIN c1 ON bg.a = c1.a
+              CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4) AS perplexity
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q184_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    bg = (
+        docs.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(slice(tk, 1, size(tk) - 1), (x, i) -> struct(x AS a, tk[i+1] AS b))")
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("a").agg(F.count(F.lit(1)).alias("n1"))
+    v = (
+        docs.select(F.explode("tk").alias("t"))
+        .agg(F.countDistinct("t").alias("vocab"))
+    )
+    terms = (
+        bg.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("n2").cast("double") + 1.0) / (F.col("n1").cast("double") + F.col("vocab"))),
+                12,
+            )
+            .cast("decimal(20,12)")
+            .alias("lp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.exp(-(F.sum("lp").cast("double") / F.count(F.lit(1)))), 4).alias("perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — tokenizer vocab coverage / OOV rate per document: the vocab is
+# the top-`_VOCAB_N` tokens by document frequency (ties broken by token
+# asc — deterministic in both engines), and each doc reports its token
+# count, in-vocab count and OOV rate. The vocab is dimension-bounded
+# (500 rows) and broadcast into the exploded token stream; the per-doc
+# rollup is one key-partitioned groupBy. The classic pre-tokenizer
+# audit before committing a vocab to a 100 TB training run.
+# ---------------------------------------------------------------------------
+_VOCAB_N = 500
+
+
+@register(
+    "q185_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SNM_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT doc_id, u.t AS token FROM t, UNNEST(tk) AS u(t)),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS r FROM df)
+      WHERE r <= {_VOCAB_N}),
+    per_doc AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+      FROM tok LEFT JOIN vocab v ON tok.token = v.token
+      GROUP BY tok.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(in_vocab AS BIGINT) AS in_vocab,
+           ROUND(1.0 - CAST(in_vocab AS DOUBLE) / n_tokens, 6) AS oov_rate
+    FROM per_doc
+    """,
+)
+def q185_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    tok = docs.select("doc_id", F.explode("tk").alias("token"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    vocab = (
+        df.select(
+            "token", F.row_number().over(Window.orderBy(F.desc("df"), F.asc("token"))).alias("r")
+        )
+        .filter(F.col("r") <= _VOCAB_N)
+        .select("token")
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab.withColumn("__v", F.lit(1))), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__v").isNotNull(), 1).otherwise(0)).alias("in_vocab"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("in_vocab").cast("bigint").alias("in_vocab"),
+        F.round(F.lit(1.0) - F.col("in_vocab").cast("double") / F.col("n_tokens"), 6).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 — asymmetric containment on the LSH candidate pairs (catches
+# quote/subset duplication that symmetric Jaccard under-scores): for
+# each q32 candidate pair, containment_a = |A∩B|/|A| and the mirror for
+# B, flagged when either side >= 0.8. Reuses the exact q32/q33 banding
+# machinery (operators.dedup) — same single bucket shuffle, two id-keyed
+# shingle joins for the verify.
+# ---------------------------------------------------------------------------
+@register(
+    "q186_containment_pairs",
+    oracle=f"""
+    {_LSH_PAIRS_CTE}
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(sa.sh) AS DOUBLE), 4) AS containment_a,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / CAST(len(sb.sh) AS DOUBLE), 4) AS containment_b,
+           (CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(sa.sh) AS DOUBLE) >= 0.8
+            OR CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(sb.sh) AS DOUBLE) >= 0.8) AS contained
+    FROM pairs JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+    """,
+)
+def q186_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from .dedup import BANDS, MAX_BUCKET, NUM_HASHES
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, "doc_id", "text", 3)
+    cand = D.lsh_candidate_pairs(
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS),
+        "doc_id",
+        max_bucket=MAX_BUCKET,
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    ca = inter / F.size("__sa").cast("double")
+    cb = inter / F.size("__sb").cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ca, 4).alias("containment_a"),
+            F.round(cb, 4).alias("containment_b"),
+            ((ca >= 0.8) | (cb >= 0.8)).alias("contained"),
+        )
     )
