@@ -1159,3 +1159,196 @@ def q186_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((ca >= 0.8) | (cb >= 0.8)).alias("contained"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — declarative data-quality check suite (the Deequ/dbt-test
+# pattern): one row per constraint with its violation count and pass
+# flag — uniqueness of o_orderkey, null/blank keys, referential
+# integrity orphans (orders->customer, lineitem->orders), domain checks
+# (rating-like value bounds, accepted status codes), and a freshness
+# probe (events newer than the latest order). Each check is an
+# independent aggregate over ONE table scan + (for RI) a broadcast/
+# key-partitioned anti-join — the checks union into a single result so
+# a 100 TB audit is one job, not one job per rule.
+# ---------------------------------------------------------------------------
+@register(
+    "q187_dq_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+             AS violations
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_customer_ri',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orders_ri',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'events_value_nonnegative',
+           CAST((SELECT COUNT(*) FROM events WHERE value < 0) AS BIGINT)
+    """,
+)
+def q187_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    dup_pk = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    null_fk = orders.filter(F.col("o_custkey").isNull())
+    bad_status = orders.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+    orphan_orders = orders.join(
+        F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    orphan_lines = li.join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
+    bad_qty = li.filter(F.col("l_quantity") <= 0)
+    bad_value = ev.filter(F.col("value") < 0)
+    checks = [
+        one("orders_pk_unique", dup_pk),
+        one("orders_custkey_not_null", null_fk),
+        one("orders_status_domain", bad_status),
+        one("orders_customer_ri", orphan_orders),
+        one("lineitem_orders_ri", orphan_lines),
+        one("lineitem_qty_positive", bad_qty),
+        one("events_value_nonnegative", bad_value),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q188 — time-to-convert distribution (signup -> first purchase per
+# user): per-user deltas in full-precision seconds, then exact p25 /
+# median / p75 selected BY RANK over the per-user frame (never an
+# engine-native interpolating percentile, whose interpolation rules
+# differ) — the lower-median convention: element at ceil(q*n) in
+# (delta, user_id) order. Per-user step is one key-partitioned
+# min-aggregate; the quantile step runs on the dimension-bounded
+# per-user frame.
+# ---------------------------------------------------------------------------
+@register(
+    "q188_time_to_convert",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(epoch(ts)) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(epoch(e.ts)) AS t1
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s.t0
+          GROUP BY e.user_id),
+    d AS (SELECT s.user_id, CAST(floor(p.t1 - s.t0) AS BIGINT) AS delta_s
+          FROM s JOIN p ON s.user_id = p.user_id),
+    r AS (SELECT delta_s,
+                 ROW_NUMBER() OVER (ORDER BY delta_s, user_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM d)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN delta_s END) AS BIGINT) AS p25_s,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN delta_s END) AS BIGINT) AS median_s,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN delta_s END) AS BIGINT) AS p75_s
+    FROM r
+    """,
+)
+def q188_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # full-precision epoch seconds: integer microseconds / 1e6 (double is
+    # exact enough here and matches DuckDB's epoch())
+    t = (F.unix_micros(F.col("ts")).cast("double") / 1e6)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(t).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t.alias("t1"))
+        .join(s, "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"))
+    )
+    d = s.join(p, "user_id").select(
+        "user_id", F.floor(F.col("t1") - F.col("t0")).cast("bigint").alias("delta_s")
+    )
+    r = d.select(
+        "delta_s",
+        F.row_number().over(Window.orderBy("delta_s", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def at(q: float) -> F.Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"), F.col("delta_s"))
+        ).cast("bigint")
+
+    return r.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        at(0.25).alias("p25_s"),
+        at(0.50).alias("median_s"),
+        at(0.75).alias("p75_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — keep-last-N version retention (the N>1 generalization of
+# q170's snapshot compaction — a CDC table's "keep 3 most recent
+# versions per key" GC policy): one ROW_NUMBER window per (user_id,
+# event_type) ordered by full-precision (ts desc, event_id desc), keep
+# version <= 3, emit with its version stamp. Same single key-partitioned
+# window at any scale.
+# ---------------------------------------------------------------------------
+_KEEP_N = 3
+
+
+@register(
+    "q189_keep_last_n",
+    oracle=f"""
+    SELECT user_id, event_type, event_id,
+           epoch_us(ts) AS ts_us,
+           CAST(version AS INT) AS version
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS version
+      FROM events)
+    WHERE version <= {_KEEP_N}
+    """,
+)
+def q189_keep_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("version", F.row_number().over(w))
+        .filter(F.col("version") <= _KEEP_N)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("version").cast("int").alias("version"),
+        )
+    )
