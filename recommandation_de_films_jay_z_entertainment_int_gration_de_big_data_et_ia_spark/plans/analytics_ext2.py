@@ -1352,3 +1352,203 @@ def q189_keep_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").cast("int").alias("version"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — skip-gram PMI co-occurrence (embedding-prep staple; the
+# word-level sibling of q73's doc co-occurrence): token pairs within a
+# +/-2 window (ordered pair canonicalized a < b), PMI = ln(N * c_ab /
+# (c_a * c_b)) over skip-gram counts, top-30 by PMI among pairs with
+# c_ab >= 5. Pair generation explodes each position's bounded
+# lookahead (2 structs per token — linear, never a doc self-join);
+# counts are two key-partitioned aggregates; the unigram side joins
+# back broadcast (vocab-bounded).
+# ---------------------------------------------------------------------------
+@register(
+    "q190_pmi_cooccurrence",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SNM_TOKS_SQL} AS tk FROM documents),
+    grams AS (
+      SELECT CASE WHEN tk[i] < tk[i+1] THEN tk[i] ELSE tk[i+1] END AS a,
+             CASE WHEN tk[i] < tk[i+1] THEN tk[i+1] ELSE tk[i] END AS b
+      FROM t, UNNEST(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)
+      WHERE len(tk) > 1
+      UNION ALL
+      SELECT CASE WHEN tk[i] < tk[i+2] THEN tk[i] ELSE tk[i+2] END AS a,
+             CASE WHEN tk[i] < tk[i+2] THEN tk[i+2] ELSE tk[i] END AS b
+      FROM t, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(i)
+      WHERE len(tk) > 2),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM grams GROUP BY a, b),
+    uni AS (
+      SELECT u.t AS tok, COUNT(*) AS c FROM t, UNNEST(tk) AS u(t) GROUP BY u.t),
+    n AS (SELECT SUM(c_ab) AS total FROM cab)
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+           ROUND(ln(CAST(n.total AS DOUBLE) * c_ab / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+    FROM cab JOIN uni ua ON cab.a = ua.tok
+             JOIN uni ub ON cab.b = ub.tok
+             CROSS JOIN n
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, a ASC, b ASC LIMIT 30
+    """,
+)
+def q190_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(tokens(F.col("text")).alias("tk"))
+    pair_expr = F.expr(
+        "flatten(transform(tk, (x, i) -> filter(transform(sequence(1, 2), d ->"
+        " CASE WHEN i + d < size(tk) THEN"
+        "   CASE WHEN x < tk[i+d] THEN struct(x AS a, tk[i+d] AS b)"
+        "        ELSE struct(tk[i+d] AS a, x AS b) END"
+        " ELSE NULL END), p -> p IS NOT NULL)))"
+    )
+    grams = docs.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    cab = grams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = docs.select(F.explode("tk").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = cab.groupBy().agg(F.sum("c_ab").alias("total"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    return (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(
+                F.log(F.col("total").cast("double") * F.col("c_ab") / (F.col("c_a").cast("double") * F.col("c_b"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191 — lagged feature matrix for forecasting (the feature-engineering
+# feeder for the q52/q131 model family): per event_type daily
+# exact-DECIMAL value sums on the integer UTC day axis, with lag-1,
+# lag-7 and a 7-day trailing mean (current day excluded) as features,
+# emitted only for rows where all features exist. ROWS-window semantics
+# are deliberate (the daily axis is dense per type in this corpus; a
+# production variant composes with q118's gap fill first — documented
+# trade-off). One key-partitioned window stack over the tiny rollup.
+# The trailing mean divides the exact DECIMAL 7-day sum by 7 in double.
+# ---------------------------------------------------------------------------
+@register(
+    "q191_lag_features",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             SUM(CAST(value AS DECIMAL(18,4))) AS y
+      FROM events GROUP BY event_type, day),
+    f AS (
+      SELECT event_type, day,
+             CAST(y AS DOUBLE) AS y,
+             CAST(LAG(y, 1) OVER w AS DOUBLE) AS lag1,
+             CAST(LAG(y, 7) OVER w AS DOUBLE) AS lag7,
+             CAST(SUM(y) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE) / 7.0
+               AS ma7,
+             COUNT(*) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nprev
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, ROUND(y, 2) AS y, ROUND(lag1, 2) AS lag1,
+           ROUND(lag7, 2) AS lag7, ROUND(ma7, 6) AS ma7
+    FROM f WHERE lag7 IS NOT NULL AND nprev = 7
+    """,
+)
+def q191_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", (F.col("ts").cast("long") / 86400).cast("bigint").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-7, -1)
+    f = daily.select(
+        "event_type",
+        "day",
+        F.col("y").cast("double").alias("yd"),
+        F.lag("y", 1).over(w).cast("double").alias("lag1"),
+        F.lag("y", 7).over(w).cast("double").alias("lag7"),
+        (F.sum("y").over(w7).cast("double") / 7.0).alias("ma7"),
+        F.count(F.lit(1)).over(w7).alias("nprev"),
+    )
+    return f.filter(F.col("lag7").isNotNull() & (F.col("nprev") == 7)).select(
+        "event_type",
+        "day",
+        F.round("yd", 2).alias("y"),
+        F.round("lag1", 2).alias("lag1"),
+        F.round("lag7", 2).alias("lag7"),
+        F.round("ma7", 6).alias("ma7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — cohort LTV curve (cumulative revenue by customer-age; the
+# monetary counterpart of q101's retention counts): customers cohorted
+# by first-order month (integer UTC month index — never session-tz
+# date parts), every order binned by months-since-first, and each
+# (cohort, age) cell reports cumulative revenue per cohort member. Two
+# key-partitioned aggregates + one running window over the tiny
+# (cohort x age) rollup; cohort sizes join back broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q192_cohort_ltv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey AS custkey,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS rev,
+             date_diff('month', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS mo
+      FROM orders),
+    first_mo AS (SELECT custkey, MIN(mo) AS cohort FROM om GROUP BY custkey),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_n FROM first_mo GROUP BY cohort),
+    cells AS (
+      SELECT f.cohort, om.mo - f.cohort AS age, SUM(om.rev) AS rev
+      FROM om JOIN first_mo f ON om.custkey = f.custkey
+      GROUP BY f.cohort, age),
+    cum AS (
+      SELECT cohort, age,
+             SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM cells)
+    SELECT CAST(c.cohort AS INT) AS cohort, CAST(c.age AS INT) AS age,
+           CAST(s.cohort_n AS BIGINT) AS cohort_n,
+           CAST(ROUND(c.cum_rev, 2) AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(c.cum_rev AS DOUBLE) / s.cohort_n, 6) AS ltv_per_customer
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    """,
+)
+def q192_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("rev"),
+        (
+            (F.year("o_orderdate") - F.lit(1970)) * 12 + F.month("o_orderdate") - 1
+        ).alias("mo"),
+    )
+    first_mo = om.groupBy("custkey").agg(F.min("mo").alias("cohort"))
+    sizes = first_mo.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    cells = (
+        om.join(first_mo, "custkey")
+        .groupBy("cohort", (F.col("mo") - F.col("cohort")).alias("age"))
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select("cohort", "age", F.sum("rev").over(w).alias("cum_rev"))
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        F.col("cohort").cast("int").alias("cohort"),
+        F.col("age").cast("int").alias("age"),
+        F.col("cohort_n").cast("bigint").alias("cohort_n"),
+        F.round(F.col("cum_rev"), 2).cast("double").alias("cum_revenue"),
+        F.round(F.col("cum_rev").cast("double") / F.col("cohort_n"), 6).alias("ltv_per_customer"),
+    )
