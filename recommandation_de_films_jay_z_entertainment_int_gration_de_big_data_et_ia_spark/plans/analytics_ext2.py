@@ -391,7 +391,10 @@ def q176_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"p_{a}_{b}")
             )
     s = li.groupBy().agg(*aggs)
-    arms = []
+    # ONE projection exploding an array of per-pair structs — a UNION of
+    # per-pair selects would re-plan (and re-scan) the aggregate subtree
+    # once per arm (guarded by tests/test_plans_ext2.py).
+    pair_structs = []
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1 :]:
             corr = (
@@ -400,17 +403,14 @@ def q176_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sqrt(F.col("n") * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
                 * F.sqrt(F.col("n") * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
             )
-            arms.append(
-                s.select(
+            pair_structs.append(
+                F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
                     F.round(corr, 6).alias("corr"),
                 )
             )
-    out = arms[0]
-    for arm in arms[1:]:
-        out = out.unionAll(arm)
-    return out
+    return s.select(F.explode(F.array(*pair_structs)).alias("r")).select("r.*")
 
 
 def _dot_ext_sql(a: str, b: str) -> str:

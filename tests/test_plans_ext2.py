@@ -1,0 +1,89 @@
+"""Physical-plan and behavior guards for the q171-q192 additions
+(plans/analytics_ext2.py): the scale properties each docstring claims
+must be visible in the executed plan, not just asserted in prose."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString() + df._jdf.queryExecution().toString()
+
+
+def test_q171_fuzzy_join_is_blocked_not_cartesian(spark, sf_dir):
+    plan = _plan(QUERIES["q171_fuzzy_blocked_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join on the block key
+
+
+def test_q176_corr_matrix_single_scan_no_expand(spark, sf_dir):
+    df = QUERIES["q176_corr_matrix"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one aggregate over ONE lineitem scan (a union of per-pair selects
+    # would re-plan the agg subtree once per arm -> 6 scans)
+    assert plan.count("FileScan") == 1
+    assert "Expand" not in plan
+
+
+def test_q177_stats_frame_broadcasts(spark, sf_dir):
+    plan = _plan(QUERIES["q177_int8_quantized_ann"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q178_cms_estimate_never_undercounts(spark, sf_dir):
+    rows = QUERIES["q178_count_min_sketch"](spark, sf_dir).collect()
+    assert rows, "CMS audit returned no rows"
+    assert all(r["est"] >= r["exact"] for r in rows)
+    assert all(r["overcount"] == r["est"] - r["exact"] for r in rows)
+
+
+def test_q185_vocab_joins_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["q185_vocab_coverage"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q180_pareto_prefix_is_minimal_and_sorted(spark, sf_dir):
+    rows = QUERIES["q180_pareto_coverage"](spark, sf_dir).orderBy("rnk").collect()
+    assert rows, "empty Pareto set"
+    # ranks are the contiguous prefix 1..k and shares are nondecreasing
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r["cum_share"] for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    # every row but the last starts below the 0.8 target (minimality)
+    assert all(s < 0.8 or i == len(shares) - 1 for i, s in enumerate(shares[:-1]))
+    assert shares[-1] >= 0.8 or len(shares) == 0
+
+
+def test_q181_gini_in_unit_interval(spark, sf_dir):
+    row = QUERIES["q181_gini_revenue"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row["gini"] <= 1.0
+
+
+def test_q183_cusum_resets_at_zero_floor(spark, sf_dir):
+    rows = QUERIES["q183_cusum_drift"](spark, sf_dir).collect()
+    assert rows and all(r["cusum"] >= 0.0 for r in rows)
+
+
+def test_q189_keeps_at_most_n_versions(spark, sf_dir):
+    df = QUERIES["q189_keep_last_n"](spark, sf_dir)
+    counts = df.groupBy("user_id", "event_type").count().collect()
+    assert counts and all(r["count"] <= 3 for r in counts)
+
+
+def test_q186_containment_bounds_jaccard(spark, sf_dir):
+    """max(containment_a, containment_b) >= jaccard for every pair —
+    the algebraic reason the asymmetric metric catches subset dups."""
+    cont = {
+        (r["id_a"], r["id_b"]): max(r["containment_a"], r["containment_b"])
+        for r in QUERIES["q186_containment_pairs"](spark, sf_dir).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["q33_dedup_jaccard_verify"](spark, sf_dir).collect()
+    }
+    assert cont.keys() == jac.keys()
+    # 1e-4 slack: both sides round to 4 decimals independently
+    assert all(cont[k] >= jac[k] - 1e-4 for k in cont)
