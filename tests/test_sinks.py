@@ -57,3 +57,35 @@ def test_foreach_partition_bulk_batches(spark, sf_dir):
     want = sorted(r.doc_id for r in docs.collect())
     assert seen == want
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_read_delimited_with_rejects_splits_good_and_bad(spark, tmp_path):
+    """A malformed row (wrong arity / uncastable int) must land in the
+    rejects frame verbatim while clean rows parse fully — one read, two
+    complementary outputs (sources/readers.py:read_delimited_with_rejects)."""
+    from pyspark.sql import types as T
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        read_delimited_with_rejects,
+    )
+
+    p = tmp_path / "ratings_dirty.tsv"
+    p.write_text(
+        "1\t10\t5\t874965758\n"
+        "2\tnot_an_int\t3\t874965758\n"  # uncastable movieId
+        "3\t30\t4\t874965758\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("userId", T.IntegerType()),
+            T.StructField("movieId", T.IntegerType()),
+            T.StructField("rating", T.IntegerType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    good, bad = read_delimited_with_rejects(spark, str(p), schema, sep="\t")
+    good_rows = sorted((r.userId, r.movieId) for r in good.collect())
+    assert good_rows == [(1, 10), (3, 30)]
+    bad_rows = [r.raw_line for r in bad.collect()]
+    assert bad_rows == ["2\tnot_an_int\t3\t874965758"]
+    assert good.columns == ["userId", "movieId", "rating", "ts"]
