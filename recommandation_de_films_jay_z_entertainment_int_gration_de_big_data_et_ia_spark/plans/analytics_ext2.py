@@ -1552,3 +1552,197 @@ def q192_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cum_rev"), 2).cast("double").alias("cum_revenue"),
         F.round(F.col("cum_rev").cast("double") / F.col("cohort_n"), 6).alias("ltv_per_customer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — null-safe equi-join semantics (<=> / IS NOT DISTINCT FROM — the
+# three-valued-logic sibling of q159's NOT IN audit): both sides derive
+# a NULLABLE key (NULLIF collapses the 'P' status to NULL) and the join
+# must match NULL keys to each other — a plain = join silently drops
+# them. Output: per join-key the matched row count and whether the key
+# is the NULL bucket. Null-safe joins hash NULL like any value, so the
+# plan stays a hash join (no null-splitting rewrite needed).
+# ---------------------------------------------------------------------------
+@register(
+    "q193_null_safe_join",
+    oracle="""
+    WITH l AS (SELECT NULLIF(o_orderstatus, 'P') AS k, o_orderkey FROM orders),
+    r AS (SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS k, o_orderstatus AS label
+          FROM orders)
+    SELECT COALESCE(l.k, '<null>') AS join_key,
+           CAST(l.k IS NULL AS BOOLEAN) AS is_null_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def q193_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    left = orders.select(key.alias("lk"), "o_orderkey")
+    right = orders.select(key.alias("rk"), F.col("o_orderstatus").alias("label")).distinct()
+    return (
+        left.join(F.broadcast(right), left.lk.eqNullSafe(right.rk))
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+        .select(
+            F.coalesce(F.col("lk"), F.lit("<null>")).alias("join_key"),
+            F.col("lk").isNull().alias("is_null_bucket"),
+            "n_matched",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — embedding column profile (q112's column-profile idea lifted to
+# array<float>): per-dimension min / max / mean / std in ONE posexplode
+# aggregate (64 output rows regardless of corpus size; mean/std from
+# exact decimal sums so both engines agree bit-for-bit), plus each
+# dimension's zero-fraction — the pre-flight check before the q177
+# quantizer or q138's k-means commits to a 100 TB corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "q194_embedding_profile",
+    oracle="""
+    WITH e AS (SELECT embedding AS v FROM embeddings),
+    d AS (SELECT i AS dim, CAST(v[i] AS DOUBLE) AS x
+          FROM e, range(1, 65) t(i)),
+    s AS (
+      SELECT dim, COUNT(*) AS n,
+             MIN(x) AS mn, MAX(x) AS mx,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS svv,
+             SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM d GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+           ROUND(mn, 6) AS mn, ROUND(mx, 6) AS mx,
+           ROUND(sv / n, 6) AS mean,
+           ROUND(sqrt((svv - sv * sv / n) / (n - 1)), 6) AS std,
+           ROUND(CAST(zeros AS DOUBLE) / n, 6) AS zero_frac
+    FROM s
+    """,
+)
+def q194_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    xd = F.col("x").cast("decimal(18,9)")
+    s = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.sum(xd).cast("double").alias("sv"),
+        F.sum(xd * xd).cast("double").alias("svv"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mn", 6).alias("mn"),
+        F.round("mx", 6).alias("mx"),
+        F.round(F.col("sv") / F.col("n"), 6).alias("mean"),
+        F.round(F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)), 6).alias("std"),
+        F.round(F.col("zeros").cast("double") / F.col("n"), 6).alias("zero_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — bloom-filter semi-join pruning audit (the runtime-filter
+# technique AQE/DPP apply at 100 TB, made explicit and measurable): the
+# dim side (BUILDING-segment customers) sets k=3 md5-derived bit
+# positions in an m=4096 bloom filter; the fact side (orders) keeps
+# rows whose 3 positions are all set. Output: exact semi-join count,
+# bloom candidate count, and the realized false-positive rate — est
+# candidates >= exact always (no false negatives, the bloom guarantee,
+# pinned by the guard test). The filter is a 1-row broadcast array;
+# the probe is three array_contains per row — no shuffle of the fact
+# table at all.
+# ---------------------------------------------------------------------------
+_BLOOM_K, _BLOOM_M = 3, 4096
+
+
+def _bloom_pos_sql(j: int, key: str) -> str:
+    key_expr = f"'{j}|' || CAST({key} AS VARCHAR)"
+    return f"(({_md5_16bit_sql(key_expr)}) % {_BLOOM_M})"
+
+
+def _bloom_pos_col(j: int, key: F.Column) -> F.Column:
+    k = F.concat(F.lit(f"{j}|"), key.cast("string"))
+    return (F.conv(F.substring(F.md5(k), 1, 4), 16, 10).cast("long") % _BLOOM_M).cast("int")
+
+
+@register(
+    "q195_bloom_semi_join",
+    oracle=f"""
+    WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+      SELECT list_sort(list(DISTINCT p)) AS bs FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_sql(j, 'c_custkey')} AS p FROM dim" for j in range(_BLOOM_K))})),
+    probe AS (
+      SELECT o_orderkey, o_custkey,
+             {" AND ".join(f"list_contains(bits.bs, {_bloom_pos_sql(j, 'o_custkey')})" for j in range(_BLOOM_K))}
+               AS candidate
+      FROM orders CROSS JOIN bits),
+    exact AS (
+      SELECT COUNT(*) AS n_exact FROM orders o
+      WHERE EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = o.o_custkey)),
+    agg AS (SELECT COUNT(*) AS n_orders,
+                   SUM(CASE WHEN candidate THEN 1 ELSE 0 END) AS n_candidates
+            FROM probe)
+    SELECT CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim,
+           CAST((SELECT len(bs) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST(agg.n_orders AS BIGINT) AS n_orders,
+           CAST(exact.n_exact AS BIGINT) AS n_exact,
+           CAST(agg.n_candidates AS BIGINT) AS n_candidates,
+           ROUND(CAST(agg.n_candidates - exact.n_exact AS DOUBLE)
+                 / (agg.n_orders - exact.n_exact), 6) AS fp_rate
+    FROM agg CROSS JOIN exact
+    """,
+)
+def q195_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pos_arms = [
+        dim.select(_bloom_pos_col(j, F.col("c_custkey")).alias("p")) for j in range(_BLOOM_K)
+    ]
+    pos = pos_arms[0]
+    for arm in pos_arms[1:]:
+        pos = pos.unionAll(arm)
+    bits = pos.groupBy().agg(F.array_sort(F.collect_set("p")).alias("bs"))
+    probe = orders.crossJoin(F.broadcast(bits)).withColumn(
+        "candidate",
+        F.lit(True)
+        & F.array_contains("bs", _bloom_pos_col(0, F.col("o_custkey")))
+        & F.array_contains("bs", _bloom_pos_col(1, F.col("o_custkey")))
+        & F.array_contains("bs", _bloom_pos_col(2, F.col("o_custkey"))),
+    )
+    agg = probe.groupBy().agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("candidate"), 1).otherwise(0)).alias("n_candidates"),
+    )
+    n_exact = (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    n_dim = dim.groupBy().agg(F.count(F.lit(1)).alias("n_dim"))
+    n_bits = bits.select(F.size("bs").alias("n_bits_set"))
+    return (
+        agg.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_dim))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.col("n_dim").cast("bigint").alias("n_dim"),
+            F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.round(
+                (F.col("n_candidates") - F.col("n_exact")).cast("double")
+                / (F.col("n_orders") - F.col("n_exact")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
