@@ -87,3 +87,16 @@ def test_q186_containment_bounds_jaccard(spark, sf_dir):
     assert cont.keys() == jac.keys()
     # 1e-4 slack: both sides round to 4 decimals independently
     assert all(cont[k] >= jac[k] - 1e-4 for k in cont)
+
+
+def test_q195_bloom_has_no_false_negatives(spark, sf_dir):
+    row = QUERIES["q195_bloom_semi_join"](spark, sf_dir).collect()[0]
+    assert row["n_candidates"] >= row["n_exact"]  # bloom guarantee
+    assert 0.0 <= row["fp_rate"] <= 1.0
+    assert row["n_bits_set"] <= 4096
+
+
+def test_q193_null_bucket_matches(spark, sf_dir):
+    rows = {r["join_key"]: r for r in QUERIES["q193_null_safe_join"](spark, sf_dir).collect()}
+    assert "<null>" in rows and rows["<null>"]["is_null_bucket"]
+    assert rows["<null>"]["n_matched"] > 0  # a plain = join would drop these
