@@ -638,6 +638,8 @@ _SNM_THRESHOLD = 0.2
 from .dedup import NORM_SQL as _SNM_NORM_SQL  # noqa: E402
 from .dedup import TOKS_SQL as _SNM_TOKS_SQL  # noqa: E402
 from .dedup import LSH_PAIRS_CTE as _LSH_PAIRS_CTE  # noqa: E402
+_LSH_PAIRS_CTE_REC = _LSH_PAIRS_CTE.replace('WITH ', 'WITH RECURSIVE ', 1)
+from .textstats import STOP_SQL as _STOP_SQL  # noqa: E402
 
 
 @register(
@@ -1745,4 +1747,257 @@ def q195_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("fp_rate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — statistical mode per group (most frequent order priority per
+# nation, deterministic tie-break by priority asc): count-then-rank —
+# one fact-side groupBy plus a window over the tiny (nation x priority)
+# rollup. The mode share rides along. (Engines disagree on native
+# mode()'s tie rule, so the explicit rank IS the portable spec.)
+# ---------------------------------------------------------------------------
+@register(
+    "q196_mode_per_group",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name AS nation, o.o_orderpriority AS prio
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    cnt AS (SELECT nation, prio, COUNT(*) AS k FROM j GROUP BY nation, prio),
+    tot AS (SELECT nation, SUM(k) AS total FROM cnt GROUP BY nation),
+    r AS (SELECT nation, prio, k,
+                 ROW_NUMBER() OVER (PARTITION BY nation ORDER BY k DESC, prio ASC) AS rn
+          FROM cnt)
+    SELECT r.nation, r.prio AS mode_priority, CAST(r.k AS BIGINT) AS n_mode,
+           ROUND(CAST(r.k AS DOUBLE) / t.total, 6) AS mode_share
+    FROM r JOIN tot t ON r.nation = t.nation
+    WHERE r.rn = 1
+    """,
+)
+def q196_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("prio"))
+    )
+    cnt = j.groupBy("nation", "prio").agg(F.count(F.lit(1)).alias("k"))
+    tot = cnt.groupBy("nation").agg(F.sum("k").alias("total"))
+    r = cnt.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("nation").orderBy(F.desc("k"), F.asc("prio"))),
+    ).filter(F.col("rn") == 1)
+    return r.join(tot, "nation").select(
+        "nation",
+        F.col("prio").alias("mode_priority"),
+        F.col("k").cast("bigint").alias("n_mode"),
+        F.round(F.col("k").cast("double") / F.col("total"), 6).alias("mode_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — exact per-group quantiles by rank (the per-group form of
+# q188's rank-exact quartiles; never an engine-native interpolating
+# percentile): per market segment the lower-median and p90 of order
+# totals, selected at rank ceil(q*n) in (value, orderkey) order. One
+# window stack partitioned by segment — the quantile row selection is a
+# conditional aggregate, no second scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q197_group_median_exact",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS v, o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    r AS (SELECT segment, v,
+                 ROW_NUMBER() OVER (PARTITION BY segment ORDER BY v, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY segment) AS n
+          FROM j)
+    SELECT segment, CAST(MAX(n) AS BIGINT) AS n_orders,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END), 2) AS median_price,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN v END), 2) AS p90_price
+    FROM r GROUP BY segment
+    """,
+)
+def q197_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment")
+    r = j.select(
+        "segment",
+        "v",
+        F.row_number().over(w.orderBy("v", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def at(q: float) -> F.Column:
+        return F.round(
+            F.max(F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"), F.col("v"))),
+            2,
+        )
+
+    return r.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        at(0.50).alias("median_price"),
+        at(0.90).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — interval-overlap seconds between session sets (ad-viewability
+# / co-activity algebra; the pairwise-overlap complement of q145's
+# sweep-line concurrency): per user, 30-minute-gap sessions built
+# separately from 'view' and 'click' events (q46's session_window), then
+# every overlapping (view-session, click-session) pair contributes
+# max(0, min(ends) - max(starts)) whole seconds. The pair join is
+# user-partitioned (session counts per user are small and bounded by
+# the sessionizer) — never a global interval cross join. Session
+# bounds use floored-epoch seconds in BOTH engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q198_interval_overlap",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, epoch(ts) AS t, event_id FROM events
+      WHERE event_type IN ('view', 'click')),
+    o AS (
+      SELECT user_id, event_type, t, event_id,
+             LAG(t) OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS prev_t
+      FROM base),
+    f AS (SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t >= 1800 THEN 1 ELSE 0 END AS new_s
+          FROM o),
+    g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY t, event_id) AS sid
+          FROM f),
+    sess AS (
+      SELECT user_id, event_type, sid,
+             CAST(floor(MIN(t)) AS BIGINT) AS s, CAST(floor(MAX(t)) AS BIGINT) AS e
+      FROM g GROUP BY user_id, event_type, sid),
+    pairs AS (
+      SELECT v.user_id,
+             greatest(0, least(v.e, c.e) - greatest(v.s, c.s)) AS ov
+      FROM sess v JOIN sess c
+        ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+      WHERE least(v.e, c.e) >= greatest(v.s, c.s))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(SUM(ov) AS BIGINT) AS overlap_s
+    FROM pairs GROUP BY user_id
+    """,
+)
+def q198_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    sess = (
+        ev.groupBy("user_id", "event_type", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s"),
+            F.max(F.col("ts").cast("long")).alias("e"),
+        )
+        .select("user_id", "event_type", "s", "e")
+    )
+    v = sess.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("s").alias("vs"), F.col("e").alias("ve")
+    )
+    c = sess.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("s").alias("cs"), F.col("e").alias("ce")
+    )
+    lo = F.greatest(F.col("vs"), F.col("cs"))
+    hi = F.least(F.col("ve"), F.col("ce"))
+    pairs = v.join(c, "user_id").filter(hi >= lo).select(
+        "user_id", F.greatest(F.lit(0), hi - lo).alias("ov")
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlapping_pairs"),
+        F.sum("ov").cast("bigint").alias("overlap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — dedup with BEST-quality survivor selection (the curation-aware
+# ending of the dedup story: q32 candidates -> q78 clusters -> keep the
+# highest-quality member instead of q90's min-id convention): for every
+# multi-member near-dup cluster, the keeper is argmax by (q42's rounded
+# quality score, then min doc_id) — ROUNDED quality feeds the ordering
+# so both engines rank identically. Reuses the exact banding/cluster
+# machinery (operators.dedup) and the q42 quality formula; the quality
+# join touches only clustered docs (candidate-pair nodes), not the
+# whole corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "q199_dedup_keep_best",
+    oracle=f"""
+    {_LSH_PAIRS_CTE_REC},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS node, b AS reachable FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
+    comp AS (
+      SELECT node, LEAST(node, MIN(reachable)) AS cluster_id
+      FROM reach GROUP BY node),
+    quality AS (
+      SELECT doc_id,
+             ROUND(0.5 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+                   + 0.5 * least((CAST(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                                  / CAST(len(tk) AS DOUBLE)) * 10.0, 1.0), 4) AS quality
+      FROM t),
+    ranked AS (
+      SELECT c.cluster_id, c.node, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.node ASC) AS rn
+      FROM comp c JOIN quality q ON c.node = q.doc_id)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS kept_doc_id,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS kept_quality
+    FROM ranked GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q199_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import STOPWORDS, tokens
+    from ..operators import dedup as D
+    from .dedup import BANDS, MAX_BUCKET, NUM_HASHES
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, "doc_id", "text", n=3)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS),
+        "doc_id",
+        max_bucket=MAX_BUCKET,
+    )
+    clusters = D.dedup_clusters(pairs)  # (node, cluster_id)
+    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    n_tokens = F.size("tk")
+    nstop = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+    quality = F.round(
+        F.lit(0.5) * F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.5)
+        * F.least((nstop.cast("double") / n_tokens.cast("double")) * F.lit(10.0), F.lit(1.0)),
+        4,
+    )
+    q = tk.select("doc_id", quality.alias("quality"))
+    members = clusters.join(q, clusters.node == q.doc_id).select(
+        "cluster_id", "node", "quality"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("node"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).cast("bigint").alias("kept_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("kept_quality"),
+        )
+        .filter(F.col("n_members") >= 2)
     )
