@@ -1857,6 +1857,9 @@ def q197_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sweep-line concurrency): per user, 30-minute-gap sessions built
 # separately from 'view' and 'click' events (q46's session_window), then
 # every overlapping (view-session, click-session) pair contributes
+# (session intervals extend 1800s past the last event — the activity
+# window includes the inactivity timeout, the standard viewability
+# convention; without it singleton sessions are zero-length points)
 # max(0, min(ends) - max(starts)) whole seconds. The pair join is
 # user-partitioned (session counts per user are small and bounded by
 # the sessionizer) — never a global interval cross join. Session
@@ -1879,7 +1882,8 @@ def q197_group_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM f),
     sess AS (
       SELECT user_id, event_type, sid,
-             CAST(floor(MIN(t)) AS BIGINT) AS s, CAST(floor(MAX(t)) AS BIGINT) AS e
+             CAST(floor(MIN(t)) AS BIGINT) AS s,
+             CAST(floor(MAX(t)) AS BIGINT) + 1800 AS e
       FROM g GROUP BY user_id, event_type, sid),
     pairs AS (
       SELECT v.user_id,
@@ -1900,7 +1904,7 @@ def q198_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", "event_type", F.session_window("ts", "30 minutes"))
         .agg(
             F.min(F.col("ts").cast("long")).alias("s"),
-            F.max(F.col("ts").cast("long")).alias("e"),
+            (F.max(F.col("ts").cast("long")) + F.lit(1800)).alias("e"),
         )
         .select("user_id", "event_type", "s", "e")
     )
