@@ -2005,3 +2005,184 @@ def q199_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — exponentially time-decayed popularity (the recsys trending
+# score; what q51's popularity base becomes once freshness matters):
+# each order contributes exp(-0.05 * age_days) to its part-brand's
+# score, age measured against the corpus's latest order day (broadcast
+# 1-row frame). Order-independence: every decay term is rounded to
+# DECIMAL(20,12) and decimal-summed (q182's discipline) — float folds
+# in any partition order give identical output. Shape: fact scan +
+# broadcast day frame -> one brand groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "q200_decayed_popularity",
+    oracle="""
+    WITH o AS (
+      SELECT l.l_partkey,
+             date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS day
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    g AS (SELECT MAX(day) AS maxd FROM o),
+    t AS (
+      SELECT p.p_brand,
+             CAST(ROUND(exp(-0.05 * (g.maxd - o.day)), 12) AS DECIMAL(20,12)) AS w
+      FROM o JOIN part p ON o.l_partkey = p.p_partkey CROSS JOIN g)
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(w) AS DOUBLE), 6) AS decayed_score
+    FROM t GROUP BY p_brand
+    """,
+)
+def q200_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = li.join(orders, li.l_orderkey == orders.o_orderkey).select("l_partkey", "day")
+    g = o.groupBy().agg(F.max("day").alias("maxd"))
+    t = (
+        o.join(F.broadcast(part), o.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "p_brand",
+            F.round(F.exp(F.lit(-0.05) * (F.col("maxd") - F.col("day")).cast("double")), 12)
+            .cast("decimal(20,12)")
+            .alias("w"),
+        )
+    )
+    return t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum("w").cast("double"), 6).alias("decayed_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201 — ranking agreement between two top-k lists (offline-eval metric
+# for any ranker swap): top-50 parts by revenue vs by total quantity —
+# overlap@50 (Jaccard of the id sets) and Kendall-style concordant /
+# discordant pair counts over the COMMON items (both ranks known). The
+# two rankings come from one per-part aggregate (single fact scan);
+# the pair comparison is a self-join over the <=50-row common set —
+# constant work regardless of corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "q201_ranking_agreement",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem GROUP BY l_partkey),
+    ra AS (SELECT partkey, ROW_NUMBER() OVER (ORDER BY rev DESC, partkey ASC) AS r
+           FROM per_part QUALIFY r <= 50),
+    rb AS (SELECT partkey, ROW_NUMBER() OVER (ORDER BY qty DESC, partkey ASC) AS r
+           FROM per_part QUALIFY r <= 50),
+    common AS (SELECT ra.partkey, ra.r AS r_rev, rb.r AS r_qty
+               FROM ra JOIN rb ON ra.partkey = rb.partkey),
+    pairs AS (
+      SELECT CASE WHEN (a.r_rev - b.r_rev) * (a.r_qty - b.r_qty) > 0 THEN 1 ELSE 0 END AS conc
+      FROM common a JOIN common b ON a.partkey < b.partkey)
+    SELECT CAST((SELECT COUNT(*) FROM common) AS BIGINT) AS n_common,
+           ROUND(CAST((SELECT COUNT(*) FROM common) AS DOUBLE)
+                 / (100 - (SELECT COUNT(*) FROM common)), 6) AS jaccard_at_50,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant
+    FROM pairs
+    """,
+)
+def q201_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).alias("rev"),
+        F.sum(dec("l_quantity")).alias("qty"),
+    )
+    ra = per_part.select(
+        "partkey", F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("partkey"))).alias("r_rev")
+    ).filter(F.col("r_rev") <= 50)
+    rb = per_part.select(
+        "partkey", F.row_number().over(Window.orderBy(F.desc("qty"), F.asc("partkey"))).alias("r_qty")
+    ).filter(F.col("r_qty") <= 50)
+    common = ra.join(rb, "partkey")
+    a = common.select(F.col("partkey").alias("pa"), F.col("r_rev").alias("ra"), F.col("r_qty").alias("qa"))
+    b = common.select(F.col("partkey").alias("pb"), F.col("r_rev").alias("rb"), F.col("r_qty").alias("qb"))
+    pairs = a.join(b, F.col("pa") < F.col("pb")).select(
+        F.when((F.col("ra") - F.col("rb")) * (F.col("qa") - F.col("qb")) > 0, 1).otherwise(0).alias("conc")
+    )
+    n_common = common.groupBy().agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        pairs.groupBy()
+        .agg(F.sum("conc").alias("concordant"), F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(F.col("n_common").cast("double") / (F.lit(100) - F.col("n_common")), 6).alias("jaccard_at_50"),
+            F.col("concordant").cast("bigint").alias("concordant"),
+            (F.col("n_pairs") - F.col("concordant")).cast("bigint").alias("discordant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — exact weighted median (quantity-weighted order price per
+# segment; the weighted completion of q197's rank quantiles): the
+# weighted median is the first value, in (value, orderkey) order, whose
+# running weight reaches half the segment's total weight — cumulative
+# exact-DECIMAL weight windows, no interpolation, no native percentile.
+# ---------------------------------------------------------------------------
+@register(
+    "q202_weighted_median",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, l.l_extendedprice AS v,
+             CAST(l.l_quantity AS DECIMAL(18,4)) AS w, l.l_orderkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      JOIN customer c ON o.o_custkey = c.c_custkey),
+    r AS (
+      SELECT segment, v, w,
+             SUM(w) OVER (PARTITION BY segment ORDER BY v, l_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(w) OVER (PARTITION BY segment) AS total_w
+      FROM j),
+    hit AS (
+      SELECT segment, v, total_w,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cum_w, v) AS rn
+      FROM r WHERE cum_w * 2 >= total_w)
+    SELECT segment,
+           CAST(CAST(total_w AS DECIMAL(18,4)) AS DOUBLE) AS total_weight,
+           ROUND(v, 2) AS weighted_median_price
+    FROM hit WHERE rn = 1
+    """,
+)
+def q202_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("l_extendedprice").alias("v"),
+            F.col("l_quantity").cast("decimal(18,4)").alias("w"),
+            "l_orderkey",
+        )
+    )
+    wseg = Window.partitionBy("segment")
+    r = j.select(
+        "segment",
+        "v",
+        F.sum("w").over(wseg.orderBy("v", "l_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_w"),
+        F.sum("w").over(wseg).alias("total_w"),
+    )
+    hit = r.filter(F.col("cum_w") * 2 >= F.col("total_w")).withColumn(
+        "rn", F.row_number().over(wseg.orderBy("cum_w", "v"))
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "segment",
+        F.col("total_w").cast("double").alias("total_weight"),
+        F.round("v", 2).alias("weighted_median_price"),
+    )
