@@ -2186,3 +2186,216 @@ def q202_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_w").cast("double").alias("total_weight"),
         F.round("v", 2).alias("weighted_median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — Lorenz curve deciles (the distributional readout behind q181's
+# Gini scalar): customers NTILE(10)'d by revenue ascending (tie: custkey),
+# each decile reporting its revenue share and the cumulative share —
+# the '(bottom 50% hold x%)' export. Windows run over the per-customer
+# aggregate; shares divide exact DECIMAL sums at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "q203_lorenz_deciles",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY o_custkey),
+    d AS (SELECT custkey, rev,
+                 NTILE(10) OVER (ORDER BY rev ASC, custkey ASC) AS decile
+          FROM per_cust),
+    cell AS (SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS rev
+             FROM d GROUP BY decile),
+    c AS (SELECT decile, n_customers, rev,
+                 SUM(rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_rev,
+                 SUM(rev) OVER () AS total
+          FROM cell)
+    SELECT CAST(decile AS INT) AS decile, CAST(n_customers AS BIGINT) AS n_customers,
+           ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS rev_share,
+           ROUND(CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM c
+    """,
+)
+def q203_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    d = per_cust.select(
+        "rev", F.ntile(10).over(Window.orderBy(F.asc("rev"), F.asc("custkey"))).alias("decile")
+    )
+    cell = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("rev")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    c = cell.select(
+        "decile",
+        "n_customers",
+        "rev",
+        F.sum("rev").over(wc).alias("cum_rev"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.round(F.col("rev").cast("double") / F.col("total").cast("double"), 6).alias("rev_share"),
+        F.round(F.col("cum_rev").cast("double") / F.col("total").cast("double"), 6).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q204 — lexical diversity per source (type-token ratio + hapax rate;
+# the corpus-health stat q42's quality score doesn't see): per document
+# source, total tokens, distinct tokens, TTR, and the share of tokens
+# appearing exactly once in that source (hapax legomena) — boilerplate-
+# heavy sources crater both numbers. Two key-partitioned aggregates
+# over the exploded token stream, nothing quadratic.
+# ---------------------------------------------------------------------------
+@register(
+    "q204_lexical_diversity",
+    oracle=f"""
+    WITH t AS (SELECT source, {_SNM_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT source, u.t AS token FROM t, UNNEST(tk) AS u(t)),
+    cnt AS (SELECT source, token, COUNT(*) AS k FROM tok GROUP BY source, token)
+    SELECT source,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(k), 6) AS ttr,
+           CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(k), 6) AS hapax_rate
+    FROM cnt GROUP BY source
+    """,
+)
+def q204_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("tk")
+    )
+    cnt = (
+        docs.select("source", F.explode("tk").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    hapax = F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+    return cnt.groupBy("source").agg(
+        F.sum("k").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("k"), 6).alias("ttr"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.round(hapax.cast("double") / F.sum("k"), 6).alias("hapax_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205 — churn cohorts (active-base retention snapshot): the timeline's
+# last 20% (by full-precision epoch span) is the "recent" window; every
+# user active before it is classified churned / retained by whether
+# they reappear inside it, segmented by their lifetime event count
+# tercile (light/mid/heavy). Global min/max ride a broadcast 1-row
+# frame; per-user rollup is one groupBy; terciles are NTILE over the
+# per-user frame with custkey-style tie-breaks.
+# ---------------------------------------------------------------------------
+@register(
+    "q205_churn_cohorts",
+    oracle="""
+    WITH g AS (SELECT MIN(epoch(ts)) AS t0, MAX(epoch(ts)) AS t1 FROM events),
+    per_user AS (
+      SELECT e.user_id,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN epoch(e.ts) >= g.t1 - (g.t1 - g.t0) * 0.2 THEN 1 ELSE 0 END) AS active_recent,
+             MAX(CASE WHEN epoch(e.ts) <  g.t1 - (g.t1 - g.t0) * 0.2 THEN 1 ELSE 0 END) AS active_before
+      FROM events e CROSS JOIN g GROUP BY e.user_id),
+    t AS (SELECT user_id, n_events, active_recent,
+                 NTILE(3) OVER (ORDER BY n_events ASC, user_id ASC) AS tercile
+          FROM per_user WHERE active_before = 1)
+    SELECT CAST(tercile AS INT) AS usage_tercile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN active_recent = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           ROUND(CAST(SUM(CASE WHEN active_recent = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS churn_rate
+    FROM t GROUP BY tercile
+    """,
+)
+def q205_churn_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts")).cast("double") / 1e6
+    g = ev.groupBy().agg(F.min(t).alias("t0"), F.max(t).alias("t1"))
+    cut = F.col("t1") - (F.col("t1") - F.col("t0")) * 0.2
+    per_user = (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(t >= cut, 1).otherwise(0)).alias("active_recent"),
+            F.max(F.when(t < cut, 1).otherwise(0)).alias("active_before"),
+        )
+    )
+    tt = per_user.filter(F.col("active_before") == 1).select(
+        "user_id",
+        "n_events",
+        "active_recent",
+        F.ntile(3).over(Window.orderBy(F.asc("n_events"), F.asc("user_id"))).alias("tercile"),
+    )
+    churned = F.sum(F.when(F.col("active_recent") == 0, 1).otherwise(0))
+    return tt.groupBy("tercile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        churned.cast("bigint").alias("n_churned"),
+        F.round(churned.cast("double") / F.count(F.lit(1)), 6).alias("churn_rate"),
+    ).select(
+        F.col("tercile").cast("int").alias("usage_tercile"),
+        "n_users",
+        "n_churned",
+        "churn_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — sample-ratio-mismatch (SRM) check on the q80 splits (the
+# experimentation-platform guardrail run before ANY A/B readout): the
+# md5-derived 80/10/10 split assignment is recounted and chi-square
+# tested against its declared 204/26/26-of-256 ratios. Audits the
+# EXACT q80/q81 split spec (same 8-bit md5 slice), one groupBy over ids.
+# ---------------------------------------------------------------------------
+@register(
+    "q206_srm_check",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) * 16
+             + CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS h
+      FROM documents),
+    b AS (SELECT CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split
+          FROM h),
+    cnt AS (SELECT split, COUNT(*) AS n FROM b GROUP BY split),
+    tot AS (SELECT SUM(n) AS total FROM cnt),
+    ex AS (SELECT split, n, total,
+                  CASE split WHEN 'train' THEN 204.0 WHEN 'val' THEN 26.0 ELSE 26.0 END / 256.0 * total
+                    AS expected
+           FROM cnt CROSS JOIN tot)
+    SELECT split, CAST(n AS BIGINT) AS n,
+           ROUND(expected, 2) AS expected,
+           ROUND((n - expected) * (n - expected) / expected, 6) AS chi2_term
+    FROM ex
+    """,
+)
+def q206_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # EXACTLY q80's split rule (8-bit md5 slice, 204/26/26 of 256)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+    b = docs.select(
+        F.when(h < 204, "train").when(h < 230, "val").otherwise("test").alias("split")
+    )
+    cnt = b.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy().agg(F.sum("n").alias("total"))
+    expected = (
+        F.when(F.col("split") == "train", 204.0).when(F.col("split") == "val", 26.0).otherwise(26.0)
+        / 256.0
+        * F.col("total")
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "split",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(expected, 2).alias("expected"),
+        F.round((F.col("n") - expected) * (F.col("n") - expected) / expected, 6).alias("chi2_term"),
+    )
