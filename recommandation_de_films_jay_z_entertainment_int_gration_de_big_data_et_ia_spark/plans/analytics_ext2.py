@@ -2399,3 +2399,208 @@ def q206_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 2).alias("expected"),
         F.round((F.col("n") - expected) * (F.col("n") - expected) / expected, 6).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — insert-safe dense id assignment (the dimension-key /
+# embedding-row mapping job): the standing corpus (doc_id % 4 != 0)
+# already holds dense ids 1..N in doc_id order; the new batch
+# (doc_id % 4 == 0 — q99's increment convention) gets ids APPENDED
+# after max(N) in doc_id order, never renumbering history (an
+# embedding table keyed by dense_id must not reshuffle). Output: the
+# full mapping with an is_new flag. Two rank windows over disjoint
+# partitions + one broadcast max — the history side is never rewritten.
+# ---------------------------------------------------------------------------
+@register(
+    "q207_dense_id_mapping",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS dense_id
+      FROM documents WHERE doc_id % 4 != 0),
+    mx AS (SELECT COUNT(*) AS n FROM corpus),
+    batch AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS r
+      FROM documents WHERE doc_id % 4 = 0)
+    SELECT doc_id, CAST(dense_id AS BIGINT) AS dense_id, FALSE AS is_new FROM corpus
+    UNION ALL
+    SELECT b.doc_id, CAST(mx.n + b.r AS BIGINT) AS dense_id, TRUE AS is_new
+    FROM batch b CROSS JOIN mx
+    """,
+)
+def q207_dense_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("dense_id")
+    )
+    mx = corpus.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    batch = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("r")
+    )
+    old = corpus.select("doc_id", F.col("dense_id").cast("bigint").alias("dense_id"), F.lit(False).alias("is_new"))
+    new = batch.crossJoin(F.broadcast(mx)).select(
+        "doc_id", (F.col("n") + F.col("r")).cast("bigint").alias("dense_id"), F.lit(True).alias("is_new")
+    )
+    return old.unionAll(new)
+
+
+# ---------------------------------------------------------------------------
+# q208 — equal-width histogram with explicit under/overflow bins (the
+# fixed-bin complement of q120's equi-depth): order totals into 10
+# bins over [0, 500000) plus outlier bins — bin edges are FIXED
+# constants (the production pattern: stable bins across daily runs so
+# dashboards diff cleanly), not data-dependent. One scan, one groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "q208_fixed_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN o_totalprice < 0 THEN -1
+                  WHEN o_totalprice >= 500000 THEN 10
+                  ELSE CAST(floor(o_totalprice / 50000) AS INT) END AS bin
+      FROM orders),
+    cnt AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin),
+    tot AS (SELECT SUM(n) AS total FROM cnt)
+    SELECT CAST(bin AS INT) AS bin,
+           CASE WHEN bin = -1 THEN '<0' WHEN bin = 10 THEN '>=500000'
+                ELSE CAST(bin * 50000 AS VARCHAR) || '-' || CAST((bin + 1) * 50000 AS VARCHAR)
+           END AS label,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / tot.total, 6) AS share
+    FROM cnt CROSS JOIN tot
+    """,
+)
+def q208_fixed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = (
+        F.when(F.col("o_totalprice") < 0, -1)
+        .when(F.col("o_totalprice") >= 500000, 10)
+        .otherwise(F.floor(F.col("o_totalprice") / 50000).cast("int"))
+    )
+    cnt = orders.select(bin_col.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy().agg(F.sum("n").alias("total"))
+    label = (
+        F.when(F.col("bin") == -1, "<0")
+        .when(F.col("bin") == 10, ">=500000")
+        .otherwise(
+            F.concat(
+                (F.col("bin") * 50000).cast("string"), F.lit("-"), ((F.col("bin") + 1) * 50000).cast("string")
+            )
+        )
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        label.alias("label"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — rare-category collapse (cardinality capping before one-hot /
+# hashing featurization): part brands below 2% support collapse into
+# '__OTHER__'; output the post-collapse vocabulary with pre/post
+# cardinality trail. Support comes from one fact-side groupBy; the
+# collapse is a broadcast map of the tiny brand rollup — the fact
+# table is never re-scanned.
+# ---------------------------------------------------------------------------
+@register(
+    "q209_rare_collapse",
+    oracle="""
+    WITH cnt AS (
+      SELECT p.p_brand AS brand, COUNT(*) AS n
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand),
+    tot AS (SELECT SUM(n) AS total FROM cnt),
+    m AS (SELECT brand,
+                 CASE WHEN CAST(n AS DOUBLE) / tot.total >= 0.02 THEN brand
+                      ELSE '__OTHER__' END AS mapped, n
+          FROM cnt CROSS JOIN tot)
+    SELECT mapped AS category,
+           CAST(COUNT(*) AS BIGINT) AS n_source_brands,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(n) AS DOUBLE) / MAX(tot.total), 6) AS share
+    FROM m CROSS JOIN tot GROUP BY mapped
+    """,
+)
+def q209_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cnt = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy().agg(F.sum("n").alias("total"))
+    m = cnt.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("n").cast("double") / F.col("total") >= 0.02, F.col("brand"))
+        .otherwise("__OTHER__")
+        .alias("category"),
+        "n",
+        "total",
+    )
+    return m.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source_brands"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.round(F.sum("n").cast("double") / F.max("total"), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210 — peak detection over the daily series (ops-alerting primitive
+# feeding q183's CUSUM): a day is a peak when its exact-DECIMAL value
+# sum exceeds both neighbors AND 1.5x the 7-day trailing mean (current
+# day excluded, full trailing window required). Lag/lead + one trailing
+# frame over the per-type daily rollup; comparisons happen on the
+# exact decimals, doubles appear only in the emitted columns.
+# ---------------------------------------------------------------------------
+@register(
+    "q210_peak_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             SUM(CAST(value AS DECIMAL(18,4))) AS y
+      FROM events GROUP BY event_type, day),
+    f AS (
+      SELECT event_type, day, y,
+             LAG(y) OVER w AS prev_y, LEAD(y) OVER w AS next_y,
+             SUM(y) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base7,
+             COUNT(*) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day,
+           ROUND(CAST(y AS DOUBLE), 2) AS y,
+           ROUND(CAST(base7 AS DOUBLE) / 7.0, 6) AS trailing_mean
+    FROM f
+    WHERE prev_y IS NOT NULL AND next_y IS NOT NULL AND n7 = 7
+      AND y > prev_y AND y > next_y
+      AND CAST(y AS DOUBLE) > 1.5 * (CAST(base7 AS DOUBLE) / 7.0)
+    """,
+)
+def q210_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", (F.col("ts").cast("long") / 86400).cast("bigint").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-7, -1)
+    f = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.lag("y").over(w).alias("prev_y"),
+        F.lead("y").over(w).alias("next_y"),
+        F.sum("y").over(w7).alias("base7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    return f.filter(
+        F.col("prev_y").isNotNull()
+        & F.col("next_y").isNotNull()
+        & (F.col("n7") == 7)
+        & (F.col("y") > F.col("prev_y"))
+        & (F.col("y") > F.col("next_y"))
+        & (F.col("y").cast("double") > 1.5 * (F.col("base7").cast("double") / 7.0))
+    ).select(
+        "event_type",
+        "day",
+        F.round(F.col("y").cast("double"), 2).alias("y"),
+        F.round(F.col("base7").cast("double") / 7.0, 6).alias("trailing_mean"),
+    )
