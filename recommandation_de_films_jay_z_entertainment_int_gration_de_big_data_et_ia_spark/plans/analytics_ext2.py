@@ -2604,3 +2604,52 @@ def q210_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("y").cast("double"), 2).alias("y"),
         F.round(F.col("base7").cast("double") / 7.0, 6).alias("trailing_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — STREAMING latest-value materialization, hash-oracled (the
+# incremental twin of q170, via applyInPandasWithState — see
+# streaming/stateful.latest_per_key): drain the update stream with
+# availableNow into a memory sink, compact the update log by
+# max-(ts_us, event_id) per key (the CDC-log read pattern; a no-op for
+# a single-batch drain), and the result is bit-identical to batch
+# q170 — which IS the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q211_streaming_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           epoch_us(ts) // 1000000 AS last_ts_s,
+           ROUND(value, 6) AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q211_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.stateful import latest_per_key
+    from ..streaming.windows import run_stream_to_memory, stream_events
+
+    name = f"q211_sink_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(
+        latest_per_key(stream_events(spark, sf_dir)), name, output_mode="update"
+    )
+    log = spark.table(name)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("last_event_id")
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "last_event_id",
+            (F.col("ts_us") / 1000000).cast("bigint").alias("last_ts_s"),
+            F.round("last_value", 6).alias("last_value"),
+        )
+    )
