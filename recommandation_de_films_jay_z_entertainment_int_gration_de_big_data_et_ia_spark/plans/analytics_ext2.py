@@ -2653,3 +2653,192 @@ def q211_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("last_value", 6).alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — Tukey IQR-fence outlier audit per event type (the
+# quartile-based policy, complementing z-score q71 and MAD q116):
+# rank-exact Q1/Q3 (q197's convention — element at ceil(q*n), no
+# interpolation), fences at 1.5*IQR, and per type the count and rate
+# of out-of-fence events. Two passes over the fact: one to rank within
+# type (per-key window), one broadcast-joined fence filter.
+# ---------------------------------------------------------------------------
+@register(
+    "q212_iqr_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    q AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS q1,
+             MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS q3
+      FROM r GROUP BY event_type),
+    f AS (SELECT event_type, n, q1, q3,
+                 q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+          FROM q)
+    SELECT e.event_type, CAST(MAX(f.n) AS BIGINT) AS n,
+           ROUND(MAX(f.q1), 2) AS q1, ROUND(MAX(f.q3), 2) AS q3,
+           CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS DOUBLE)
+                 / MAX(f.n), 6) AS outlier_rate
+    FROM events e JOIN f ON e.event_type = f.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q212_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wt.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+
+    def at(q: float) -> F.Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"), F.col("value"))
+        )
+
+    qs = r.groupBy("event_type").agg(F.max("n").alias("n"), at(0.25).alias("q1"), at(0.75).alias("q3"))
+    f = qs.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = F.sum(F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0))
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(F.max("q1"), 2).alias("q1"),
+            F.round(F.max("q3"), 2).alias("q3"),
+            out.cast("bigint").alias("n_outliers"),
+            F.round(out.cast("double") / F.max("n"), 6).alias("outlier_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 — order/lineitem reconciliation audit (the cross-table
+# consistency check q187's suite points at but doesn't drill into):
+# per order, |o_totalprice - sum(line net revenue)| relative to the
+# header total, bucketed into consistency bands. Exact-DECIMAL line
+# sums; the relative diff is double only at the final compare. One
+# key-partitioned join+agg, then a 4-row rollup.
+# (The synthetic fixture isn't constructed to reconcile — the audit's
+# OUTPUT DISTRIBUTION is the deterministic artifact under test.)
+# ---------------------------------------------------------------------------
+@register(
+    "q213_reconciliation_audit",
+    oracle="""
+    WITH line_sum AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS net
+      FROM lineitem GROUP BY l_orderkey),
+    d AS (
+      SELECT o.o_orderkey,
+             abs(o.o_totalprice - CAST(ls.net AS DOUBLE)) / o.o_totalprice AS rel_diff
+      FROM orders o JOIN line_sum ls ON o.o_orderkey = ls.l_orderkey
+      WHERE o.o_totalprice > 0),
+    b AS (
+      SELECT CASE WHEN rel_diff < 0.001 THEN 'exact_0.1pct'
+                  WHEN rel_diff < 0.01 THEN 'within_1pct'
+                  WHEN rel_diff < 0.10 THEN 'within_10pct'
+                  ELSE 'mismatch' END AS band
+      FROM d),
+    t AS (SELECT COUNT(*) AS total FROM b)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.total, 6) AS share
+    FROM b CROSS JOIN t GROUP BY band, t.total
+    """,
+)
+def q213_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    line_sum = li.groupBy("l_orderkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).alias("net")
+    )
+    d = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .join(line_sum, orders.o_orderkey == line_sum.l_orderkey)
+        .select(
+            (F.abs(F.col("o_totalprice") - F.col("net").cast("double")) / F.col("o_totalprice")).alias("rel_diff")
+        )
+    )
+    b = d.select(
+        F.when(F.col("rel_diff") < 0.001, "exact_0.1pct")
+        .when(F.col("rel_diff") < 0.01, "within_1pct")
+        .when(F.col("rel_diff") < 0.10, "within_10pct")
+        .otherwise("mismatch")
+        .alias("band")
+    )
+    t = b.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    return (
+        b.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "band",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214 — daily cross-sectional percentile bands (the p10/p50/p90
+# envelope chart feed): per day, rank-exact percentiles of event values
+# ACROSS types (q197's ceil(q*n) convention, tie-broken by event_id).
+# One per-day window stack over the fact — the band table is
+# day-bounded regardless of event volume.
+# ---------------------------------------------------------------------------
+@register(
+    "q214_percentile_bands",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS n
+      FROM events)
+    SELECT day, CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.10 * n) AS BIGINT) THEN value END), 2) AS p10,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END), 2) AS p50,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END), 2) AS p90
+    FROM r GROUP BY day
+    """,
+)
+def q214_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / 86400).cast("bigint")
+    wd = Window.partitionBy("day")
+    r = ev.select(day.alias("day"), "value", "event_id").select(
+        "day",
+        "value",
+        F.row_number().over(wd.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+
+    def at(q: float) -> F.Column:
+        return F.round(
+            F.max(F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"), F.col("value"))),
+            2,
+        )
+
+    return r.groupBy("day").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        at(0.10).alias("p10"),
+        at(0.50).alias("p50"),
+        at(0.90).alias("p90"),
+    )
