@@ -721,3 +721,114 @@ def test_khop_hops_are_minimal_on_planted_graph(spark):
         visited = visited.unionAll(frontier.select("node"))
     got = {r.node: r.hops for r in out.collect()}
     assert got == {2: 1, 4: 1, 3: 2, 5: 2}
+
+
+# ---------------------------------------------------------------------------
+# Properties of the q171-q214 additions
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_partitions_weight(spark, sf_dir):
+    """For each segment, the weight strictly below the weighted median is
+    < half the total, and weight up to and including it is >= half —
+    the defining property, checked independently of the window plumbing."""
+    import __spark_entry__ as entrymod
+
+    med = {
+        r["segment"]: r["weighted_median_price"]
+        for r in entrymod.queries()["q202_weighted_median"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(cust.select("c_custkey", "c_mktsegment"), orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), F.col("l_extendedprice").alias("v"),
+                F.col("l_quantity").alias("w"))
+    )
+    for seg, m in med.items():
+        tot = j.filter(F.col("segment") == seg).agg(F.sum("w")).collect()[0][0]
+        below = j.filter((F.col("segment") == seg) & (F.col("v") < m)).agg(F.sum("w")).collect()[0][0] or 0.0
+        upto = j.filter((F.col("segment") == seg) & (F.col("v") <= m)).agg(F.sum("w")).collect()[0][0]
+        assert below * 2 < tot + 1e-6, seg
+        assert upto * 2 >= tot - 1e-6, seg
+
+
+def test_cms_sketch_is_mergeable(spark, sf_dir):
+    """Count-min cells built on two disjoint halves sum cellwise to the
+    full-corpus sketch — the property that makes CMS shardable at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.analytics_ext2 import (
+        _CMS_D,
+        _cms_bucket_col,
+    )
+
+    def cells(df):
+        hashed = df.select(
+            F.explode(
+                F.array(*[F.struct(F.lit(j).alias("j"), _cms_bucket_col(j).alias("b")) for j in range(_CMS_D)])
+            ).alias("jb")
+        )
+        return {
+            (r["j"], r["b"]): r["n"]
+            for r in hashed.groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    full = cells(li)
+    a = cells(li.filter(F.col("l_orderkey") % 2 == 0))
+    b = cells(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged = {}
+    for d in (a, b):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+
+def test_dense_id_mapping_is_bijective_and_append_only(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q207_dense_id_mapping"](spark, sf_dir).collect()
+    dense = sorted(r["dense_id"] for r in rows)
+    assert dense == list(range(1, len(rows) + 1))  # bijection onto 1..N
+    max_old = max(r["dense_id"] for r in rows if not r["is_new"])
+    assert all(r["dense_id"] > max_old for r in rows if r["is_new"])  # append-only
+
+
+def test_int8_quantization_error_is_bounded(spark, sf_dir):
+    """Quantized cosine must track the exact cosine: reconstruction moves
+    each coordinate < half a quantization step, so top-10 scores stay
+    within a small absolute band (loose 0.05 bound; typically ~1e-3)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q177_int8_quantized_ann"](spark, sf_dir).collect()
+    assert rows and all(abs(r["score_q"] - r["score_exact"]) < 0.05 for r in rows)
+
+
+def test_cusum_equals_naive_replay(spark, sf_dir):
+    """The applyInPandas CUSUM must equal a driver-side replay of the same
+    hourly series (independent recomputation, not the operator's code)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q183_cusum_drift"](spark, sf_dir).collect()
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["hour_s"])):
+        by_type.setdefault(r["event_type"], []).append(r)
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).cast("long").alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], {})[r["h"]] = r["x"]
+    for et, rs in by_type.items():
+        xs = series[et]
+        mean = sum(sorted(xs.values())) / len(xs)  # sorted() only stabilizes the check's own fold
+        s = 0.0
+        for r in rs:
+            s = max(0.0, s + (xs[r["hour_s"]] - mean))
+            assert abs(r["cusum"] - round(s, 6)) < 1e-4, (et, r["hour_s"])
