@@ -2842,3 +2842,287 @@ def q214_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.50).alias("p50"),
         at(0.90).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — common-neighbor link prediction over the co-purchase graph
+# (the missing-edge scorer next to q126/q146/q161): for part pairs NOT
+# directly co-purchased, score = |N(a) ∩ N(b)| (common neighbors) and
+# neighbor-Jaccard; top-20 candidate links. Neighborhoods come from the
+# q73-style co-purchase edges; the candidate space is bounded by
+# two-hop paths (neighbor-of-neighbor join), never all-pairs, and
+# existing edges are anti-joined out.
+# ---------------------------------------------------------------------------
+@register(
+    "q215_common_neighbors",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT DISTINCT p1.part AS a, p2.part AS b
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part != p2.part),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM pairs GROUP BY a),
+    two_hop AS (
+      SELECT e1.a AS a, e2.b AS b, COUNT(*) AS common
+      FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+      WHERE e1.a < e2.b
+      GROUP BY e1.a, e2.b),
+    cand AS (
+      SELECT t.a, t.b, t.common
+      FROM two_hop t LEFT JOIN pairs p ON t.a = p.a AND t.b = p.b
+      WHERE p.a IS NULL),
+    scored AS (
+      SELECT c.a, c.b, c.common,
+             ROUND(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common), 6) AS neighbor_jaccard
+      FROM cand c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node)
+    SELECT a, b, CAST(common AS BIGINT) AS common, neighbor_jaccard
+    FROM scored
+    ORDER BY common DESC, neighbor_jaccard DESC, a ASC, b ASC
+    LIMIT 20
+    """,
+)
+def q215_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, a -> transform(filter(parts, b -> b != a),"
+        " b -> struct(a AS a, b AS b))))"
+    )
+    pairs = baskets.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).distinct()
+    deg = pairs.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    e1 = pairs.select(F.col("a"), F.col("b").alias("mid"))
+    e2 = pairs.select(F.col("a").alias("mid"), F.col("b"))
+    two_hop = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = two_hop.join(pairs, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("bigint").alias("common"),
+            F.round(
+                F.col("common").cast("double") / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common"), F.desc("neighbor_jaccard"), F.asc("a"), F.asc("b")
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q216 — recommendation coverage & diversity metrics over the q75
+# item-item top-3 lists (the offline-eval sibling of q201): catalog
+# coverage (share of parts appearing in ANY top-3 list), and for each
+# recommending item whether its list crosses brands (intra-list
+# diversity via the part dimension). One pass over the q75 output +
+# broadcast part dim.
+# ---------------------------------------------------------------------------
+@register(
+    "q216_rec_coverage",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    pairs AS (
+      SELECT p1.part AS part_a, p2.part AS part_b
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part),
+    support AS (SELECT part_a, part_b, COUNT(*) AS sup FROM pairs GROUP BY part_a, part_b),
+    pop AS (SELECT part, COUNT(*) AS pop FROM (SELECT DISTINCT l_orderkey, l_partkey AS part FROM lineitem) GROUP BY part),
+    sym AS (
+      SELECT part_a AS item, part_b AS neigh, sup FROM support
+      UNION ALL
+      SELECT part_b, part_a, sup FROM support),
+    sim AS (
+      -- EXACTLY q75's scoring: sup >= 2 floor and 4-decimal rounding
+      -- BEFORE ranking (rounding changes tie groups, hence top-3 sets)
+      SELECT s.item, s.neigh,
+             ROUND(CAST(s.sup AS DOUBLE) / sqrt(CAST(pa.pop AS DOUBLE) * CAST(pb.pop AS DOUBLE)), 4) AS sim
+      FROM sym s JOIN pop pa ON s.item = pa.part JOIN pop pb ON s.neigh = pb.part
+      WHERE s.sup >= 2),
+    ranked AS (
+      SELECT item, neigh, sim,
+             ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, neigh ASC) AS rn
+      FROM sim),
+    topk AS (SELECT item, neigh FROM ranked WHERE rn <= 3),
+    nparts AS (SELECT COUNT(*) AS n_parts FROM part),
+    cov AS (SELECT COUNT(DISTINCT neigh) AS n_recommended FROM topk),
+    div AS (
+      SELECT t.item, COUNT(DISTINCT p.p_brand) AS n_brands
+      FROM topk t JOIN part p ON t.neigh = p.p_partkey GROUP BY t.item)
+    SELECT CAST(np.n_parts AS BIGINT) AS n_parts,
+           CAST(c.n_recommended AS BIGINT) AS n_recommended,
+           ROUND(CAST(c.n_recommended AS DOUBLE) / np.n_parts, 6) AS catalog_coverage,
+           CAST((SELECT COUNT(*) FROM div) AS BIGINT) AS n_items_with_recs,
+           ROUND(CAST((SELECT SUM(CASE WHEN n_brands > 1 THEN 1 ELSE 0 END) FROM div) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM div), 6) AS cross_brand_rate
+    FROM nparts np CROSS JOIN cov c
+    """,
+)
+def q216_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics_ext import q75_item_item_similarity
+
+    topk = q75_item_item_similarity(spark, sf_dir).select("item", "neigh")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    nparts = part.groupBy().agg(F.count(F.lit(1)).alias("n_parts"))
+    cov = topk.groupBy().agg(F.countDistinct("neigh").alias("n_recommended"))
+    div = (
+        topk.join(F.broadcast(part), topk.neigh == part.p_partkey)
+        .groupBy("item")
+        .agg(F.countDistinct("p_brand").alias("n_brands"))
+    )
+    divagg = div.groupBy().agg(
+        F.count(F.lit(1)).alias("n_items_with_recs"),
+        F.sum(F.when(F.col("n_brands") > 1, 1).otherwise(0)).alias("n_cross"),
+    )
+    return (
+        nparts.crossJoin(F.broadcast(cov))
+        .crossJoin(F.broadcast(divagg))
+        .select(
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.col("n_recommended").cast("bigint").alias("n_recommended"),
+            F.round(F.col("n_recommended").cast("double") / F.col("n_parts"), 6).alias("catalog_coverage"),
+            F.col("n_items_with_recs").cast("bigint").alias("n_items_with_recs"),
+            F.round(F.col("n_cross").cast("double") / F.col("n_items_with_recs"), 6).alias("cross_brand_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — per-document keyword extraction (q69's corpus TF-IDF turned
+# into the per-doc top-3): tf = in-doc term count, idf = ln(N/df) over
+# the corpus, top-3 terms per doc by tf*idf (tie: term asc). The df
+# table is vocab-bounded and joins into the exploded token stream; the
+# per-doc top-3 is a rank window partitioned by doc.
+# ---------------------------------------------------------------------------
+@register(
+    "q217_doc_keywords",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SNM_TOKS_SQL} AS tk FROM documents),
+    tok AS (SELECT doc_id, u.t AS term FROM t, UNNEST(tk) AS u(t)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored)
+    SELECT doc_id, CAST(rn AS INT) AS rank, term, tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q217_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    tok = docs.select("doc_id", F.explode("tk").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))),
+    )
+    return ranked.filter(F.col("rank") <= 3).select(
+        "doc_id", F.col("rank").cast("int").alias("rank"), "term", "tfidf"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — autocorrelation of the daily series (forecasting diagnostics
+# feeding q52/q191): per event_type, Pearson ACF at lags 1/2/7 computed
+# by self-joining the daily rollup on (day - lag) and running the
+# q176-style exact-decimal correlation per (type, lag). The rollup is
+# day-bounded; each lag is one merge-join over it.
+# ---------------------------------------------------------------------------
+@register(
+    "q218_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+      FROM events GROUP BY event_type, day),
+    lags AS (SELECT 1 AS lag UNION ALL SELECT 2 UNION ALL SELECT 7),
+    j AS (
+      SELECT a.event_type, l.lag, a.y AS x, b.y AS z
+      FROM daily a JOIN lags l ON TRUE
+                   JOIN daily b ON a.event_type = b.event_type AND b.day = a.day - l.lag),
+    s AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(z) AS DOUBLE) AS sz,
+             CAST(SUM(CAST(x AS DECIMAL(28,4)) * CAST(z AS DECIMAL(28,4))) AS DOUBLE) AS sxz,
+             CAST(SUM(CAST(x AS DECIMAL(28,4)) * CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(z AS DECIMAL(28,4)) * CAST(z AS DECIMAL(28,4))) AS DOUBLE) AS szz
+      FROM j GROUP BY event_type, lag)
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxz - sx * sz)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)), 6) AS acf
+    FROM s
+    """,
+)
+def q218_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", (F.col("ts").cast("long") / 86400).cast("bigint").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("y"))
+    lags = spark.range(1).select(F.explode(F.array(F.lit(1), F.lit(2), F.lit(7))).alias("lag"))
+    a = daily.select("event_type", "day", F.col("y").alias("x"))
+    b = daily.select(F.col("event_type").alias("et2"), F.col("day").alias("day2"), F.col("y").alias("z"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (F.col("event_type") == F.col("et2")) & (F.col("day2") == F.col("day") - F.col("lag")))
+        .select("event_type", "lag", "x", "z")
+    )
+    d28 = lambda c: F.col(c).cast("decimal(28,4)")  # noqa: E731
+    s = j.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(d28("x") * d28("z")).cast("double").alias("sxz"),
+        F.sum(d28("x") * d28("x")).cast("double").alias("sxx"),
+        F.sum(d28("z") * d28("z")).cast("double").alias("szz"),
+    )
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("szz") - F.col("sz") * F.col("sz"))
+            ),
+            6,
+        ).alias("acf"),
+    )
