@@ -3126,3 +3126,198 @@ def q218_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — seasonal-naive backtest (the honest baseline every q52-style
+# forecaster must beat): forecast(day) = actual(day-7); per event_type
+# report MAE and MAPE over all scored days plus the naive lag-1
+# comparison — the two-row-per-type "which baseline wins" table.
+# Error terms are |exact decimal diffs| summed exactly; MAPE's ratio
+# terms go through the q182 rounded-decimal discipline.
+# ---------------------------------------------------------------------------
+@register(
+    "q219_seasonal_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             SUM(CAST(value AS DECIMAL(18,4))) AS y
+      FROM events GROUP BY event_type, day),
+    j AS (
+      SELECT a.event_type, l.lag, a.y AS actual, b.y AS fc
+      FROM daily a
+      JOIN (SELECT 1 AS lag UNION ALL SELECT 7) l ON TRUE
+      JOIN daily b ON a.event_type = b.event_type AND b.day = a.day - l.lag
+      WHERE a.y > 0),
+    t AS (
+      SELECT event_type, lag,
+             abs(actual - fc) AS ae,
+             CAST(ROUND(CAST(abs(actual - fc) AS DOUBLE) / CAST(actual AS DOUBLE), 12)
+                  AS DECIMAL(20,12)) AS ape
+      FROM j)
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape
+    FROM t GROUP BY event_type, lag
+    """,
+)
+def q219_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", (F.col("ts").cast("long") / 86400).cast("bigint").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("y"))
+    lags = spark.range(1).select(F.explode(F.array(F.lit(1), F.lit(7))).alias("lag"))
+    a = daily.filter(F.col("y") > 0).select("event_type", "day", F.col("y").alias("actual"))
+    b = daily.select(F.col("event_type").alias("et2"), F.col("day").alias("day2"), F.col("y").alias("fc"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (F.col("event_type") == F.col("et2")) & (F.col("day2") == F.col("day") - F.col("lag")))
+        .select("event_type", "lag", "actual", "fc")
+    )
+    t = j.select(
+        "event_type",
+        "lag",
+        F.abs(F.col("actual") - F.col("fc")).alias("ae"),
+        F.round(
+            F.abs(F.col("actual") - F.col("fc")).cast("double") / F.col("actual").cast("double"), 12
+        )
+        .cast("decimal(20,12)")
+        .alias("ape"),
+    )
+    return t.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.sum("ae").cast("double") / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(F.sum("ape").cast("double") / F.count(F.lit(1)), 6).alias("mape"),
+    ).select(
+        "event_type", F.col("lag").cast("int").alias("lag"), "n_days", "mae", "mape"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — new vs returning users per day (the growth-accounting daily
+# split): a user's first-seen day comes from one per-user min; each
+# (day, user) activity row is then classed new/returning and rolled up.
+# Two key-partitioned aggregates; the first-seen frame joins back on
+# user_id (broadcast at dimension scale).
+# ---------------------------------------------------------------------------
+@register(
+    "q220_new_vs_returning",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events),
+    first_seen AS (SELECT user_id, MIN(day) AS d0 FROM act GROUP BY user_id)
+    SELECT a.day,
+           CAST(SUM(CASE WHEN a.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN a.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+           ROUND(CAST(SUM(CASE WHEN a.day > f.d0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS returning_share
+    FROM act a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY a.day
+    """,
+)
+def q220_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", (F.col("ts").cast("long") / 86400).cast("bigint").alias("day")
+    ).distinct()
+    first_seen = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    new_c = F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+    ret_c = F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0))
+    return (
+        act.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            new_c.cast("bigint").alias("new_users"),
+            ret_c.cast("bigint").alias("returning_users"),
+            F.round(ret_c.cast("double") / F.count(F.lit(1)), 6).alias("returning_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — embedding cluster cohesion/separation by label (clustering
+# eval over the labeled corpus; the readout q138's k-means lacks): per
+# label, the centroid (per-dim decimal-exact means via one posexplode
+# agg), mean member distance to OWN centroid (cohesion), and distance
+# to the NEAREST other centroid (separation) — the Davies-Bouldin
+# ingredients. Distances fold array-ordered (q177's discipline); the
+# per-member distance terms go through rounded-decimal sums so the
+# per-label mean is fold-order-proof. Centroid count is label-bounded:
+# the centroid frame broadcasts everywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q221_cluster_cohesion",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    d AS (SELECT label, i, AVG(CAST(v[i] AS DOUBLE)) AS m,
+                 CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) AS sv,
+                 COUNT(*) AS n
+          FROM e, range(1, 65) t(i) GROUP BY label, i),
+    c AS (SELECT label, list(sv / n ORDER BY i) AS centroid FROM d GROUP BY label),
+    dist AS (
+      SELECT e.vec_id, e.label AS mlabel, c.label AS clabel,
+             sqrt(list_reduce(list_transform(range(1, 65),
+               i -> (CAST(e.v[i] AS DOUBLE) - c.centroid[i]) * (CAST(e.v[i] AS DOUBLE) - c.centroid[i])),
+               (x, y) -> x + y)) AS dd
+      FROM e CROSS JOIN c),
+    own AS (
+      SELECT mlabel AS label,
+             CAST(SUM(CAST(ROUND(dd, 12) AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS cohesion
+      FROM dist WHERE mlabel = clabel GROUP BY mlabel),
+    cent_pairs AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(list_reduce(list_transform(range(1, 65),
+               i -> (a.centroid[i] - b.centroid[i]) * (a.centroid[i] - b.centroid[i])),
+               (x, y) -> x + y)) AS cd
+      FROM c a JOIN c b ON a.label != b.label),
+    sep AS (SELECT la AS label, MIN(cd) AS separation FROM cent_pairs GROUP BY la)
+    SELECT o.label, ROUND(o.cohesion, 6) AS cohesion,
+           ROUND(s.separation, 6) AS separation,
+           ROUND(o.cohesion / s.separation, 6) AS db_ratio
+    FROM own o JOIN sep s ON o.label = s.label
+    """,
+)
+def q221_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", F.col("embedding").alias("v"))
+    d = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sv"), F.count(F.lit(1)).alias("n"))
+    )
+    c = d.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", (F.col("sv") / F.col("n")).alias("m")))),
+            lambda s: s.m,
+        ).alias("centroid")
+    )
+    cc = F.broadcast(c.select(F.col("label").alias("clabel"), "centroid"))
+    diff_sq = F.zip_with(
+        F.col("v"), F.col("centroid"), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    dd = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
+    dist = emb.crossJoin(cc).select(
+        F.col("label").alias("mlabel"), "clabel", dd.alias("dd")
+    )
+    own = (
+        dist.filter(F.col("mlabel") == F.col("clabel"))
+        .select(F.col("mlabel").alias("label"), F.round("dd", 12).cast("decimal(20,12)").alias("t"))
+        .groupBy("label")
+        .agg((F.sum("t").cast("double") / F.count(F.lit(1))).alias("cohesion"))
+    )
+    a = c.select(F.col("label").alias("la"), F.col("centroid").alias("ca"))
+    b = c.select(F.col("label").alias("lb"), F.col("centroid").alias("cb"))
+    cdiff = F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y))
+    cd = F.sqrt(F.aggregate(cdiff, F.lit(0.0), lambda acc, x: acc + x))
+    sep = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("label"), cd.alias("cd"))
+        .groupBy("label")
+        .agg(F.min("cd").alias("separation"))
+    )
+    return own.join(sep, "label").select(
+        "label",
+        F.round("cohesion", 6).alias("cohesion"),
+        F.round("separation", 6).alias("separation"),
+        F.round(F.col("cohesion") / F.col("separation"), 6).alias("db_ratio"),
+    )
