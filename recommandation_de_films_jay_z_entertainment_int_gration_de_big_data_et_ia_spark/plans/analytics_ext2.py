@@ -3321,3 +3321,217 @@ def q221_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("separation", 6).alias("separation"),
         F.round(F.col("cohesion") / F.col("separation"), 6).alias("db_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — duplicate rate by source (the curation decision table the
+# dedup family feeds: which ingestion source is worth its storage):
+# per source, exact-content-hash (md5, q31's spec) duplicate counts —
+# docs whose text also appears elsewhere IN THE SAME SOURCE vs
+# cross-source collisions. Two aggregates over the hash frame.
+# ---------------------------------------------------------------------------
+@register(
+    "q222_dup_rate_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ch
+      FROM documents),
+    within AS (
+      SELECT source, ch, COUNT(*) AS n FROM h GROUP BY source, ch),
+    global_h AS (SELECT ch, COUNT(DISTINCT source) AS n_sources FROM h GROUP BY ch)
+    SELECT w.source,
+           CAST(SUM(w.n) AS BIGINT) AS n_docs,
+           CAST(SUM(w.n - 1) AS BIGINT) AS n_within_dups,
+           ROUND(CAST(SUM(w.n - 1) AS DOUBLE) / SUM(w.n), 6) AS within_dup_rate,
+           CAST(SUM(CASE WHEN g.n_sources > 1 THEN w.n ELSE 0 END) AS BIGINT) AS n_cross_source
+    FROM within w JOIN global_h g ON w.ch = g.ch
+    GROUP BY w.source
+    """,
+)
+def q222_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hex, normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", md5_hex(normalize_text(F.col("text"))).alias("ch"))
+    within = h.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("n"))
+    global_h = h.groupBy("ch").agg(F.countDistinct("source").alias("n_sources"))
+    return (
+        within.join(global_h, "ch")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n") - 1).cast("bigint").alias("n_within_dups"),
+            F.round(F.sum(F.col("n") - 1).cast("double") / F.sum("n"), 6).alias("within_dup_rate"),
+            F.sum(F.when(F.col("n_sources") > 1, F.col("n")).otherwise(0)).cast("bigint").alias("n_cross_source"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q223 — winsorization at rank-exact p1/p99 (outlier clamping before
+# model features; the destructive sibling of q212's audit): fences per
+# event_type via the ceil(q*n) convention, values clamped into
+# [p1, p99], and the per-type report shows clamped counts and the
+# exact-decimal mean before/after — the quantified effect of the clamp.
+# ---------------------------------------------------------------------------
+@register(
+    "q223_winsorize",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    q AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT) THEN value END) AS p1,
+             MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+      FROM r GROUP BY event_type),
+    w AS (
+      SELECT e.event_type, q.n, q.p1, q.p99, e.value,
+             CASE WHEN e.value < q.p1 THEN q.p1
+                  WHEN e.value > q.p99 THEN q.p99 ELSE e.value END AS wv
+      FROM events e JOIN q ON e.event_type = q.event_type)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MAX(p1), 2) AS p1, ROUND(MAX(p99), 2) AS p99,
+           CAST(SUM(CASE WHEN value != wv THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / MAX(n), 6) AS mean_before,
+           ROUND(CAST(SUM(CAST(wv AS DECIMAL(18,4))) AS DOUBLE) / MAX(n), 6) AS mean_after
+    FROM w GROUP BY event_type
+    """,
+)
+def q223_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wt.orderBy("value", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+
+    def at(q: float) -> F.Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"), F.col("value"))
+        )
+
+    qf = r.groupBy("event_type").agg(F.max("n").alias("n"), at(0.01).alias("p1"), at(0.99).alias("p99"))
+    w = ev.join(F.broadcast(qf), "event_type").withColumn(
+        "wv",
+        F.when(F.col("value") < F.col("p1"), F.col("p1"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value")),
+    )
+    return w.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.max("p1"), 2).alias("p1"),
+        F.round(F.max("p99"), 2).alias("p99"),
+        F.sum(F.when(F.col("value") != F.col("wv"), 1).otherwise(0)).cast("bigint").alias("n_clamped"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.max("n"), 6).alias("mean_before"),
+        F.round(F.sum(F.col("wv").cast("decimal(18,4)")).cast("double") / F.max("n"), 6).alias("mean_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 — weekly rank movers (the "movers & shakers" board): brand
+# revenue ranks in the last calendar week vs the week before (integer
+# epoch weeks, q164's axis), with rank delta and new-entrant flags.
+# Two week-sliced aggregates from ONE scan (conditional aggregation on
+# the pre-computed last/prior week broadcast), rank windows over the
+# tiny brand rollup, full-outer joined on brand.
+# ---------------------------------------------------------------------------
+@register(
+    "q224_rank_movers",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_brand AS brand,
+             CAST(floor(floor(epoch(o.o_orderdate)) / 604800) AS BIGINT) AS wk,
+             CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      JOIN part p ON l.l_partkey = p.p_partkey),
+    mx AS (SELECT MAX(wk) AS w1 FROM base),
+    cur AS (
+      SELECT brand, SUM(rev) AS rev FROM base CROSS JOIN mx
+      WHERE wk = mx.w1 GROUP BY brand),
+    prv AS (
+      SELECT brand, SUM(rev) AS rev FROM base CROSS JOIN mx
+      WHERE wk = mx.w1 - 1 GROUP BY brand),
+    rc AS (SELECT brand, ROW_NUMBER() OVER (ORDER BY rev DESC, brand ASC) AS r FROM cur),
+    rp AS (SELECT brand, ROW_NUMBER() OVER (ORDER BY rev DESC, brand ASC) AS r FROM prv)
+    SELECT COALESCE(rc.brand, rp.brand) AS brand,
+           CAST(rc.r AS INT) AS rank_now,
+           CAST(rp.r AS INT) AS rank_prev,
+           CAST(rp.r - rc.r AS INT) AS rank_gain,
+           (rc.brand IS NOT NULL AND rp.brand IS NULL) AS is_new,
+           (rc.brand IS NULL AND rp.brand IS NOT NULL) AS dropped_out
+    FROM rc FULL OUTER JOIN rp ON rc.brand = rp.brand
+    """,
+)
+def q224_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # o_orderdate is TIMESTAMP_NTZ: pure NTZ arithmetic (readers.py lesson)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)"
+    )
+    wk = F.floor(F.floor(micros / F.lit(1000000)) / 604800).cast("bigint")
+    base = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            wk.alias("wk"),
+            (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).alias("rev"),
+        )
+    )
+    mx = base.groupBy().agg(F.max("wk").alias("w1"))
+    with_w = base.crossJoin(F.broadcast(mx))
+    cur = with_w.filter(F.col("wk") == F.col("w1")).groupBy("brand").agg(F.sum("rev").alias("rev"))
+    prv = with_w.filter(F.col("wk") == F.col("w1") - 1).groupBy("brand").agg(F.sum("rev").alias("rev"))
+    rc = cur.select("brand", F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("brand"))).alias("r_now"))
+    rp = prv.select(F.col("brand").alias("brand_p"), F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("brand"))).alias("r_prev"))
+    j = rc.join(rp, rc.brand == rp.brand_p, "full_outer")
+    return j.select(
+        F.coalesce(F.col("brand"), F.col("brand_p")).alias("brand"),
+        F.col("r_now").cast("int").alias("rank_now"),
+        F.col("r_prev").cast("int").alias("rank_prev"),
+        (F.col("r_prev") - F.col("r_now")).cast("int").alias("rank_gain"),
+        (F.col("brand").isNotNull() & F.col("brand_p").isNull()).alias("is_new"),
+        (F.col("brand").isNull() & F.col("brand_p").isNotNull()).alias("dropped_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 — activity punch card (DOW x hour intensity matrix; epoch
+# arithmetic only — day-of-week = (epoch_day + 4) % 7 with 0=Sunday,
+# anchored at 1970-01-01 being a Thursday — never a session-tz
+# dayofweek()): counts and exact-decimal value sums per cell. One
+# groupBy; 168 output rows at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q225_punchcard",
+    oracle="""
+    SELECT CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS INT) AS dow,
+           CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY dow, hour
+    """,
+)
+def q225_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    es = F.col("ts").cast("long")
+    return (
+        ev.groupBy(
+            (((es / 86400).cast("bigint") + 4) % 7).cast("int").alias("dow"),
+            ((es % 86400) / 3600).cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
