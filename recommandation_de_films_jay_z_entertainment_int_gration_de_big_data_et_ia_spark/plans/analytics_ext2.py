@@ -3535,3 +3535,248 @@ def q225_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — effective catalog size (inverse-Simpson diversity 1/sum(p^2)
+# over part revenue shares — "how many parts does the business
+# effectively sell"): each share-squared term is rounded to
+# DECIMAL(20,12) and decimal-summed (q182's fold-order discipline).
+# One per-part aggregate + a 1-row reduction.
+# ---------------------------------------------------------------------------
+@register(
+    "q226_effective_catalog",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(rev) AS total, COUNT(*) AS n_parts FROM per_part),
+    t AS (
+      SELECT CAST(ROUND((CAST(rev AS DOUBLE) / CAST(tot.total AS DOUBLE))
+                        * (CAST(rev AS DOUBLE) / CAST(tot.total AS DOUBLE)), 12)
+                  AS DECIMAL(20,12)) AS p2,
+             tot.n_parts
+      FROM per_part CROSS JOIN tot)
+    SELECT CAST(MAX(n_parts) AS BIGINT) AS n_parts,
+           ROUND(1.0 / CAST(SUM(p2) AS DOUBLE), 4) AS effective_parts,
+           ROUND((1.0 / CAST(SUM(p2) AS DOUBLE)) / MAX(n_parts), 6) AS effective_share
+    FROM t
+    """,
+)
+def q226_effective_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).alias("rev")
+    )
+    tot = per_part.groupBy().agg(F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n_parts"))
+    share = F.col("rev").cast("double") / F.col("total").cast("double")
+    t = per_part.crossJoin(F.broadcast(tot)).select(
+        F.round(share * share, 12).cast("decimal(20,12)").alias("p2"), "n_parts"
+    )
+    return t.groupBy().agg(
+        F.max("n_parts").cast("bigint").alias("n_parts"),
+        F.round(F.lit(1.0) / F.sum("p2").cast("double"), 4).alias("effective_parts"),
+        F.round((F.lit(1.0) / F.sum("p2").cast("double")) / F.max("n_parts"), 6).alias("effective_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — inter-arrival time distribution per event_type (the latency
+# histogram that sizes q143/q168's watermarks): full-precision lag
+# deltas, log2-binned (floor(log2(gap_s)) with a <1s bucket), counts
+# and share per bin. One per-key lag window + one groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "q227_interarrival_histogram",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events),
+    b AS (
+      SELECT event_type,
+             CASE WHEN gap < 1 THEN -1
+                  ELSE CAST(floor(ln(gap) / ln(2)) AS INT) END AS bin
+      FROM d WHERE gap IS NOT NULL),
+    t AS (SELECT event_type, COUNT(*) AS total FROM b GROUP BY event_type)
+    SELECT b.event_type, CAST(b.bin AS INT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.total, 6) AS share
+    FROM b JOIN t ON b.event_type = t.event_type
+    GROUP BY b.event_type, b.bin, t.total
+    """,
+)
+def q227_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts")).cast("double") / 1e6
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select("event_type", (t - F.lag(t).over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    b = d.select(
+        "event_type",
+        F.when(F.col("gap") < 1, -1)
+        .otherwise(F.floor(F.log(F.col("gap")) / F.log(F.lit(2.0))).cast("int"))
+        .alias("log2_bin"),
+    )
+    tt = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        b.groupBy("event_type", "log2_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tt), "event_type")
+        .select(
+            "event_type",
+            F.col("log2_bin").cast("int").alias("log2_bin"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — basket-size distribution (merchandising staple): lines per
+# order bucketed (1,2,3-4,5-8,9+), with order counts and the
+# exact-decimal average order value per bucket. Two key-partitioned
+# aggregates (order rollup, then bucket rollup).
+# ---------------------------------------------------------------------------
+@register(
+    "q228_basket_sizes",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS gross
+      FROM lineitem GROUP BY l_orderkey),
+    b AS (
+      SELECT CASE WHEN n_lines = 1 THEN '1' WHEN n_lines = 2 THEN '2'
+                  WHEN n_lines <= 4 THEN '3-4' WHEN n_lines <= 8 THEN '5-8'
+                  ELSE '9+' END AS bucket,
+             n_lines, gross
+      FROM per_order),
+    t AS (SELECT COUNT(*) AS total FROM b)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.total, 6) AS order_share,
+           ROUND(CAST(SUM(gross) AS DOUBLE) / COUNT(*), 2) AS avg_order_value
+    FROM b CROSS JOIN t GROUP BY bucket, t.total
+    """,
+)
+def q228_basket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("gross"),
+    )
+    bucket = (
+        F.when(F.col("n_lines") == 1, "1")
+        .when(F.col("n_lines") == 2, "2")
+        .when(F.col("n_lines") <= 4, "3-4")
+        .when(F.col("n_lines") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    b = per_order.select(bucket.alias("bucket"), "gross")
+    t = b.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("gross").alias("gross"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.col("n_orders").cast("double") / F.col("total"), 6).alias("order_share"),
+            F.round(F.col("gross").cast("double") / F.col("n_orders"), 2).alias("avg_order_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229 — cross-source duplication matrix (who copies whom; the pairwise
+# drill-down of q222): for every source pair (a < b), the number of
+# distinct content hashes present in BOTH — a hash-keyed self-join
+# restricted to hashes with >1 source (the duplicate groups), never a
+# doc-level cross join.
+# ---------------------------------------------------------------------------
+@register(
+    "q229_source_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT source,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ch
+      FROM documents),
+    multi AS (SELECT ch FROM h GROUP BY ch HAVING COUNT(*) > 1)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_hashes
+    FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+             JOIN multi m ON a.ch = m.ch
+    GROUP BY a.source, b.source
+    """,
+)
+def q229_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_hex, normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("source", md5_hex(normalize_text(F.col("text"))).alias("ch")).distinct()
+    multi = h.groupBy("ch").agg(F.count(F.lit(1)).alias("ns")).filter(F.col("ns") > 1).select("ch")
+    a = h.select(F.col("source").alias("source_a"), "ch")
+    b = h.select(F.col("source").alias("source_b"), "ch")
+    return (
+        a.join(b, "ch")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(multi), "ch")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_hashes"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230 — heavy-user concentration (the q180 Pareto idea on the user
+# axis, as a single-row KPI): share of all events produced by the
+# top-1% / top-10% of users by event count (rank-exact cutoffs,
+# ceil(q*n) users). Windows run over the per-user rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q230_heavy_users",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    r AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rn,
+             COUNT(*) OVER () AS n_users, SUM(n) OVER () AS total
+      FROM per_user)
+    SELECT CAST(MAX(n_users) AS BIGINT) AS n_users,
+           CAST(MAX(total) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CASE WHEN rn <= CAST(ceil(0.01 * n_users) AS BIGINT) THEN n ELSE 0 END) AS DOUBLE)
+                 / MAX(total), 6) AS top1pct_share,
+           ROUND(CAST(SUM(CASE WHEN rn <= CAST(ceil(0.10 * n_users) AS BIGINT) THEN n ELSE 0 END) AS DOUBLE)
+                 / MAX(total), 6) AS top10pct_share
+    FROM r
+    """,
+)
+def q230_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    wall = Window.partitionBy()
+    r = per_user.select(
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+        F.sum("n").over(wall).alias("total"),
+    )
+
+    def topshare(q: float) -> F.Column:
+        return F.round(
+            F.sum(
+                F.when(F.col("rn") <= F.ceil(F.lit(q) * F.col("n_users")).cast("bigint"), F.col("n")).otherwise(0)
+            ).cast("double")
+            / F.max("total"),
+            6,
+        )
+
+    return r.groupBy().agg(
+        F.max("n_users").cast("bigint").alias("n_users"),
+        F.max("total").cast("bigint").alias("n_events"),
+        topshare(0.01).alias("top1pct_share"),
+        topshare(0.10).alias("top10pct_share"),
+    )
