@@ -3691,41 +3691,50 @@ def q228_basket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q229 — cross-source duplication matrix (who copies whom; the pairwise
-# drill-down of q222): for every source pair (a < b), the number of
-# distinct content hashes present in BOTH — a hash-keyed self-join
-# restricted to hashes with >1 source (the duplicate groups), never a
-# doc-level cross join.
+# q229 — cross-source near-duplication matrix (who copies whom; the
+# pairwise drill-down of q222): q32's LSH candidate pairs joined to
+# their documents' sources, canonicalized (least/greatest) and counted
+# per source pair — exact-hash dups never cross sources in this corpus,
+# so the matrix is built on the NEAR-dup candidate graph, which does.
+# Reuses the banding machinery: one bucket shuffle + two id-keyed
+# source joins.
 # ---------------------------------------------------------------------------
 @register(
     "q229_source_overlap",
-    oracle="""
-    WITH h AS (
-      SELECT DISTINCT source,
-             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ch
-      FROM documents),
-    multi AS (SELECT ch FROM h GROUP BY ch HAVING COUNT(*) > 1)
-    SELECT a.source AS source_a, b.source AS source_b,
-           CAST(COUNT(*) AS BIGINT) AS n_shared_hashes
-    FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
-             JOIN multi m ON a.ch = m.ch
-    GROUP BY a.source, b.source
+    oracle=f"""
+    {_LSH_PAIRS_CTE},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+    FROM pairs JOIN src sa ON pairs.id_a = sa.doc_id
+               JOIN src sb ON pairs.id_b = sb.doc_id
+    WHERE sa.source != sb.source
+    GROUP BY source_a, source_b
     """,
 )
 def q229_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import md5_hex, normalize_text
+    from ..operators import dedup as D
+    from .dedup import BANDS, MAX_BUCKET, NUM_HASHES
 
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.select("source", md5_hex(normalize_text(F.col("text"))).alias("ch")).distinct()
-    multi = h.groupBy("ch").agg(F.count(F.lit(1)).alias("ns")).filter(F.col("ns") > 1).select("ch")
-    a = h.select(F.col("source").alias("source_a"), "ch")
-    b = h.select(F.col("source").alias("source_b"), "ch")
+    sh = D.doc_shingles(docs, "doc_id", "text", n=3)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS),
+        "doc_id",
+        max_bucket=MAX_BUCKET,
+    )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
     return (
-        a.join(b, "ch")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .join(F.broadcast(multi), "ch")
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_hashes"))
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs"))
     )
 
 
