@@ -3789,3 +3789,189 @@ def q230_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         topshare(0.01).alias("top1pct_share"),
         topshare(0.10).alias("top10pct_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — language-ID confusion matrix + precision/recall (the
+# classifier-eval readout for q41's stopword-ratio detector against the
+# labeled `lang` column): per (actual collapsed to en/other, predicted)
+# cell counts and shares, plus the binary precision/recall/F1 for 'en'
+# riding on every row (1-row stats broadcast). EXACTLY q41's decision
+# rule — threshold and stopword list included.
+# ---------------------------------------------------------------------------
+@register(
+    "q231_langid_confusion",
+    oracle=f"""
+    WITH t AS (SELECT lang, {_SNM_TOKS_SQL} AS tk FROM documents),
+    lab AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+             CASE WHEN CAST(len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / CAST(len(tk) AS DOUBLE) > 0.02 THEN 'en' ELSE 'other' END AS predicted
+      FROM t),
+    cells AS (SELECT actual, predicted, COUNT(*) AS n FROM lab GROUP BY actual, predicted),
+    s AS (
+      SELECT SUM(n) AS total,
+             SUM(CASE WHEN actual = 'en' AND predicted = 'en' THEN n ELSE 0 END) AS tp,
+             SUM(CASE WHEN actual != 'en' AND predicted = 'en' THEN n ELSE 0 END) AS fp,
+             SUM(CASE WHEN actual = 'en' AND predicted != 'en' THEN n ELSE 0 END) AS fn
+      FROM cells)
+    SELECT actual, predicted, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / s.total, 6) AS share,
+           ROUND(CAST(s.tp AS DOUBLE) / (s.tp + s.fp), 6) AS precision_en,
+           ROUND(CAST(s.tp AS DOUBLE) / (s.tp + s.fn), 6) AS recall_en,
+           ROUND(2 * (CAST(s.tp AS DOUBLE) / (s.tp + s.fp)) * (CAST(s.tp AS DOUBLE) / (s.tp + s.fn))
+                 / ((CAST(s.tp AS DOUBLE) / (s.tp + s.fp)) + (CAST(s.tp AS DOUBLE) / (s.tp + s.fn))), 6) AS f1_en
+    FROM cells CROSS JOIN s
+    """,
+)
+def q231_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", tokens("text").alias("tk"))
+    nstop = F.size(F.filter(F.col("tk"), lambda t: t.isin(*STOPWORDS)))
+    ratio = nstop.cast("double") / F.size("tk").cast("double")
+    lab = docs.select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("actual"),
+        F.when(ratio > 0.02, F.lit("en")).otherwise(F.lit("other")).alias("predicted"),
+    )
+    cells = lab.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    stats = cells.groupBy().agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when((F.col("actual") == "en") & (F.col("predicted") == "en"), F.col("n")).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("actual") != "en") & (F.col("predicted") == "en"), F.col("n")).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("actual") == "en") & (F.col("predicted") != "en"), F.col("n")).otherwise(0)).alias("fn"),
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    return cells.crossJoin(F.broadcast(stats)).select(
+        "actual",
+        "predicted",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(prec, 6).alias("precision_en"),
+        F.round(rec, 6).alias("recall_en"),
+        F.round(2 * prec * rec / (prec + rec), 6).alias("f1_en"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 — recommender popularity bias (does q75's item-item top-3 just
+# recommend bestsellers?): average popularity PERCENTILE of recommended
+# items vs 0.5 for a popularity-neutral ranker, plus the tail share
+# (recs from the bottom half of the catalog). Popularity percentile =
+# rank over the per-part order counts; the q75 lists join against it
+# broadcast. The percentile terms are rounded-decimal summed (q182).
+# ---------------------------------------------------------------------------
+@register(
+    "q232_popularity_bias",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    prs AS (
+      SELECT p1.part AS part_a, p2.part AS part_b
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part),
+    support AS (SELECT part_a, part_b, COUNT(*) AS sup FROM prs GROUP BY part_a, part_b),
+    pop AS (SELECT part, COUNT(*) AS pop FROM (SELECT DISTINCT l_orderkey, l_partkey AS part FROM lineitem) GROUP BY part),
+    sym AS (
+      SELECT part_a AS item, part_b AS neigh, sup FROM support
+      UNION ALL
+      SELECT part_b, part_a, sup FROM support),
+    scored AS (
+      SELECT s.item, s.neigh,
+             ROUND(CAST(s.sup AS DOUBLE) / sqrt(CAST(pa.pop AS DOUBLE) * CAST(pb.pop AS DOUBLE)), 4) AS sim
+      FROM sym s JOIN pop pa ON pa.part = s.item JOIN pop pb ON pb.part = s.neigh
+      WHERE s.sup >= 2),
+    ranked AS (
+      SELECT item, neigh, sim,
+             ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, neigh ASC) AS rn
+      FROM scored),
+    topk AS (SELECT neigh AS part FROM ranked WHERE rn <= 3),
+    np AS (SELECT COUNT(*) AS n_parts FROM pop),
+    pct AS (
+      SELECT part,
+             CAST(ROW_NUMBER() OVER (ORDER BY pop ASC, part ASC) AS DOUBLE) / np.n_parts AS pop_pct
+      FROM pop CROSS JOIN np),
+    t AS (
+      SELECT CAST(ROUND(pct.pop_pct, 12) AS DECIMAL(20,12)) AS p,
+             CASE WHEN pct.pop_pct <= 0.5 THEN 1 ELSE 0 END AS tail
+      FROM topk JOIN pct ON topk.part = pct.part)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_recs,
+           ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS mean_pop_percentile,
+           ROUND(CAST(SUM(tail) AS DOUBLE) / COUNT(*), 6) AS tail_half_share
+    FROM t
+    """,
+)
+def q232_popularity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics_ext import q75_item_item_similarity
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pop = (
+        li.select("l_orderkey", F.col("l_partkey").alias("part")).distinct()
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("pop"))
+    )
+    w = Window.orderBy(F.asc("pop"), F.asc("part"))
+    n_parts = pop.groupBy().agg(F.count(F.lit(1)).alias("n_parts"))
+    pct = pop.select(
+        "part", F.row_number().over(w).alias("r")
+    ).crossJoin(F.broadcast(n_parts)).select(
+        "part", (F.col("r").cast("double") / F.col("n_parts")).alias("pop_pct")
+    )
+    recs = q75_item_item_similarity(spark, sf_dir).select(F.col("neigh").alias("part"))
+    t = recs.join(F.broadcast(pct), "part").select(
+        F.round(F.col("pop_pct"), 12).cast("decimal(20,12)").alias("p"),
+        F.when(F.col("pop_pct") <= 0.5, 1).otherwise(0).alias("tail"),
+    )
+    return t.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recs"),
+        F.round(F.sum("p").cast("double") / F.count(F.lit(1)), 6).alias("mean_pop_percentile"),
+        F.round(F.sum("tail").cast("double") / F.count(F.lit(1)), 6).alias("tail_half_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233 — near-dup cluster size histogram (the shape-of-duplication
+# readout over q78's connected components): cluster sizes (singletons
+# excluded — they never entered a pair) bucketed, with member totals.
+# The recursive-CTE oracle mirrors the iterative min-label clusters.
+# ---------------------------------------------------------------------------
+@register(
+    "q233_cluster_size_histogram",
+    oracle=f"""
+    {_LSH_PAIRS_CTE_REC},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS node, b AS reachable FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON r.reachable = e.a),
+    comp AS (
+      SELECT node, LEAST(node, MIN(reachable)) AS cluster_id
+      FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, COUNT(*) AS size FROM comp GROUP BY cluster_id)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * size AS BIGINT) AS n_members
+    FROM sizes GROUP BY size
+    """,
+)
+def q233_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from .dedup import BANDS, MAX_BUCKET, NUM_HASHES
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.doc_shingles(docs, "doc_id", "text", n=3)
+    pairs = D.lsh_candidate_pairs(
+        D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS),
+        "doc_id",
+        max_bucket=MAX_BUCKET,
+    )
+    clusters = D.dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("size")).cast("bigint").alias("n_members"),
+    ).select(F.col("size").cast("bigint").alias("size"), "n_clusters", "n_members")
