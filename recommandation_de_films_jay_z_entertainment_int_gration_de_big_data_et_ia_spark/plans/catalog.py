@@ -51,6 +51,7 @@ def load_all() -> None:
         resolution,
         search,
         similarity,
+        spatial,
         tables,
         textstats,
         timeseries,

@@ -726,3 +726,80 @@ def pq_encode_df(sub: DataFrame):
     )
     code = assign(cent).select("vec_id", "s", "cid")
     return code, cent
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: PQ-ADC coarse candidates -> exact cosine re-rank.
+# The canonical IVF-PQ serving pattern (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search"): stage 1 scans only the
+# compact code table (M uint8 codes per vector) against a broadcast
+# per-query LUT, keeps the 100 best ADC candidates; stage 2 touches the
+# FULL float vectors for those 100 ids only, re-ranking by exact cosine.
+# At 100 TB the full-vector table is never scanned per query — the
+# re-rank join is a broadcast semi-probe of 100 keys.
+# ---------------------------------------------------------------------------
+_TSA_CAND = 100
+
+
+@register(
+    "q234_two_stage_ann",
+    oracle=f"""
+    WITH {_pq_codebook_sql()},
+    q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
+    lut AS (
+      SELECT c.s, c.cid,
+             CAST(ROUND({_pq_dist_sql('q.qv', 'c.c')}, 6) AS DECIMAL(18,6)) AS d
+      FROM cent c JOIN q ON c.s = q.s),
+    adc AS (
+      SELECT code.vec_id, SUM(lut.d) AS dist
+      FROM code JOIN lut ON code.s = lut.s AND code.cid = lut.cid
+      WHERE code.vec_id != 0
+      GROUP BY code.vec_id),
+    cand AS (
+      SELECT vec_id, dist FROM adc ORDER BY dist ASC, vec_id ASC LIMIT {_TSA_CAND}),
+    e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    qe AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT c.vec_id,
+           ROUND(CAST(c.dist AS DOUBLE), 6) AS adc_dist,
+           ROUND({_cos_sql('e.v', 'qe.qv')}, 4) AS score
+    FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN qe
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q234_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    code, cent = _pq_encode(spark, sf_dir)
+    sub = _pq_sub_frame(spark, sf_dir)
+    qv = sub.filter(F.col("vec_id") == 0).select("s", F.col("sv").alias("qv"))
+    lut = cent.join(F.broadcast(qv), "s").select(
+        "s", "cid", F.round(_pq_dist(F.col("qv"), F.col("c")), 6).cast("decimal(18,6)").alias("d")
+    )
+    cand = (
+        code.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(_TSA_CAND)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import query_vector
+
+    q = query_vector(emb, "vec_id", "embedding", target_id=0)
+    from ..operators.similarity import dot as _dot, norm as _norm
+
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(F.col("dist").cast("double"), 6).alias("adc_dist"),
+            F.round(
+                _dot(F.col("embedding"), F.col("__qvec"))
+                / (_norm(F.col("embedding")) * F.col("__qnorm")),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

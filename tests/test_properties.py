@@ -832,3 +832,25 @@ def test_cusum_equals_naive_replay(spark, sf_dir):
         for r in rs:
             s = max(0.0, s + (xs[r["hour_s"]] - mean))
             assert abs(r["cusum"] - round(s, 6)) < 1e-4, (et, r["hour_s"])
+
+
+def test_grid_join_finds_every_radius_pair(spark, sf_dir):
+    """Spatial-grid completeness: the 3x3 cell ring must surface EVERY
+    (customer, supplier) pair within eps — checked against an exhaustive
+    cross join (independent of the grid path). Guaranteed because the
+    cell edge (1 deg) exceeds eps (0.5); this pins the invariant so a
+    future eps/cell-size change can't silently break candidate recall."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans import (
+        spatial as SP,
+    )
+
+    cust = SP._pts(load_table(spark, sf_dir, "customer"), "c_custkey", SP._C_LAT, SP._C_LON, "c")
+    supp = SP._pts(load_table(spark, sf_dir, "supplier"), "s_suppkey", SP._S_LAT, SP._S_LON, "s")
+    d2 = SP._dist2(F.col("clat"), F.col("clon"), F.col("slat"), F.col("slon"))
+    brute = cust.crossJoin(supp).filter(d2 < SP._EPS2).select("c_custkey", "s_suppkey")
+    grid = cust.join(
+        F.broadcast(SP._grid9(supp)),
+        (F.col("cy") == F.col("gy")) & (F.col("cx") == F.col("gx")),
+    ).filter(d2 < SP._EPS2).select("c_custkey", "s_suppkey")
+    assert brute.exceptAll(grid).count() == 0
+    assert grid.exceptAll(brute).count() == 0
