@@ -331,3 +331,105 @@ def q99_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_hashes=NUM_HASHES, bands=BANDS,
         threshold=0.5, max_bucket=MAX_BUCKET,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join with PPJoin-style prefix filtering
+# (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+# Detection"). Complements the APPROXIMATE MinHash/SimHash family above:
+# same Jaccard>=t semantics, but exact and with a deterministic candidate
+# bound. Candidate generation never ranks tokens globally — each doc's
+# tokens are ordered by (document-frequency, token), a total order
+# obtained with one df-join + per-doc array sort, so there is no global
+# window / single-partition stage anywhere. Prefix length
+# |x| - ceil(t|x|) + 1 guarantees any pair with J>=t shares a prefix
+# token; rare-first ordering keeps prefix-token buckets small at scale.
+#
+# Runs over the SAME 3-word-shingle sets as the MinHash family (plain
+# tokens are non-discriminative on this corpus — a shared vocabulary
+# makes ~74% of all pairs J>=0.5 at token level, i.e. a quadratic
+# result; shingles make this the EXACT answer the q32/q33 LSH pipeline
+# approximates, directly comparable pair-for-pair).
+# ---------------------------------------------------------------------------
+_PP_T = 0.5
+
+
+@register(
+    "q237_ppjoin_exact",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    t AS (SELECT doc_id, {SHINGLES_SQL} AS tk FROM t0),
+    tok AS (SELECT doc_id, u.t AS tok FROM t, UNNEST(tk) AS u(t)),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+    sorted_tk AS (
+      SELECT tok.doc_id, list(tok.tok ORDER BY dfreq.df, tok.tok) AS stk
+      FROM tok JOIN dfreq ON tok.tok = dfreq.tok
+      GROUP BY tok.doc_id),
+    pref AS (
+      SELECT doc_id, len(stk) AS l,
+             stk[1 : len(stk) - CAST(CEIL({_PP_T} * len(stk)) AS INT) + 1] AS p
+      FROM sorted_tk),
+    pe AS (SELECT doc_id, l, u.t AS tok FROM pref, UNNEST(p) AS u(t)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb
+      FROM pe a JOIN pe b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE LEAST(a.l, b.l) >= {_PP_T} * GREATEST(a.l, b.l)),
+    inter AS (
+      SELECT c.id_a, c.id_b, c.la, c.lb, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b, c.la, c.lb)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+    FROM inter
+    WHERE CAST(i AS DOUBLE) / (la + lb - i) >= {_PP_T}
+    ORDER BY id_a, id_b
+    """,
+)
+def q237_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = D.doc_shingles(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", n=3, out="tk",
+    )
+    tok = docs.select("doc_id", F.explode("tk").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    sorted_tk = (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
+            ).alias("stk")
+        )
+    )
+    plen = (
+        F.size("stk") - F.ceil(F.lit(_PP_T) * F.size("stk")).cast("int") + F.lit(1)
+    )
+    pref = sorted_tk.select(
+        "doc_id", F.size("stk").alias("l"), F.slice("stk", 1, plen).alias("p")
+    )
+    pe = pref.select("doc_id", "l", F.explode("p").alias("tok"))
+    a = pe.select(F.col("doc_id").alias("id_a"), F.col("l").alias("la"), "tok")
+    b = pe.select(F.col("doc_id").alias("id_b"), F.col("l").alias("lb"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least("la", "lb") >= F.lit(_PP_T) * F.greatest("la", "lb"))
+        .select("id_a", "id_b", "la", "lb")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
+    return (
+        inter.filter(jac >= F.lit(_PP_T))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )

@@ -854,3 +854,21 @@ def test_grid_join_finds_every_radius_pair(spark, sf_dir):
     ).filter(d2 < SP._EPS2).select("c_custkey", "s_suppkey")
     assert brute.exceptAll(grid).count() == 0
     assert grid.exceptAll(brute).count() == 0
+
+
+def test_ppjoin_exact_contains_all_lsh_verified_pairs(spark, sf_dir):
+    """q237 is the EXACT Jaccard>=0.5 shingle join; q33 scores the LSH
+    candidate pairs for the same predicate (candidates may be missed,
+    never invented). Exactness invariant: every LSH candidate that
+    clears the threshold appears in the PPJoin result."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = {(r["id_a"], r["id_b"]) for r in qs["q237_ppjoin_exact"](spark, sf_dir).collect()}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in qs["q33_dedup_jaccard_verify"](spark, sf_dir).collect()
+        if r["jaccard"] >= 0.5
+    }
+    assert lsh <= exact, sorted(lsh - exact)[:5]
+    assert exact, "exact join found no pairs — degenerate fixture"
