@@ -184,3 +184,48 @@ def more_like_this_batch(
         .filter(F.col("rank") <= k)
         .orderBy("qid", "rank")
     )
+
+
+def build_positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional inverted index ``postings(term, doc_id, pos)`` — one row
+    per token OCCURRENCE (1-based ordinal), the structure behind indexed
+    phrase queries. One corpus scan, map-side explode; persist bucketed
+    by ``term`` once per corpus snapshot and every phrase query after
+    that probes only this table."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+
+
+def phrase_search_batch(postings: DataFrame, phrases: Sequence[str]) -> DataFrame:
+    """Answer a BATCH of phrase queries against positional postings.
+
+    Classic positional intersection: a phrase [t0..tn-1] matches doc d at
+    anchor a iff term ti occurs at position a+i for every i — expressed as
+    one broadcast join of the (phrase, i, term) probe frame against the
+    postings, grouping on (phrase, doc, anchor = pos - i) and requiring
+    all n DISTINCT term slots present. No corpus scan, no per-phrase
+    work: the whole batch is a single postings probe.
+
+    Reference: the ES ``match_phrase`` surface (SURVEY §2.8 Q1 /
+    reference ``api.py`` search routes) — here answered from a
+    persistable index instead of a per-request corpus scan.
+    """
+    spark = postings.sparkSession
+    rows = [
+        (ph, i, t) for ph in phrases for i, t in enumerate(ph.split())
+    ]
+    pt = spark.createDataFrame(rows, "phrase string, i int, term string")
+    pn = pt.groupBy("phrase").agg(F.count(F.lit(1)).alias("n"))
+    j = postings.join(F.broadcast(pt), "term").select(
+        "phrase", "doc_id", (F.col("pos") - F.col("i")).alias("anchor"), "i"
+    )
+    hits = (
+        j.groupBy("phrase", "doc_id", "anchor")
+        .agg(F.countDistinct("i").alias("nt"))
+        .join(F.broadcast(pn), "phrase")
+        .filter(F.col("nt") == F.col("n"))
+        .select("phrase", "doc_id")
+        .distinct()
+    )
+    return hits.orderBy("phrase", "doc_id")

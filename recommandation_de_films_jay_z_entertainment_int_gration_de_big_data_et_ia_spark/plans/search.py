@@ -537,3 +537,52 @@ def q137_mlt_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     postings = build_token_postings(docs, "doc_id", "text")
     return more_like_this_batch(postings, list(_MLT_BATCH), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q238 — indexed phrase search over positional postings: the q22
+# match_phrase semantics (contiguous token containment), answered for a
+# BATCH of phrases from a persistable (term, doc_id, pos) index instead
+# of a per-request corpus LIKE scan. Positional intersection on
+# anchor = pos - i; equivalence with the LIKE predicate is pinned in
+# tests/test_plans_ext2.py.
+# ---------------------------------------------------------------------------
+_PHRASE_BATCH = ("fast sort", "stream table hash", "row column sort", "no such phrase here")
+
+
+def _phrase_values_sql() -> str:
+    vals = ", ".join(
+        f"('{ph}', {i}, '{t}')"
+        for ph in _PHRASE_BATCH
+        for i, t in enumerate(ph.split())
+    )
+    return f"(VALUES {vals}) AS v(phrase, i, term)"
+
+
+@register(
+    "q238_phrase_indexed_batch",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    post AS (
+      SELECT doc_id, u.e.i AS pos, u.e.t AS term
+      FROM t, UNNEST(list_transform(range(1, len(tk)+1),
+                     i -> struct_pack(i := i, t := tk[i]))) AS u(e)),
+    ph AS (SELECT * FROM {_phrase_values_sql()}),
+    pn AS (SELECT phrase, COUNT(*) AS n FROM ph GROUP BY phrase),
+    j AS (
+      SELECT ph.phrase, post.doc_id, post.pos - ph.i AS anchor, ph.i
+      FROM post JOIN ph ON post.term = ph.term),
+    hit AS (
+      SELECT phrase, doc_id, anchor, COUNT(DISTINCT i) AS nt
+      FROM j GROUP BY phrase, doc_id, anchor)
+    SELECT DISTINCT h.phrase AS phrase, h.doc_id AS doc_id
+    FROM hit h JOIN pn ON h.phrase = pn.phrase AND h.nt = pn.n
+    ORDER BY h.phrase, h.doc_id
+    """,
+)
+def q238_phrase_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import build_positional_postings, phrase_search_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = build_positional_postings(docs, "doc_id", "text")
+    return phrase_search_batch(postings, list(_PHRASE_BATCH))

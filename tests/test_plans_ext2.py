@@ -100,3 +100,32 @@ def test_q193_null_bucket_matches(spark, sf_dir):
     rows = {r["join_key"]: r for r in QUERIES["q193_null_safe_join"](spark, sf_dir).collect()}
     assert "<null>" in rows and rows["<null>"]["is_null_bucket"]
     assert rows["<null>"]["n_matched"] > 0  # a plain = join would drop these
+
+
+def test_q238_indexed_phrase_equals_like_scan(spark, sf_dir):
+    """The positional-postings phrase hits must equal the q22-style
+    LIKE-scan predicate for every phrase in the batch (including the
+    zero-hit phrase)."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.functions.text import (
+        normalize_text,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.search import (
+        _PHRASE_BATCH,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    hits = {}
+    for r in QUERIES["q238_phrase_indexed_batch"](spark, sf_dir).collect():
+        hits.setdefault(r["phrase"], set()).add(r["doc_id"])
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), normalize_text(F.col("text")), F.lit(" "))
+    for ph in _PHRASE_BATCH:
+        like = {
+            r["doc_id"]
+            for r in docs.filter(padded.contains(f" {ph} ")).select("doc_id").collect()
+        }
+        assert hits.get(ph, set()) == like, ph
