@@ -88,10 +88,20 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # Pre-aggregate lineitem per order BEFORE the orders join: map-side
+    # partial agg collapses the ~4 items/order ahead of both shuffles
+    # (join input and the custkey re-agg), cutting shuffle volume ~4x at
+    # any scale. Decimal partial sums re-sum exactly, so the result is
+    # bit-identical to the direct join+agg plan.
+    per_order = li.groupBy("l_orderkey").agg(
+        _revenue().alias("__rev"), F.count(F.lit(1)).alias("__n")
+    )
     per_cust = (
-        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        per_order.join(
+            orders.select("o_orderkey", "o_custkey"), per_order.l_orderkey == orders.o_orderkey
+        )
         .groupBy("o_custkey")
-        .agg(_money(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(_money(F.sum("__rev"), "revenue"), F.sum("__n").alias("n_items"))
     )
     joined = R.join_broadcast_dim(
         per_cust, customer.select("c_custkey", "c_name"), on=[per_cust.o_custkey == customer.c_custkey]
