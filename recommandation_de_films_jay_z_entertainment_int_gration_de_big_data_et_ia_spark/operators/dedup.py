@@ -51,17 +51,25 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
-                 out: str = "shingles") -> DataFrame:
+                 out: str = "shingles", materialize: bool = False) -> DataFrame:
     """Distinct n-word shingles per document.
 
     Tokens are materialized in their own projection first: inlining the
     tokenizer expression into the shingle lambda would re-run the regexp
     split once per shingle index (measured 10× slower at sf0.1).
+
+    ``materialize=True`` localCheckpoints the (id, shingles) frame (one
+    small row per doc). Worth it ONLY when the consumer fans the frame
+    into MANY branches that would each re-evaluate the ~1 ms/doc shingle
+    expression (q237's PPJoin: 13 s → 7 s at sf0.1). The LSH family is
+    signature-bound, not shingle-bound — measured neutral-to-slower
+    there, so the default stays lazy.
     """
     toked = df.select(F.col(id_col), tokens(text_col).alias("__tk"))
-    return toked.select(
+    res = toked.select(
         F.col(id_col), F.array_distinct(word_shingles(F.col("__tk"), n)).alias(out)
     )
+    return res.localCheckpoint(eager=True) if materialize else res
 
 
 def minhash_bands(

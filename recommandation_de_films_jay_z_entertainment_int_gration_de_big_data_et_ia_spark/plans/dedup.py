@@ -388,9 +388,12 @@ _PP_T = 0.5
     """,
 )
 def q237_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc_shingles materializes the per-doc shingle arrays (one row per
+    # doc) — the branches below (df count, ordering join, both verify
+    # sides) all reuse that single evaluation.
     docs = D.doc_shingles(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id", "text", n=3, out="tk",
+        "doc_id", "text", n=3, out="tk", materialize=True,
     )
     tok = docs.select("doc_id", F.explode("tk").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
@@ -402,6 +405,10 @@ def q237_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
             ).alias("stk")
         )
+        # consumed by three plan branches (prefix gen + both verify
+        # sides); checkpoint once or Spark re-runs the scan+df-join+agg
+        # pipeline per branch (measured 3x the runtime at sf0.1)
+        .localCheckpoint(eager=True)
     )
     plen = (
         F.size("stk") - F.ceil(F.lit(_PP_T) * F.size("stk")).cast("int") + F.lit(1)
