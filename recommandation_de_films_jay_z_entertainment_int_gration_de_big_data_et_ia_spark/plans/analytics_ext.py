@@ -399,12 +399,10 @@ def q74_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrs = np.stack([np.asarray(x, dtype="float64") for x in v])
         # sequential-fold norm to match the oracle's list_reduce exactly
         nrm = np.sqrt(np.add.reduce(arrs * arrs, axis=1))
+        # raw values out; rounding happens in Spark (np.round is
+        # half-even, SQL ROUND is half-away — a latent tie-flip)
         return pd.DataFrame(
-            {
-                "e0": np.round(arrs[:, 0] / nrm, 4),
-                "e1": np.round(arrs[:, 1] / nrm, 4),
-                "l2norm": np.round(nrm, 4),
-            }
+            {"e0": arrs[:, 0] / nrm, "e1": arrs[:, 1] / nrm, "l2norm": nrm}
         )
 
     # Type-hint pandas UDF form (Series → DataFrame ≡ the old SCALAR
@@ -417,7 +415,12 @@ def q74_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     out = emb.select("vec_id", norm_head("embedding").alias("s"))
-    return out.select("vec_id", "s.e0", "s.e1", "s.l2norm")
+    return out.select(
+        "vec_id",
+        F.round("s.e0", 4).alias("e0"),
+        F.round("s.e1", 4).alias("e1"),
+        F.round("s.l2norm", 4).alias("l2norm"),
+    )
 
 
 # ---------------------------------------------------------------------------

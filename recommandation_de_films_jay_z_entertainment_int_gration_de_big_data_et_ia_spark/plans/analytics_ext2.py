@@ -961,12 +961,16 @@ def q183_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(s)
         pdf["cusum"] = out
         pdf["alarm"] = pdf["cusum"] > 3 * pdf["sd"]
-        pdf["x"] = pdf["x"].round(2)
-        pdf["cusum"] = pdf["cusum"].round(6)
         return pdf[["event_type", "hour_s", "x", "cusum", "alarm"]]
 
-    return seq.groupBy("event_type").applyInPandas(
+    walked = seq.groupBy("event_type").applyInPandas(
         walk, schema="event_type string, hour_s bigint, x double, cusum double, alarm boolean"
+    )
+    # round outside the UDF (pandas .round is half-even; Spark/DuckDB
+    # ROUND are half-away — same hazard q239 hit in testing)
+    return walked.select(
+        "event_type", "hour_s", F.round("x", 2).alias("x"),
+        F.round("cusum", 6).alias("cusum"), "alarm",
     )
 
 
@@ -4006,3 +4010,91 @@ def q233_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("size")).cast("bigint").alias("n_members"),
     ).select(F.col("size").cast("bigint").alias("size"), "n_clusters", "n_members")
+
+
+# ---------------------------------------------------------------------------
+# q239 — Holt double-exponential smoothing (level + trend) per
+# event_type over the daily value series: the stateful-forecast sibling
+# of q183's CUSUM (same Arrow applyInPandas recursion / recursive-CTE
+# oracle discipline). alpha = 0.5 and beta = 0.25 are exactly
+# representable doubles and every recursion step is written as the
+# IDENTICAL IEEE expression in pandas and SQL, so the walk is
+# bit-identical; init l1 = x1, b1 = 0. fit_t = l_{t-1} + b_{t-1} is the
+# one-step-ahead forecast used for in-sample error. Partitioned by key
+# — each series folds inside one Arrow batch, never on the driver.
+# ---------------------------------------------------------------------------
+_HOLT_A, _HOLT_B = 0.5, 0.25
+
+
+@register(
+    "q239_holt_smoothing",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, day_s),
+    seq AS (
+      SELECT event_type, day_s, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_s) AS rn
+      FROM daily),
+    walk AS (
+      SELECT event_type, day_s, x, rn,
+             x AS l, CAST(0.0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS fit
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.event_type, q.day_s, q.x, q.rn,
+             {_HOLT_A}::DOUBLE * q.x + {1 - _HOLT_A}::DOUBLE * (w.l + w.b) AS l,
+             {_HOLT_B}::DOUBLE * (({_HOLT_A}::DOUBLE * q.x + {1 - _HOLT_A}::DOUBLE * (w.l + w.b)) - w.l)
+               + {1 - _HOLT_B}::DOUBLE * w.b AS b,
+             w.l + w.b AS fit
+      FROM seq q JOIN walk w ON q.event_type = w.event_type AND q.rn = w.rn + 1)
+    SELECT event_type, day_s, ROUND(x, 2) AS x,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend, ROUND(fit, 6) AS fit
+    FROM walk
+    """,
+)
+def q239_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("long").alias("day_s")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("x_dec"))
+        .select("event_type", "day_s", F.col("x_dec").cast("double").alias("x"))
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_s").reset_index(drop=True)
+        lv, bv = 0.0, 0.0
+        levels, trends, fits = [], [], []
+        for i, x in enumerate(pdf["x"]):
+            if i == 0:
+                lv, bv, fit = x, 0.0, None
+            else:
+                fit = lv + bv
+                l_new = _HOLT_A * x + (1 - _HOLT_A) * (lv + bv)
+                bv = _HOLT_B * (l_new - lv) + (1 - _HOLT_B) * bv
+                lv = l_new
+            levels.append(lv)
+            trends.append(bv)
+            fits.append(fit)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["fit"] = fits
+        return pdf[["event_type", "day_s", "x", "level", "trend", "fit"]]
+
+    walked = daily.groupBy("event_type").applyInPandas(
+        walk,
+        schema="event_type string, day_s bigint, x double, level double, trend double, fit double",
+    )
+    # round OUTSIDE the UDF: pandas .round is half-even, Spark/DuckDB
+    # ROUND are half-away — Holt's exact power-of-two coefficients make
+    # 6-decimal ties common enough to flip output bits otherwise
+    return walked.select(
+        "event_type", "day_s", F.round("x", 2).alias("x"),
+        F.round("level", 6).alias("level"), F.round("trend", 6).alias("trend"),
+        F.round("fit", 6).alias("fit"),
+    )
