@@ -417,3 +417,57 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             )
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def ppjoin_pairs(
+    sets: DataFrame, id_col: str, set_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact set-similarity self-join (PPJoin prefix filtering, Xiao et
+    al.): all unordered pairs with Jaccard(set_a, set_b) >= threshold.
+
+    ``sets`` holds one row per entity: (id, array of DISTINCT elements).
+    Elements are ordered by (document-frequency, value) — a total order
+    computed with one df-join + per-row array sort, no global window —
+    and only the first |x| - ceil(t|x|) + 1 elements (the prefix) join;
+    any qualifying pair must collide on a prefix element. Rare-first
+    ordering keeps prefix buckets small at scale; the PPJoin length
+    filter (min >= t*max) prunes before the verify. Verify is
+    array_intersect on the two sorted arrays (no re-explode).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
+    """
+    t = threshold
+    tok = sets.select(F.col(id_col).alias("__id"), F.explode(set_col).alias("__el"))
+    dfreq = tok.groupBy("__el").agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    sorted_sets = (
+        tok.join(dfreq, "__el")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__el"))), lambda s: s["__el"]
+            ).alias("__stk")
+        )
+    )
+    plen = F.size("__stk") - F.ceil(F.lit(t) * F.size("__stk")).cast("int") + F.lit(1)
+    pe = sorted_sets.select(
+        "__id", F.size("__stk").alias("__l"), F.explode(F.slice("__stk", 1, plen)).alias("__el")
+    )
+    a = pe.select(F.col("__id").alias("id_a"), F.col("__l").alias("la"), "__el")
+    b = pe.select(F.col("__id").alias("id_b"), F.col("__l").alias("lb"), "__el")
+    cand = (
+        a.join(b, "__el")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least("la", "lb") >= F.lit(t) * F.greatest("la", "lb"))
+        .select("id_a", "id_b", "la", "lb")
+        .distinct()
+    )
+    sa = sorted_sets.select(F.col("__id").alias("id_a"), F.col("__stk").alias("__sa"))
+    sb = sorted_sets.select(F.col("__id").alias("id_b"), F.col("__stk").alias("__sb"))
+    inter = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", "la", "lb",
+        F.size(F.array_intersect("__sa", "__sb")).cast("bigint").alias("__i"),
+    )
+    jac = F.col("__i").cast("double") / (F.col("la") + F.col("lb") - F.col("__i"))
+    return inter.filter(jac >= F.lit(t)).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )

@@ -389,60 +389,13 @@ _PP_T = 0.5
 )
 def q237_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_shingles materializes the per-doc shingle arrays (one row per
-    # doc) — the branches below (df count, ordering join, both verify
-    # sides) all reuse that single evaluation.
+    # doc) — every branch of the PPJoin plan reuses that single
+    # evaluation. The join itself is operators.dedup.ppjoin_pairs
+    # (prefix filtering under a rare-first total order, array_intersect
+    # verify), hypothesis-fuzzed against a brute-force cross join in
+    # tests/test_properties.py.
     docs = D.doc_shingles(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id", "text", n=3, out="tk", materialize=True,
     )
-    tok = docs.select("doc_id", F.explode("tk").alias("tok"))
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    sorted_tk = (
-        tok.join(dfreq, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
-            ).alias("stk")
-        )
-        # consumed by three plan branches (prefix gen + both verify
-        # sides); checkpoint once or Spark re-runs the scan+df-join+agg
-        # pipeline per branch (measured 3x the runtime at sf0.1)
-        .localCheckpoint(eager=True)
-    )
-    plen = (
-        F.size("stk") - F.ceil(F.lit(_PP_T) * F.size("stk")).cast("int") + F.lit(1)
-    )
-    pref = sorted_tk.select(
-        "doc_id", F.size("stk").alias("l"), F.slice("stk", 1, plen).alias("p")
-    )
-    pe = pref.select("doc_id", "l", F.explode("p").alias("tok"))
-    a = pe.select(F.col("doc_id").alias("id_a"), F.col("l").alias("la"), "tok")
-    b = pe.select(F.col("doc_id").alias("id_b"), F.col("l").alias("lb"), "tok")
-    cand = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.least("la", "lb") >= F.lit(_PP_T) * F.greatest("la", "lb"))
-        .select("id_a", "id_b", "la", "lb")
-        .distinct()
-    )
-    # Verify on the per-doc shingle ARRAYS (two hash joins + one
-    # array_intersect per pair, O(la+lb) in the JVM) — an exploded
-    # token-equi-join verify re-shuffles |cand| x shingles rows and
-    # measured 4x slower at sf0.1.
-    sa = sorted_tk.select(F.col("doc_id").alias("id_a"), F.col("stk").alias("__sa"))
-    sb = sorted_tk.select(F.col("doc_id").alias("id_b"), F.col("stk").alias("__sb"))
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a", "id_b", "la", "lb",
-            F.size(F.array_intersect("__sa", "__sb")).cast("bigint").alias("i"),
-        )
-    )
-    jac = F.col("i").cast("double") / (F.col("la") + F.col("lb") - F.col("i"))
-    return (
-        inter.filter(jac >= F.lit(_PP_T))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
+    return D.ppjoin_pairs(docs, "doc_id", "tk", threshold=_PP_T).orderBy("id_a", "id_b")

@@ -230,3 +230,40 @@ def test_incremental_agg_merge_equals_recompute(spark, cutoff_frac):
     )
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PPJoin exactness fuzz: the prefix-filtered join must equal the
+# brute-force all-pairs Jaccard join on arbitrary random set families
+# (including empty overlaps, identical sets, and subset chains).
+# ---------------------------------------------------------------------------
+_SETS = st.lists(
+    st.lists(st.sampled_from([f"e{i}" for i in range(12)]), min_size=1, max_size=8),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(fams=_SETS)
+def test_ppjoin_equals_bruteforce(spark, fams):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.dedup import (
+        ppjoin_pairs,
+    )
+
+    fams = [sorted(set(f)) for f in fams]
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fams)], "id bigint, els array<string>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, "id", "els", threshold=0.5).collect()
+    }
+    want = {}
+    for i in range(len(fams)):
+        for j in range(i + 1, len(fams)):
+            a, b = set(fams[i]), set(fams[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                want[(i, j)] = round(jac, 6)
+    assert got == want, (got, want)
