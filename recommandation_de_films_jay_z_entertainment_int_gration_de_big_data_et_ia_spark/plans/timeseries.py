@@ -1125,3 +1125,63 @@ def q166_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounce_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — VARIABLE-gap sessionization: Spark's dynamic session_window
+# (per-event inactivity horizon by event_type: click 10 min / view
+# 30 min / else 15 min). Each event opens [ts, ts+gap); overlapping
+# windows per user merge, so the batch oracle is the interval-union
+# islands construction: new session when t >= running MAX of prior
+# (t + gap). All comparisons in exact epoch MICROSECONDS (the q129/q46
+# precision lesson — never compare on floored seconds); only the OUTPUT
+# keys floor to seconds.
+# ---------------------------------------------------------------------------
+@register(
+    "q240_dynamic_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CASE event_type WHEN 'click' THEN 600000000
+                             WHEN 'view' THEN 1800000000
+                             ELSE 900000000 END AS gap_us
+      FROM events),
+    runend AS (
+      SELECT user_id, t_us,
+             MAX(t_us + gap_us) OVER (PARTITION BY user_id ORDER BY t_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM o),
+    flagged AS (
+      SELECT user_id, t_us,
+             CASE WHEN prev_end IS NULL OR t_us >= prev_end THEN 1 ELSE 0 END AS new_sess
+      FROM runend),
+    numbered AS (
+      SELECT user_id, t_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_num
+      FROM flagged)
+    SELECT user_id,
+           CAST(MIN(t_us // 1000000) AS BIGINT) AS session_start_s,
+           COUNT(*) AS n_events,
+           CAST(MAX(t_us // 1000000) - MIN(t_us // 1000000) AS BIGINT) AS duration_s
+    FROM numbered GROUP BY user_id, sess_num
+    """,
+)
+def q240_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", "10 minutes")
+        .when(F.col("event_type") == "view", "30 minutes")
+        .otherwise("15 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("session_start_s"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .select("user_id", "session_start_s", "n_events", "duration_s")
+    )

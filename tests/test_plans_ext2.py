@@ -129,3 +129,25 @@ def test_q238_indexed_phrase_equals_like_scan(spark, sf_dir):
             for r in docs.filter(padded.contains(f" {ph} ")).select("doc_id").collect()
         }
         assert hits.get(ph, set()) == like, ph
+
+
+def test_q240_dynamic_sessions_refine_fixed_sessions(spark, sf_dir):
+    """Every dynamic gap (10/30/15 min) is <= q46's fixed 30 min, so the
+    per-event intervals shrink and sessions can only SPLIT further —
+    per-user dynamic session count must be >= the fixed count, with total
+    event counts conserved."""
+    q46 = QUERIES["q46_sessionize"](spark, sf_dir).collect()
+    q240 = QUERIES["q240_dynamic_sessions"](spark, sf_dir).collect()
+
+    def per_user(rows):
+        agg = {}
+        for r in rows:
+            n, ev = agg.get(r["user_id"], (0, 0))
+            agg[r["user_id"]] = (n + 1, ev + r["n_events"])
+        return agg
+
+    a46, a240 = per_user(q46), per_user(q240)
+    assert a46.keys() == a240.keys()
+    for u in a46:
+        assert a240[u][0] >= a46[u][0], u  # refinement
+        assert a240[u][1] == a46[u][1], u  # conservation
