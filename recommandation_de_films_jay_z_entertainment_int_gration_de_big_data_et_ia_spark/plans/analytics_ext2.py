@@ -4098,3 +4098,50 @@ def q239_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("level", 6).alias("level"), F.round("trend", 6).alias("trend"),
         F.round("fit", 6).alias("fit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — 2D skyline (Pareto-front) query: parts not dominated on
+# (minimize p_retailprice, maximize p_size). The engine uses the
+# sort-based formulation — per-price max size, then a running max over
+# strictly-cheaper prices; a part is skyline iff it is its price
+# group's max AND beats every cheaper group's max. One narrow scan, one
+# small per-price aggregate, no pairwise join. The oracle is the
+# INDEPENDENT textbook NOT EXISTS dominance anti-join (O(n²) but exact)
+# — two different algorithms must agree row-for-row. Ties (equal price
+# AND equal size) are mutually non-dominating and both survive.
+# ---------------------------------------------------------------------------
+@register(
+    "q241_skyline",
+    oracle="""
+    SELECT p_partkey, ROUND(CAST(p_retailprice AS DOUBLE), 2) AS price,
+           CAST(p_size AS INT) AS p_size
+    FROM part p1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p2
+      WHERE p2.p_retailprice <= p1.p_retailprice AND p2.p_size >= p1.p_size
+        AND (p2.p_retailprice < p1.p_retailprice OR p2.p_size > p1.p_size))
+    ORDER BY p_partkey
+    """,
+)
+def q241_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("ms"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    # per-price groups are FAR fewer than parts; the global window runs
+    # over that small aggregate only (same discipline as q197/q202)
+    run = per_price.withColumn("prev_max", F.max("ms").over(w))
+    sky = (
+        part.join(F.broadcast(run), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("ms"))
+            & (F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+        )
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice").cast("double"), 2).alias("price"),
+            F.col("p_size").cast("int").alias("p_size"),
+        )
+        .orderBy("p_partkey")
+    )
+    return sky
