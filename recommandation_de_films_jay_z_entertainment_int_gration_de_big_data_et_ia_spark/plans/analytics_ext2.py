@@ -4145,3 +4145,57 @@ def q241_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
     )
     return sky
+
+
+# ---------------------------------------------------------------------------
+# q242 — streaming foreachBatch UPSERT SINK, hash-oracled: the
+# exactly-once-shaped sink pattern q211's stateful operator feeds in
+# production. The event log is first re-sharded into 3 time-sliced
+# files (so the SAME keys recur across micro-batches and the merge
+# genuinely overwrites), then drained one file per trigger; each batch
+# merges latest-per-(user,event_type) into a parquet state table. The
+# merge is an idempotent fold (replay-safe — proven by re-applying a
+# batch in tests/test_streaming.py), so the final state equals batch
+# q211/q170 semantics — which IS the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q242_stream_upsert_sink",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           epoch_us(ts) // 1000000 AS last_ts_s,
+           ROUND(value, 6) AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q242_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming.windows import foreachbatch_upsert_run
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp", f"q242_{uuid.uuid4().hex[:8]}",
+    )
+    src, state = os.path.join(base, "src"), os.path.join(base, "state")
+    ev = load_table(spark, sf_dir, "events")
+    # 3 time slices -> 3 micro-batches touching the SAME keys
+    ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+    foreachbatch_upsert_run(spark, src, state)
+    out = (
+        spark.read.parquet(state)
+        .select(
+            "user_id", "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").cast("long").alias("last_ts_s"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

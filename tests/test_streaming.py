@@ -287,3 +287,49 @@ def test_left_outer_join_null_emission_boundary(spark, tmp_path):
     q.awaitTermination()
     rows = {(r.view_id, r.click_id) for r in spark.table("lo_boundary").collect()}
     assert rows == {(10, None), (11, None), (13, 501), (20, 500), (99, 501)}
+
+
+def test_foreachbatch_upsert_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The upsert sink's merge must be replay-safe: re-applying the SAME
+    micro-batch (foreachBatch's at-least-once failure mode) leaves the
+    state bit-identical."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.windows import (
+        apply_upsert_batch,
+    )
+
+    state = str(tmp_path / "state")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    apply_upsert_batch(b1, state)
+    apply_upsert_batch(b2, state)
+
+    def snap():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(state).collect()
+        )
+
+    before = snap()
+    apply_upsert_batch(b2, state)  # replay the last batch
+    assert snap() == before
+    # and the state equals the batch latest-per-key answer
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    )
+    assert before == want
