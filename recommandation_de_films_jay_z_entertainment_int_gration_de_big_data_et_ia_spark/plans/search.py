@@ -7,7 +7,7 @@ analysis spec: lower → non-alphanumerics→space → trim → split on spaces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import search as S
@@ -586,3 +586,118 @@ def q238_phrase_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     postings = build_positional_postings(docs, "doc_id", "text")
     return phrase_search_batch(postings, list(_PHRASE_BATCH))
+
+
+# ---------------------------------------------------------------------------
+# q243 — completion suggester (ES "search-as-you-type"): for a batch of
+# typed prefixes, the top-5 vocabulary terms by document frequency.
+# The vocab(term, df) table is the q68 docfreq index — persistable, so
+# the per-keystroke query path scans the SMALL vocab only, never the
+# corpus; a range-partitioned vocab makes a prefix probe a partition-
+# pruned scan at any scale. Deterministic rank: (df DESC, term ASC).
+# ---------------------------------------------------------------------------
+_SUGGEST_PREFIXES = ("co", "pro", "sta", "zzz")
+
+
+@register(
+    "q243_autocomplete_suggest",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS term FROM documents),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+    p AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _SUGGEST_PREFIXES)}) AS v(prefix)),
+    ranked AS (
+      SELECT p.prefix, v.term, v.df,
+             ROW_NUMBER() OVER (PARTITION BY p.prefix ORDER BY v.df DESC, v.term ASC) AS rn
+      FROM p JOIN vocab v ON v.term LIKE p.prefix || '%')
+    SELECT prefix, term, df, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    ORDER BY prefix, rank
+    """,
+)
+def q243_autocomplete_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import build_token_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        build_token_postings(docs, "doc_id", "text")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    prefixes = spark.createDataFrame(
+        [(p,) for p in _SUGGEST_PREFIXES], "prefix string"
+    )
+    j = vocab.join(
+        F.broadcast(prefixes), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("prefix", "term", "df", "rank")
+        .orderBy("prefix", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 — term suggester / "did you mean" (ES term-suggest analog): for a
+# batch of misspelled terms, the top-3 vocabulary corrections within
+# Levenshtein distance 2, ranked (distance ASC, df DESC, term ASC).
+# Candidate pruning before the edit-distance evaluation: |len diff| <= 2
+# (a necessary condition), so the vocab scan evaluates levenshtein only
+# on the length band — at scale, a vocab bucketed by length makes this
+# a partition-pruned probe. The probe terms broadcast; the corpus is
+# never touched (vocab = persisted q68 index).
+# ---------------------------------------------------------------------------
+_SPELL_TERMS = ("spak", "qury", "windoow", "xyzzy")
+
+
+@register(
+    "q244_spell_suggest",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS term FROM documents),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term),
+    m AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _SPELL_TERMS)}) AS v(misspelled)),
+    cand AS (
+      SELECT m.misspelled, v.term, v.df,
+             CAST(levenshtein(m.misspelled, v.term) AS INT) AS dist
+      FROM m JOIN vocab v
+        ON abs(len(v.term) - len(m.misspelled)) <= 2
+      WHERE levenshtein(m.misspelled, v.term) <= 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY misspelled
+                                   ORDER BY dist ASC, df DESC, term ASC) AS rn
+      FROM cand)
+    SELECT misspelled, term, dist, df, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 3
+    ORDER BY misspelled, rank
+    """,
+)
+def q244_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import build_token_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        build_token_postings(docs, "doc_id", "text")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _SPELL_TERMS], "misspelled string"
+    )
+    cand = (
+        vocab.join(
+            F.broadcast(probes),
+            F.abs(F.length("term") - F.length("misspelled")) <= 2,
+        )
+        .withColumn("dist", F.levenshtein("misspelled", "term").cast("int"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("misspelled").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("misspelled", "term", "dist", "df", "rank")
+        .orderBy("misspelled", "rank")
+    )
