@@ -596,7 +596,9 @@ def q238_phrase_indexed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus; a range-partitioned vocab makes a prefix probe a partition-
 # pruned scan at any scale. Deterministic rank: (df DESC, term ASC).
 # ---------------------------------------------------------------------------
-_SUGGEST_PREFIXES = ("co", "pro", "sta", "zzz")
+# 1-char prefixes: the synthetic corpus has a 31-token vocabulary,
+# so longer prefixes would return single-candidate suggestions
+_SUGGEST_PREFIXES = ("s", "c", "w", "zzz")
 
 
 @register(
