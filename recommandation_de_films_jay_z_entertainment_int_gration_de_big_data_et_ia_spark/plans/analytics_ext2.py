@@ -4199,3 +4199,73 @@ def q242_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q245 — Theil-Sen robust trend per event_type: the median of all
+# pairwise slopes of the daily-sum series (outlier-proof counterpart of
+# the q131 OLS trend). Series are short (~a month per key), so the
+# pairwise self-join is per-key bounded (n*(n-1)/2 ≈ 500 rows/key) and
+# partitioned by event_type — no cross-key work. Median is rank-exact
+# (q197's convention: element at ceil(n/2), no interpolation), so the
+# result is a value the data actually contains — engine-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "q245_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, d),
+    slopes AS (
+      SELECT a.event_type, (b.x - a.x) / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(slope, 6) AS theil_sen_slope
+    FROM ranked WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    ORDER BY event_type
+    """,
+)
+def q245_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            (F.date_trunc("day", F.col("ts")).cast("long") / F.lit(86400))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("x"))
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select("event_type", F.col("d").alias("db"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            ((F.col("xb") - F.col("xa")) / (F.col("db") - F.col("da"))).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type", "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round("slope", 6).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -703,3 +703,103 @@ def q244_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("misspelled", "term", "dist", "df", "rank")
         .orderBy("misspelled", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — highlight snippets (ES "highlight" analog): for docs matching a
+# term, a +/-20-char window of NORMALIZED text around the FIRST
+# occurrence. Pure string expressions (locate/substr) — map-side only,
+# pushes the match predicate to the scan.
+# ---------------------------------------------------------------------------
+_HL_TERM = "spark"
+
+
+@register(
+    "q246_highlight",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {NORM_SQL} AS nt FROM documents),
+    m AS (SELECT doc_id, nt, position('{_HL_TERM}' IN nt) AS pos FROM d WHERE position('{_HL_TERM}' IN nt) > 0)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           substr(nt, CASE WHEN pos - 20 > 1 THEN pos - 20 ELSE 1 END,
+                  40 + {len(_HL_TERM)}) AS snippet
+    FROM m ORDER BY doc_id
+    """,
+)
+def q246_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", normalize_text(F.col("text")).alias("nt"))
+    m = d.withColumn("pos", F.locate(_HL_TERM, F.col("nt"))).filter(F.col("pos") > 0)
+    start = F.when(F.col("pos") - 20 > 1, F.col("pos") - 20).otherwise(F.lit(1))
+    return (
+        m.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.substring(F.col("nt"), start, 40 + len(_HL_TERM)).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247 — percolator (ES reverse search): match every document against a
+# TABLE OF STORED QUERIES (alerting/subscription matching). A stored
+# query is a term set + minimum_should_match; a doc matches when its
+# distinct tokens cover >= min_match of the query's terms. The query
+# table explodes to (query_id, term) and BROADCASTS against the token
+# postings — one corpus-side shuffle on (query_id, doc_id), no per-query
+# scans; at 100 TB this is the standard fan-in alerting join.
+# ---------------------------------------------------------------------------
+_PERC_QUERIES = (
+    ("alert_spark_join", ("spark", "join"), 2),
+    ("alert_stream_any", ("stream", "window", "watermark"), 1),
+    ("alert_fast_scan", ("fast", "scan", "filter"), 2),
+    ("alert_impossible", ("zzz", "qqq"), 1),
+)
+
+
+@register(
+    "q247_percolator",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS term FROM documents),
+    q AS (SELECT * FROM (VALUES {", ".join(f"('{qid}', {list(ts)!r}, {mm})" for qid, ts, mm in _PERC_QUERIES)})
+          AS v(query_id, terms, min_match)),
+    qt AS (SELECT query_id, min_match, unnest(terms) AS term FROM q),
+    hits AS (
+      SELECT qt.query_id, qt.min_match, tok.doc_id, COUNT(DISTINCT qt.term) AS matched
+      FROM qt JOIN tok ON qt.term = tok.term
+      GROUP BY qt.query_id, qt.min_match, tok.doc_id)
+    SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_matching_docs
+    FROM q LEFT JOIN (
+      SELECT query_id, COUNT(*) AS n FROM hits WHERE matched >= min_match GROUP BY query_id) h
+      ON q.query_id = h.query_id
+    ORDER BY q.query_id
+    """,
+)
+def q247_percolator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import build_token_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = build_token_postings(docs, "doc_id", "text")
+    q = spark.createDataFrame(
+        [(qid, list(ts), mm) for qid, ts, mm in _PERC_QUERIES],
+        "query_id string, terms array<string>, min_match int",
+    )
+    qt = q.select("query_id", "min_match", F.explode("terms").alias("term"))
+    hits = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "min_match", "doc_id")
+        .agg(F.countDistinct("term").alias("matched"))
+        .filter(F.col("matched") >= F.col("min_match"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_matching_docs")
+        )
+        .orderBy("query_id")
+    )
