@@ -4269,3 +4269,177 @@ def q245_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — k-anonymity audit (privacy/governance family): group rows by
+# quasi-identifiers (nation, market segment, account-balance decile) and
+# report, per equivalence-class size band, how many classes and rows sit
+# below the k=5 re-identification floor. The decile uses the exact
+# global rank (q120's convention — bit-stable deciles for the oracle);
+# at 100 TB swap in q160's rank-bounded approx percentile cutpoints,
+# which changes only the decile boundaries, not the audit shape.
+# ---------------------------------------------------------------------------
+@register(
+    "q248_k_anonymity",
+    oracle="""
+    WITH r AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(ceil(10.0 * ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey)
+                  / COUNT(*) OVER ()) AS INT) AS bal_decile
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_decile, COUNT(*) AS class_size
+      FROM r GROUP BY c_nationkey, c_mktsegment, bal_decile)
+    SELECT class_size < 5 AS below_k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(class_size) AS BIGINT) AS min_class,
+           CAST(MAX(class_size) AS BIGINT) AS max_class
+    FROM classes GROUP BY below_k ORDER BY below_k
+    """,
+)
+def q248_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    r = cust.select(
+        "c_nationkey", "c_mktsegment",
+        F.ceil(
+            F.lit(10.0) * F.row_number().over(w)
+            / F.count(F.lit(1)).over(Window.partitionBy())
+        ).cast("int").alias("bal_decile"),
+    )
+    classes = r.groupBy("c_nationkey", "c_mktsegment", "bal_decile").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy((F.col("class_size") < 5).alias("below_k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+            F.min("class_size").cast("bigint").alias("min_class"),
+            F.max("class_size").cast("bigint").alias("max_class"),
+        )
+        .orderBy("below_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q249 — Poisson bootstrap confidence interval (Chamandy et al., "The
+# Poisson bootstrap"): THE resampling scheme that scales on map-reduce —
+# instead of drawing n rows with replacement (needs global coordination),
+# each row independently gets a Poisson(1) replicate count. Per
+# (order-priority, replicate) the resampled mean uses exact DECIMAL
+# sums; the 95% CI is rank-exact over the B=40 replicate means.
+# Everything is DETERMINISTIC: the Poisson draw inverts an md5-derived
+# 16-bit uniform against INTEGER thresholds (24113/48226/60281/64292 ≈
+# 65536 * cum Poisson(1) CDF, tail capped at 4) — zero float
+# comparisons, bit-identical in both engines.
+# ---------------------------------------------------------------------------
+_BOOT_B = 40
+_BOOT_T = (24113, 48226, 60281, 64292)
+
+
+def _boot_h_sql(expr: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+@register(
+    "q249_poisson_bootstrap",
+    oracle=f"""
+    WITH rep AS (SELECT unnest(range(0, {_BOOT_B})) AS r),
+    drawn AS (
+      SELECT o.o_orderpriority, rep.r,
+             CASE WHEN {_boot_h_sql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(rep.r AS VARCHAR)")} < {_BOOT_T[0]} THEN 0
+                  WHEN {_boot_h_sql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(rep.r AS VARCHAR)")} < {_BOOT_T[1]} THEN 1
+                  WHEN {_boot_h_sql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(rep.r AS VARCHAR)")} < {_BOOT_T[2]} THEN 2
+                  WHEN {_boot_h_sql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(rep.r AS VARCHAR)")} < {_BOOT_T[3]} THEN 3
+                  ELSE 4 END AS cnt,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders o CROSS JOIN rep),
+    means AS (
+      SELECT o_orderpriority, r,
+             CAST(SUM(cnt * price) AS DOUBLE) / NULLIF(SUM(cnt), 0) AS m
+      FROM drawn GROUP BY o_orderpriority, r),
+    ranked AS (
+      SELECT o_orderpriority, m,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY m) AS rn
+      FROM means),
+    ci AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = {max(1, -(-25 * _BOOT_B // 1000))} THEN m END) AS lo,
+             MAX(CASE WHEN rn = {-(-975 * _BOOT_B // 1000)} THEN m END) AS hi
+      FROM ranked GROUP BY o_orderpriority),
+    pt AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS point_mean
+      FROM orders GROUP BY o_orderpriority)
+    SELECT pt.o_orderpriority, ROUND(pt.point_mean, 4) AS point_mean,
+           ROUND(ci.lo, 4) AS ci_lo, ROUND(ci.hi, 4) AS ci_hi
+    FROM pt JOIN ci ON pt.o_orderpriority = ci.o_orderpriority
+    ORDER BY pt.o_orderpriority
+    """,
+)
+def q249_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("|"), F.col("r").cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    cnt = (
+        F.when(h < _BOOT_T[0], 0)
+        .when(h < _BOOT_T[1], 1)
+        .when(h < _BOOT_T[2], 2)
+        .when(h < _BOOT_T[3], 3)
+        .otherwise(4)
+    )
+    drawn = orders.select(
+        "o_orderpriority",
+        rep,
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        F.col("o_orderkey"),
+    ).select("o_orderpriority", "r", cnt.alias("cnt"), "price")
+    means = drawn.groupBy("o_orderpriority", "r").agg(
+        (
+            F.sum(F.col("cnt") * F.col("price")).cast("double")
+            / F.nullif(F.sum("cnt"), F.lit(0))
+        ).alias("m")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("m")
+    lo_rn = max(1, -(-25 * _BOOT_B // 1000))
+    hi_rn = -(-975 * _BOOT_B // 1000)
+    ci = (
+        means.withColumn("rn", F.row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(F.when(F.col("rn") == lo_rn, F.col("m"))).alias("lo"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col("m"))).alias("hi"),
+        )
+    )
+    pt = orders.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean")
+    )
+    return (
+        pt.join(ci, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round("point_mean", 4).alias("point_mean"),
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+        )
+        .orderBy("o_orderpriority")
+    )
