@@ -62,7 +62,29 @@ HEADLINE = [
     "q91_multimodal_frames",
     "q87_streaming_attribution",
     "q97_search_multimatch_indexed",
+    # r05 append (round-4 verdict task 5): the actual top-cost catalog
+    # entries, so regression tracking covers them. Kept out of the
+    # r01-comparable "value" basis via _POST_R02 below; tracked in
+    # "headline_ext_total".
+    "q117_semantic_dedup",
+    "q99_dedup_incremental",
+    "q126_pagerank_copurchase",
+    "q237_ppjoin_exact",
+    "q249_poisson_bootstrap",
 ]
+
+# Entries appended to HEADLINE after the r01/r02 baseline was frozen.
+# They report individually and in "headline_ext_total", but stay out of
+# "value" so the round-over-round ratio is apples-to-apples with r01.
+_POST_R02 = {
+    "q87_streaming_attribution",
+    "q97_search_multimatch_indexed",
+    "q117_semantic_dedup",
+    "q99_dedup_incremental",
+    "q126_pagerank_copurchase",
+    "q237_ppjoin_exact",
+    "q249_poisson_bootstrap",
+}
 
 
 def _run_streaming_attribution(spark, sf_dir: str) -> None:
@@ -128,27 +150,39 @@ def main() -> None:
         medians[name] = round(statistics.median(steady), 3)
 
     # r01/r02-comparable basis: the original 21 queries (rows appended to
-    # HEADLINE later — the streaming row, q97 — report individually but
-    # stay out of "value" so the round-over-round ratio is apples-to-apples)
-    _post_r02 = {"q87_streaming_attribution", "q97_search_multimatch_indexed"}
-    headline_names = [n for n in HEADLINE if n in mins and n not in _post_r02]
-    print(json.dumps({
+    # HEADLINE later report individually and via headline_ext_total, but
+    # stay out of "value" so the round-over-round ratio is apples-to-apples).
+    headline_names = [n for n in HEADLINE if n in mins and n not in _POST_R02]
+    ext_names = [n for n in HEADLINE if n in mins]
+    summary = {
         "metric": "headline_queries_total",
         # Comparable with BENCH_r01/r02: steady-state total over the same
-        # 21-query headline subset (streaming row excluded, reported
-        # separately since r03 introduces it).
+        # 21-query headline subset.
         "value": round(sum(mins[n] for n in headline_names), 3),
         "unit": "sec",
-        "queries": mins,
-        "median": medians,
         "sf": float(sf) if sf else None,
         "mode": f"steady-state (min of {n_runs} runs after 1 cold run)",
         "n_runs": n_runs,
         "cold_total": round(sum(cold[n] for n in headline_names), 3),
+        "headline_ext_total": round(sum(mins[n] for n in ext_names), 3),
         "streaming_attribution_sec": mins.get("q87_streaming_attribution"),
         "full_catalog": not headline_only,
         "full_total": round(sum(mins.values()), 3),
-    }))
+        "n_queries": len(mins),
+        "per_query_file": "BENCH_full_local.json",
+    }
+    # Full per-query detail goes to a side artifact, NOT stdout: the driver
+    # captures only a bounded tail of stdout, and a 247-entry map pushed the
+    # headline fields past the capture window in r03/r04 ("parsed": null).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full_local.json")
+    with open(full_path, "w") as fh:
+        json.dump({**summary, "queries": mins, "median": medians,
+                   "cold": cold}, fh, indent=1, sort_keys=True)
+    # The compact summary is the FINAL stdout line so a tail-capture always
+    # sees a complete, parseable JSON object.
+    sys.stdout.flush()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
