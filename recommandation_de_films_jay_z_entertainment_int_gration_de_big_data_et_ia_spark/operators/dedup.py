@@ -419,25 +419,27 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
-def ppjoin_pairs(
-    sets: DataFrame, id_col: str, set_col: str, threshold: float = 0.5
-) -> DataFrame:
-    """Exact set-similarity self-join (PPJoin prefix filtering, Xiao et
-    al.): all unordered pairs with Jaccard(set_a, set_b) >= threshold.
+def _ppjoin_core(sets: DataFrame, num: int, den: int) -> DataFrame:
+    """PPJoin candidate generation + verify over (``__id``, ``__set``)
+    rows with threshold ``num/den`` (exact rational — every filter below
+    is integer arithmetic, no FP ceil/compare anywhere).
 
-    ``sets`` holds one row per entity: (id, array of DISTINCT elements).
-    Elements are ordered by (document-frequency, value) — a total order
-    computed with one df-join + per-row array sort, no global window —
-    and only the first |x| - ceil(t|x|) + 1 elements (the prefix) join;
-    any qualifying pair must collide on a prefix element. Rare-first
-    ordering keeps prefix buckets small at scale; the PPJoin length
-    filter (min >= t*max) prunes before the verify. Verify is
-    array_intersect on the two sorted arrays (no re-explode).
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
+    Filters, in order:
+    1. **prefix**: only the first ``|x| - ceil(num*|x|/den) + 1`` tokens
+       (rare-first order) join — any pair with J >= t must collide there;
+    2. **length**: ``min(|x|,|y|)*den >= num*max(|x|,|y|)``;
+    3. **positional** (Xiao et al. §3.2): at the FIRST prefix collision
+       (positions pa, pb, 1-based) the overlap is bounded by
+       ``1 + min(|x|-pa, |y|-pb)``; prune pairs where that bound is below
+       the required overlap ``alpha = ceil(num*(|x|+|y|)/(num+den))``.
+       Soundness of using min-aggregated positions: both arrays are
+       sorted by the same global (df, token) order, so shared tokens
+       appear in the same relative order and the first prefix collision
+       minimizes pa and pb simultaneously; no shared token can precede it
+       in either array (an earlier shared token within either prefix
+       would itself be an earlier collision).
     """
-    t = threshold
-    tok = sets.select(F.col(id_col).alias("__id"), F.explode(set_col).alias("__el"))
+    tok = sets.select("__id", F.explode("__set").alias("__el"))
     dfreq = tok.groupBy("__el").agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
     sorted_sets = (
         tok.join(dfreq, "__el")
@@ -448,18 +450,38 @@ def ppjoin_pairs(
             ).alias("__stk")
         )
     )
-    plen = F.size("__stk") - F.ceil(F.lit(t) * F.size("__stk")).cast("int") + F.lit(1)
+    # plen = |x| - ceil(num*|x|/den) + 1, ceil in integer arithmetic via
+    # `div` (the FP form ceil(t*|x|) can land one too high for thresholds
+    # like 0.9 that are not binary-representable, silently shortening the
+    # prefix and missing qualifying pairs).
+    plen = F.expr(
+        f"size(__stk) - ({num}L * size(__stk) + {den - 1}L) div {den}L + 1"
+    ).cast("int")
     pe = sorted_sets.select(
-        "__id", F.size("__stk").alias("__l"), F.explode(F.slice("__stk", 1, plen)).alias("__el")
+        "__id",
+        F.size("__stk").alias("__l"),
+        F.posexplode(F.slice("__stk", 1, plen)).alias("__p", "__el"),
     )
-    a = pe.select(F.col("__id").alias("id_a"), F.col("__l").alias("la"), "__el")
-    b = pe.select(F.col("__id").alias("id_b"), F.col("__l").alias("lb"), "__el")
+    a = pe.select(
+        F.col("__id").alias("id_a"), F.col("__l").alias("la"),
+        (F.col("__p") + 1).alias("__pa"), "__el",
+    )
+    b = pe.select(
+        F.col("__id").alias("id_b"), F.col("__l").alias("lb"),
+        (F.col("__p") + 1).alias("__pb"), "__el",
+    )
+    alpha = F.expr(f"({num}L * (la + lb) + {num + den - 1}L) div {num + den}L")
     cand = (
         a.join(b, "__el")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.least("la", "lb") >= F.lit(t) * F.greatest("la", "lb"))
+        .filter(F.least("la", "lb") * F.lit(den) >= F.lit(num) * F.greatest("la", "lb"))
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(F.min("__pa").alias("__pa"), F.min("__pb").alias("__pb"))
+        .filter(
+            F.lit(1) + F.least(F.col("la") - F.col("__pa"), F.col("lb") - F.col("__pb"))
+            >= alpha
+        )
         .select("id_a", "id_b", "la", "lb")
-        .distinct()
     )
     sa = sorted_sets.select(F.col("__id").alias("id_a"), F.col("__stk").alias("__sa"))
     sb = sorted_sets.select(F.col("__id").alias("id_b"), F.col("__stk").alias("__sb"))
@@ -468,6 +490,72 @@ def ppjoin_pairs(
         F.size(F.array_intersect("__sa", "__sb")).cast("bigint").alias("__i"),
     )
     jac = F.col("__i").cast("double") / (F.col("la") + F.col("lb") - F.col("__i"))
-    return inter.filter(jac >= F.lit(t)).select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    return inter.filter(
+        F.col("__i") * F.lit(den) >= F.lit(num) * (F.col("la") + F.col("lb") - F.col("__i"))
+    ).select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+def ppjoin_pairs(
+    sets: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.5,
+    pre_dedup_exact: bool = True,
+) -> DataFrame:
+    """Exact set-similarity self-join (PPJoin prefix + positional
+    filtering, Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection"): all unordered pairs with
+    Jaccard(set_a, set_b) >= threshold.
+
+    ``sets`` holds one row per entity: (id, array of DISTINCT elements);
+    empty/null sets never pair (J undefined). ``threshold`` is
+    rationalized (``Fraction(t).limit_denominator(10**6)``) so every
+    prefix/length/positional/verify bound is exact integer arithmetic.
+
+    ``pre_dedup_exact`` (default on): rows with IDENTICAL element sets
+    are collapsed to one representative before candidate generation —
+    intra-group pairs are emitted directly at jaccard 1.0 and
+    representative pairs are expanded back over group members. On
+    boilerplate-heavy / replicated corpora this shrinks the quadratic
+    candidate stage by the duplication factor squared while leaving the
+    output byte-identical (exact duplicates ARE J=1.0 pairs). This is
+    the q31-style exact pre-pass the q123 curation pipeline composes,
+    promoted to the operator default.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+    norm = sets.filter(F.size(set_col) > 0).select(
+        F.col(id_col).alias("__id"), F.array_sort(set_col).alias("__key")
     )
+    if not pre_dedup_exact:
+        return _ppjoin_core(norm.select("__id", F.col("__key").alias("__set")), num, den)
+
+    members = norm.select(
+        "__id", "__key",
+        F.min("__id").over(Window.partitionBy("__key")).alias("__rep"),
+    )
+    m_a = members.select(F.col("__id").alias("id_a"), F.col("__rep").alias("__r"))
+    m_b = members.select(F.col("__id").alias("id_b"), F.col("__rep").alias("__r"))
+    intra = (
+        m_a.join(m_b, "__r")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    reps = members.filter(F.col("__id") == F.col("__rep")).select(
+        "__id", F.col("__key").alias("__set")
+    )
+    core = _ppjoin_core(reps, num, den)
+    ra = members.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__ia"))
+    rb = members.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__ib"))
+    cross = core.join(ra, "id_a").join(rb, "id_b").select(
+        F.least("__ia", "__ib").alias("id_a"),
+        F.greatest("__ia", "__ib").alias("id_b"),
+        "jaccard",
+    )
+    return intra.unionByName(cross)

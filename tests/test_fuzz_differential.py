@@ -245,25 +245,35 @@ _SETS = st.lists(
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-@given(fams=_SETS)
-def test_ppjoin_equals_bruteforce(spark, fams):
+@given(fams=_SETS, t_pre=st.sampled_from([(0.5, True), (0.5, False), (0.9, True), (2 / 3, False)]))
+def test_ppjoin_equals_bruteforce(spark, fams, t_pre):
+    # Thresholds cover the FP-hostile cases: 0.9 is not binary-
+    # representable (the old float-ceil prefix length could land one too
+    # high and miss pairs), 2/3 is not even decimal. Both pre-dedup paths
+    # (identical-set collapse on/off) must match brute force exactly.
+    from fractions import Fraction
+
     from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.dedup import (
         ppjoin_pairs,
     )
 
+    threshold, pre = t_pre
+    frac = Fraction(threshold).limit_denominator(1_000_000)
     fams = [sorted(set(f)) for f in fams]
     df = spark.createDataFrame(
         [(i, f) for i, f in enumerate(fams)], "id bigint, els array<string>"
     )
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ppjoin_pairs(df, "id", "els", threshold=0.5).collect()
+        for r in ppjoin_pairs(
+            df, "id", "els", threshold=threshold, pre_dedup_exact=pre
+        ).collect()
     }
     want = {}
     for i in range(len(fams)):
         for j in range(i + 1, len(fams)):
             a, b = set(fams[i]), set(fams[j])
-            jac = len(a & b) / len(a | b)
-            if jac >= 0.5:
-                want[(i, j)] = round(jac, 6)
+            jac = Fraction(len(a & b), len(a | b))
+            if jac >= frac:
+                want[(i, j)] = round(float(jac), 6)
     assert got == want, (got, want)
