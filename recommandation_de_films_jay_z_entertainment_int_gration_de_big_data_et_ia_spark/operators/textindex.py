@@ -229,3 +229,58 @@ def phrase_search_batch(postings: DataFrame, phrases: Sequence[str]) -> DataFram
         .distinct()
     )
     return hits.orderBy("phrase", "doc_id")
+
+
+def phrase_search_slop_batch(
+    postings: DataFrame, phrases: Sequence[str], slop: int = 0
+) -> DataFrame:
+    """ES ``match_phrase`` with ``slop`` — ordered-within-window
+    semantics: phrase [t0..tn-1] matches doc d iff positions
+    p0 < p1 < ... < pn-1 exist (term ti at pi) with total extra gap
+    ``p(n-1) - p0 - (n-1) <= slop``. ``slop=0`` is exactly the
+    contiguous q22/q238 match (property-pinned in tests). Unlike ES we
+    do not admit transpositions (ES charges 2 slop per swap); ordered
+    matches are the documented subset (reference ``api.py:91-93`` only
+    ever uses the default slop=0, so this generalizes beyond the
+    reference surface).
+
+    Shape: postings ⋈ broadcast (phrase, i, term) probe → group by
+    (phrase, doc) collecting only the phrase's own term occurrences →
+    per-row greedy certificate check in JVM higher-order functions: for
+    each anchor position of t0, repeatedly take the smallest next-term
+    position above the previous one. Greedy minimizes the end position
+    for a given anchor, so a within-window ordered certificate exists
+    iff the greedy one qualifies. Shuffle volume is bounded by the
+    batch's term occurrence counts, never the corpus; no Python UDFs.
+    """
+    spark = postings.sparkSession
+    rows = [
+        (ph, i, t, len(ph.split()))
+        for ph in phrases
+        for i, t in enumerate(ph.split())
+    ]
+    pt = spark.createDataFrame(rows, "phrase string, i int, term string, n int")
+    j = postings.join(F.broadcast(pt), "term").select(
+        "phrase", "doc_id", "i", "pos", "n"
+    )
+    grouped = j.groupBy("phrase", "doc_id").agg(
+        F.collect_list(F.struct("i", "pos")).alias("__occ"),
+        F.first("n").alias("__n"),
+    )
+    per_slot = F.expr(
+        "transform(sequence(0, __n - 1),"
+        " ii -> array_sort(transform(filter(__occ, o -> o.i = ii), o -> o.pos)))"
+    )
+    matched = F.expr(
+        "exists(__ps[0], a -> coalesce("
+        " aggregate(slice(__ps, 2, size(__ps) - 1), a,"
+        "           (acc, posl) -> if(acc is null, cast(null as int),"
+        "                             array_min(filter(posl, p -> p > acc))))"
+        f" - a <= size(__ps) - 1 + {int(slop)}, false))"
+    )
+    return (
+        grouped.select("phrase", "doc_id", per_slot.alias("__ps"))
+        .filter(matched)
+        .select("phrase", "doc_id")
+        .orderBy("phrase", "doc_id")
+    )

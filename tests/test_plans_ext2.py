@@ -131,6 +131,34 @@ def test_q238_indexed_phrase_equals_like_scan(spark, sf_dir):
         assert hits.get(ph, set()) == like, ph
 
 
+def test_q250_slop0_equals_contiguous_phrase(spark, sf_dir):
+    """phrase_search_slop_batch(slop=0) must be EXACTLY the contiguous
+    q238 anchor-intersection semantics on the same phrase batch, and
+    slop=k hits must be a superset of slop=0 hits (monotone in slop)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        build_positional_postings,
+        phrase_search_batch,
+        phrase_search_slop_batch,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.search import (
+        _PHRASE_BATCH,
+        _SLOP_PHRASES,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = build_positional_postings(docs, "doc_id", "text")
+    phrases = sorted(set(_PHRASE_BATCH) | set(_SLOP_PHRASES))
+    contiguous = {(r["phrase"], r["doc_id"]) for r in phrase_search_batch(postings, phrases).collect()}
+    slop0 = {(r["phrase"], r["doc_id"]) for r in phrase_search_slop_batch(postings, phrases, slop=0).collect()}
+    assert slop0 == contiguous
+    slop2 = {(r["phrase"], r["doc_id"]) for r in phrase_search_slop_batch(postings, phrases, slop=2).collect()}
+    assert slop0 <= slop2
+    assert slop2 > slop0  # on this corpus slop=2 must actually widen hits
+
+
 def test_q240_dynamic_sessions_refine_fixed_sessions(spark, sf_dir):
     """Every dynamic gap (10/30/15 min) is <= q46's fixed 30 min, so the
     per-event intervals shrink and sessions can only SPLIT further —
