@@ -190,6 +190,69 @@ def multi_match_score(
     return out.withColumn(score_col, F.round(total, 4)).drop(*tok_cols.values())
 
 
+def fuzzy_expand_terms(
+    vocab: DataFrame,
+    query_terms: Sequence[str],
+    fuzzy: bool = True,
+    prefix_length: int = 0,
+    max_expansions: int | None = 50,
+) -> DataFrame:
+    """Lucene-style fuzzy term expansion against a ``(f, term, df)``
+    vocabulary, with ES's enumeration bounds (the public ``fuzzy`` query
+    defaults: ``prefix_length=0``, ``max_expansions=50`` —
+    reference ``api.py:210-221`` relies on these implicitly via AUTO).
+
+    - ``prefix_length > 0``: expanded terms must share the first
+      ``prefix_length`` characters with the query term (those chars are
+      never edited, exactly ES's knob). Candidates then come from an
+      EQUI-JOIN on the shared prefix — the vocab is bucketed by
+      ``substring(term, 1, p)`` and only matching buckets meet each
+      query term, the relational analog of Lucene's automaton pruning.
+      At 100×-scale vocabulary this replaces the term×vocab fan-out
+      with |bucket| work per term (plan-guarded in tests).
+    - ``prefix_length == 0``: every vocab term is a candidate (what ES
+      does too); the fan-out is an in-partition Generate, no shuffle.
+    - ``max_expansions``: per (field, query term), keep only the N
+      closest candidates, ranked (edit distance ASC, term ASC) — a
+      deterministic stand-in for Lucene's boost-ranked cut. ``None``
+      disables the bound.
+
+    Returns one row per (field, query-term hit): ``(f, term, df)`` with
+    a vocab term within range of two query terms contributing two rows
+    (independent per-query-term expansion, as Lucene does).
+    """
+    from pyspark.sql import Window
+
+    qrows = [(q, auto_fuzziness(q) if fuzzy else 0) for q in query_terms]
+    if prefix_length > 0:
+        qf = vocab.sparkSession.createDataFrame(qrows, "q string, d int").withColumn(
+            "__pfx", F.substring("q", 1, prefix_length)
+        )
+        cand = (
+            vocab.withColumn("__pfx", F.substring("term", 1, prefix_length))
+            .join(F.broadcast(qf), "__pfx")
+            .drop("__pfx")
+        )
+    else:
+        qarr = F.array(
+            *[F.struct(F.lit(q).alias("q"), F.lit(d).alias("d")) for q, d in qrows]
+        )
+        cand = vocab.select("f", "term", "df", F.explode(qarr).alias("qd")).select(
+            "f", "term", "df", F.col("qd.q").alias("q"), F.col("qd.d").alias("d")
+        )
+    hits = cand.filter(F.levenshtein(F.col("term"), F.col("q")) <= F.col("d"))
+    if max_expansions is not None:
+        w = Window.partitionBy("f", "q").orderBy(
+            F.levenshtein(F.col("term"), F.col("q")).asc(), F.col("term").asc()
+        )
+        hits = (
+            hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(max_expansions))
+            .drop("__rn")
+        )
+    return hits.select("f", "term", "df")
+
+
 def multi_match_bm25(
     df: DataFrame,
     id_col: str,
@@ -199,6 +262,8 @@ def multi_match_bm25(
     k1: float = 1.2,
     b: float = 0.75,
     score_col: str = "score",
+    prefix_length: int = 0,
+    max_expansions: int | None = 50,
 ) -> DataFrame:
     """ES-style ``multi_match`` ranked by BM25 (the reference's ``/search``
     semantic, api.py:210-221: ``title^3, genres`` + AUTO fuzziness scored
@@ -254,23 +319,11 @@ def multi_match_bm25(
     # batch. At scale, persist the vocabulary once per corpus snapshot
     # and substitute it here — the q68 prebuilt-index pattern.
     vocab = tfs.groupBy("f", "term").agg(F.count(F.lit(1)).alias("df"))
-    # one pass over the vocabulary expands ALL query terms: explode the
-    # (query, max-edit-distance) list against each vocab term; a vocab
-    # term within range of two query terms yields two rows (Lucene-style
-    # independent per-query-term expansion)
-    qarr = F.array(
-        *[
-            F.struct(
-                F.lit(q).alias("q"),
-                F.lit(auto_fuzziness(q) if fuzzy else 0).alias("d"),
-            )
-            for q in query_terms
-        ]
-    )
-    exp = (
-        vocab.select("f", "term", "df", F.explode(qarr).alias("qd"))
-        .filter(F.levenshtein(F.col("term"), F.col("qd.q")) <= F.col("qd.d"))
-        .drop("qd")
+    # one pass over the vocabulary expands ALL query terms, with ES's
+    # prefix_length / max_expansions enumeration bounds
+    exp = fuzzy_expand_terms(
+        vocab, query_terms, fuzzy=fuzzy,
+        prefix_length=prefix_length, max_expansions=max_expansions,
     )
     matched = (
         tfs.join(F.broadcast(exp), ["f", "term"])
@@ -336,6 +389,8 @@ def multi_match_bm25_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     score_col: str = "score",
+    prefix_length: int = 0,
+    max_expansions: int | None = 50,
 ) -> DataFrame:
     """:func:`multi_match_bm25` against a prebuilt per-field index
     (``textindex.build_multimatch_index``) — bit-identical scores, ONE
@@ -381,19 +436,9 @@ def multi_match_bm25_indexed(
 
     vocab = _name_to_f(vocab)
     stats = _name_to_f(stats)
-    qarr = F.array(
-        *[
-            F.struct(
-                F.lit(q).alias("q"),
-                F.lit(auto_fuzziness(q) if fuzzy else 0).alias("d"),
-            )
-            for q in query_terms
-        ]
-    )
-    exp = (
-        vocab.select("f", "term", "df", F.explode(qarr).alias("qd"))
-        .filter(F.levenshtein(F.col("term"), F.col("qd.q")) <= F.col("qd.d"))
-        .drop("qd")
+    exp = fuzzy_expand_terms(
+        vocab, query_terms, fuzzy=fuzzy,
+        prefix_length=prefix_length, max_expansions=max_expansions,
     )
     toked = field_tokens(df, id_col, fields)
     matched = (

@@ -861,3 +861,87 @@ def q250_phrase_slop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     postings = build_positional_postings(docs, "doc_id", "text")
     return phrase_search_slop_batch(postings, list(_SLOP_PHRASES), slop=_SLOP)
+
+
+# ---------------------------------------------------------------------------
+# q251 — bounded fuzzy expansion (ES fuzzy knobs prefix_length /
+# max_expansions, round-4 VERDICT "missing" #2): q97's indexed
+# multi_match with prefix_length=1 and max_expansions=3. Candidates come
+# from an equi-join on the shared 1-char prefix (the vocab bucketed by
+# substring, the relational analog of Lucene's automaton pruning —
+# plan-guarded in tests/test_plans_ext2.py) and each (field, query term)
+# keeps only its 3 closest candidates (distance ASC, term ASC). On this
+# corpus the bound BITES: 'src1' alone has ~20 source-vocabulary terms
+# within distance 1; only {src1, src0, src10} survive.
+# ---------------------------------------------------------------------------
+_MM_BOUNDED_TERMS = ("src1", "stram")  # AUTO distances: 1 and 1
+_MM_PFX = 1
+_MM_MAXEXP = 3
+
+
+def _bounded_exp_sql() -> str:
+    from ..operators.search import auto_fuzziness
+
+    blocks = " UNION ALL ".join(
+        f"""SELECT f, term, df, {_sql_str(q)} AS q, levenshtein(term, {_sql_str(q)}) AS dist
+        FROM vocab
+        WHERE substring(term, 1, {_MM_PFX}) = substring({_sql_str(q)}, 1, {_MM_PFX})
+          AND levenshtein(term, {_sql_str(q)}) <= {auto_fuzziness(q)}"""
+        for q in _MM_BOUNDED_TERMS
+    )
+    return f"""expc AS ({blocks}),
+    exp AS (
+      SELECT f, term, df FROM (
+        SELECT f, term, df,
+               ROW_NUMBER() OVER (PARTITION BY f, q ORDER BY dist, term) AS rn
+        FROM expc) WHERE rn <= {_MM_MAXEXP})"""
+
+
+@register(
+    "q251_search_fuzzy_bounded",
+    oracle=f"""
+    WITH d0 AS (SELECT doc_id, {_MM_SRC_TOKS} AS tk FROM documents),
+    d1 AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    e AS (
+      SELECT 0 AS f, doc_id, len(tk) AS dl, unnest(tk) AS term FROM d0
+      UNION ALL
+      SELECT 1 AS f, doc_id, len(tk) AS dl, unnest(tk) AS term FROM d1),
+    stats AS (
+      SELECT 0 AS f, COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM d0
+      UNION ALL
+      SELECT 1 AS f, COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM d1),
+    vocab AS (SELECT f, term, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY f, term),
+    {_bounded_exp_sql()},
+    tfs AS (SELECT f, doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY f, doc_id, dl, term),
+    m AS (
+      SELECT t.doc_id, t.f, t.term,
+             (CASE WHEN t.f = 0 THEN 3.0 ELSE 1.0 END)
+             * ln((CAST(s.n AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5)
+                  / (CAST(x.df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE)
+                    / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS contrib
+      FROM tfs t
+        JOIN exp x ON t.f = x.f AND t.term = x.term
+        JOIN stats s ON s.f = t.f),
+    folded AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(contrib ORDER BY f, term, contrib)),
+                         (x, y) -> x + y) AS s
+      FROM m GROUP BY doc_id)
+    SELECT doc_id, ROUND(s, 4) AS score FROM folded
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q251_search_fuzzy_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import build_multimatch_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    fields = {"source": 3.0, "text": 1.0}
+    vocab, stats = build_multimatch_index(docs, "doc_id", fields)
+    scored = S.multi_match_bm25_indexed(
+        docs, vocab, stats, "doc_id", fields, list(_MM_BOUNDED_TERMS),
+        fuzzy=True, prefix_length=_MM_PFX, max_expansions=_MM_MAXEXP,
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

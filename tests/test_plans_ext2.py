@@ -159,6 +159,41 @@ def test_q250_slop0_equals_contiguous_phrase(spark, sf_dir):
     assert slop2 > slop0  # on this corpus slop=2 must actually widen hits
 
 
+def test_q251_fuzzy_bounds_prefix_join_and_bite(spark, sf_dir):
+    """prefix_length>0 must turn candidate generation into an equi-join
+    on the shared prefix (BroadcastHashJoin on __pfx — the automaton-
+    pruning analog), and max_expansions must actually change results on
+    this corpus ('src1' has ~20 source-vocab terms within distance 1)."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.search import (
+        fuzzy_expand_terms,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        build_multimatch_index,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _stats = build_multimatch_index(docs, "doc_id", {"source": 3.0, "text": 1.0})
+    vocab = vocab.withColumn(
+        "f", F.when(F.col("field") == "source", 0).otherwise(1)
+    ).drop("field")
+
+    bounded = fuzzy_expand_terms(vocab, ["src1"], prefix_length=1, max_expansions=3)
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "__pfx" in plan, plan[:2000]
+
+    rows = bounded.collect()
+    assert len(rows) == 3
+    assert {r["term"] for r in rows} == {"src1", "src0", "src10"}
+
+    unbounded = fuzzy_expand_terms(vocab, ["src1"], prefix_length=0, max_expansions=None)
+    assert unbounded.count() > 3  # the bound genuinely bit
+
+
 def test_q240_dynamic_sessions_refine_fixed_sessions(spark, sf_dir):
     """Every dynamic gap (10/30/15 min) is <= q46's fixed 30 min, so the
     per-event intervals shrink and sessions can only SPLIT further —
