@@ -64,6 +64,15 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     expression (q237's PPJoin: 13 s → 7 s at sf0.1). The LSH family is
     signature-bound, not shingle-bound — measured neutral-to-slower
     there, so the default stays lazy.
+
+    LIFETIME NOTE: an eager ``localCheckpoint`` pins its blocks in the
+    block manager until the DataFrame is garbage-collected (Spark frees
+    checkpoint blocks via the frame's cleaner hook, not a context
+    manager). In a long-lived session running many materialized calls,
+    call ``.unpersist()`` on the returned frame (or just drop the last
+    reference) once the consuming query has executed; each catalog run
+    holds at most one such frame at a time, so the steady-state
+    footprint is one (id, shingles) frame, reclaimed on the next GC.
     """
     toked = df.select(F.col(id_col), tokens(text_col).alias("__tk"))
     res = toked.select(

@@ -728,7 +728,8 @@ _HL_TERM = "spark"
     m AS (SELECT doc_id, nt, position('{_HL_TERM}' IN nt) AS pos FROM d WHERE position('{_HL_TERM}' IN nt) > 0)
     SELECT doc_id, CAST(pos AS BIGINT) AS pos,
            substr(nt, CASE WHEN pos - 20 > 1 THEN pos - 20 ELSE 1 END,
-                  40 + {len(_HL_TERM)}) AS snippet
+                  (pos - CASE WHEN pos - 20 > 1 THEN pos - 20 ELSE 1 END)
+                  + {len(_HL_TERM)} + 20) AS snippet
     FROM m ORDER BY doc_id
     """,
 )
@@ -739,11 +740,15 @@ def q246_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", normalize_text(F.col("text")).alias("nt"))
     m = d.withColumn("pos", F.locate(_HL_TERM, F.col("nt"))).filter(F.col("pos") > 0)
     start = F.when(F.col("pos") - 20 > 1, F.col("pos") - 20).otherwise(F.lit(1))
+    # true +/-20 window: (pos - start) leading chars + term + 20 trailing
+    # (a fixed 40+len width would hand early matches up to 40 chars of
+    # trailing context)
+    length = (F.col("pos") - start) + F.lit(len(_HL_TERM) + 20)
     return (
         m.select(
             "doc_id",
             F.col("pos").cast("bigint").alias("pos"),
-            F.substring(F.col("nt"), start, 40 + len(_HL_TERM)).alias("snippet"),
+            F.substring(F.col("nt"), start, length).alias("snippet"),
         )
         .orderBy("doc_id")
     )

@@ -252,37 +252,64 @@ def foreachbatch_upsert_run(
     rewriting parquet — the dataflow (bounded per-key state, no global
     sort) is unchanged.
     """
+    # nanosAsLong is needed only to READ TIMESTAMP(NANOS) sources; set it
+    # for the schema probe + stream definition, then restore the caller's
+    # session conf (a leaked `true` silently changes how every later
+    # nanos-parquet read in the session types `ts`).
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(src_dir).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
-        from ..sources.readers import _ntz_as_utc
+    try:
+        schema = spark.read.parquet(src_dir).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        if isinstance(schema["ts"].dataType, T.LongType):
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+            from ..sources.readers import _ntz_as_utc
 
-        raw = raw.withColumn("ts", _ntz_as_utc("ts"))
+            raw = raw.withColumn("ts", _ntz_as_utc("ts"))
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        apply_upsert_batch(batch_df, state_dir)
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            apply_upsert_batch(batch_df, state_dir)
 
-    q = (
-        raw.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", f"{state_dir}__ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            raw.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{state_dir}__ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # restore the caller's conf (micro-batches run inside the try, so
+        # the flag is live for the whole drain)
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def apply_upsert_batch(batch_df: DataFrame, state_dir: str) -> None:
     """One merge step of the upsert sink (exposed for the idempotence
     test): state ∪ batch → keep max-(ts, event_id) row per key →
-    atomically replace the state parquet."""
+    atomically replace the state parquet.
+
+    LOCAL-FS ONLY: prior state is detected with ``os.path.isdir`` /
+    ``os.listdir``, which silently report "no state" for hdfs:///s3://
+    URIs — on a non-local filesystem that would DROP all prior state on
+    the first merge. Guarded below; at scale this callback MERGEs into a
+    transactional table instead (see ``foreachbatch_upsert_run``)."""
     import os
+
+    if "://" in state_dir and not state_dir.startswith("file://"):
+        raise ValueError(
+            f"apply_upsert_batch only supports local filesystem state dirs "
+            f"(got {state_dir!r}); use a transactional-table MERGE sink for "
+            "remote filesystems"
+        )
+    state_dir = state_dir.removeprefix("file://")
 
     from pyspark.sql import Window
 
