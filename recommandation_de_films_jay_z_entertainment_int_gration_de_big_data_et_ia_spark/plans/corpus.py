@@ -729,3 +729,92 @@ def q153_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.encode(F.concat_ws("-", ids_in_order), "UTF-8")).alias("order_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — INTRA-document repeated-span removal (the within-doc half of
+# exact substring dedup, Lee et al. "Deduplicating Training Data Makes
+# Language Models Better"): every occurrence after the first of a
+# repeated n-gram span (n=2 here — the synthetic corpus's 31-token
+# vocabulary repeats heavily at bigram length) is removed; the cleaned
+# token sequence is the original order minus all covered positions.
+# Complements q31/q237 (cross-doc) and q110 (cross-doc boilerplate):
+# training pipelines run this pass per document BEFORE tokenization.
+#
+# Shape: one explode to (doc, start, gram), one window row_number per
+# (doc, gram) — partition keys are fine-grained so the shuffle is
+# skew-free — duplicate starts fan out to covered positions, one
+# groupBy(doc) collects the cover set, and the cleaned sequence is pure
+# array math against the original token array. Output carries an md5 of
+# the cleaned text so the oracle hash-checks reconstruction exactly.
+# ---------------------------------------------------------------------------
+_SPAN_N = 2
+
+
+@register(
+    "q253_intradoc_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT doc_id, i,
+                 list_aggregate(tk[i:i + {_SPAN_N - 1}], 'string_agg', ' ') AS gram
+          FROM t, UNNEST(range(1, len(tk) - {_SPAN_N - 2})) AS u(i)),
+    r AS (SELECT doc_id, i,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY i) AS rn
+          FROM g),
+    cov AS (SELECT DISTINCT doc_id, u.p
+            FROM r, UNNEST(range(i, i + {_SPAN_N})) AS u(p) WHERE rn > 1),
+    c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed, list(p) AS ps
+          FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_removed, 0) AS n_removed,
+           md5(list_aggregate(
+                 list_transform(
+                   list_filter(range(1, len(t.tk) + 1),
+                               p -> NOT list_contains(COALESCE(c.ps, []), p)),
+                   p -> t.tk[p]),
+                 'string_agg', ' ')) AS clean_hash
+    FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q253_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _SPAN_N
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(tk) - {n - 1}, 0)),"
+                f" i -> struct(i AS i, concat_ws(' ', slice(tk, i, {n})) AS gram))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.i").alias("i"), F.col("e.gram").alias("gram"))
+    w = Window.partitionBy("doc_id", "gram").orderBy("i")
+    cov = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("p"))
+        .distinct()
+    )
+    c = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed"),
+        F.collect_list("p").alias("ps"),
+    )
+    cleaned = F.expr(
+        "transform(filter(sequence(1, size(tk)),"
+        " p -> NOT array_contains(coalesce(ps, array()), p)),"
+        " p -> element_at(tk, p))"
+    )
+    return (
+        t.join(c, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.md5(F.encode(F.concat_ws(" ", cleaned), "UTF-8")).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )

@@ -399,3 +399,45 @@ def q237_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", n=3, out="tk", materialize=True,
     )
     return D.ppjoin_pairs(docs, "doc_id", "tk", threshold=_PP_T).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q252 — PPJoin at the FP-hostile threshold 0.9, TOKEN level. 0.9 is not
+# binary-representable: a float ceil(t*|x|) prefix bound can land one too
+# high and silently drop qualifying pairs (the round-4 advisor finding).
+# ppjoin_pairs rationalizes the threshold (9/10) and computes every
+# prefix/length/positional/verify bound in exact integer arithmetic; the
+# oracle mirrors the rational compare (10*i >= 9*(la+lb-i)) over a
+# brute-force pair join — fine at oracle scale, while the engine side
+# stays prefix-filtered and pre-gated on identical sets (the corpus's
+# shared 31-token vocabulary makes token sets maximally collision-heavy,
+# exactly the stress the exact-dup pre-gate absorbs).
+# ---------------------------------------------------------------------------
+@register(
+    "q252_ppjoin_high_threshold",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({TOKS_SQL}) AS s FROM documents
+               WHERE doc_id % 10 = 0 AND len(list_distinct({TOKS_SQL})) > 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+                 len(a.s) AS la, len(b.s) AS lb
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+    FROM p WHERE 10 * i >= 9 * (la + lb - i)
+    ORDER BY id_a, id_b
+    """,
+)
+def q252_ppjoin_high_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic 10% slice: token sets over the synthetic corpus's
+    # 31-token vocabulary are mostly near-identical, so the TRUE answer
+    # is quadratic in corpus size (~1M pairs at sf0.1 unsliced) — the
+    # entry demonstrates rational-threshold exactness, not volume; q237
+    # carries the scale story on discriminative shingle sets.
+    from ..functions.text import tokens
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.array_distinct(tokens("text")).alias("s"))
+    )
+    return D.ppjoin_pairs(docs, "doc_id", "s", threshold=0.9).orderBy("id_a", "id_b")
