@@ -950,3 +950,66 @@ def q251_search_fuzzy_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         fuzzy=True, prefix_length=_MM_PFX, max_expansions=_MM_MAXEXP,
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# q254 — significant_terms (ES significant-terms aggregation, JLH score):
+# terms over-represented in a FOREGROUND doc set (lang='fr') relative to
+# the whole corpus.  JLH = (fg_pct - bg_pct) * (fg_pct / bg_pct) over
+# distinct-doc frequencies; only positively-significant terms
+# (fg_pct > bg_pct) are returned, ES-style.  Shape: ONE corpus scan,
+# explode distinct tokens, ONE shuffle on term with conditional
+# aggregation (fg and bg doc-frequencies in the same groupBy), corpus
+# totals broadcast onto the 31-row term frame.  Both engines compute the
+# score with the identical double expression order, so the round-6
+# values hash-match.
+# ---------------------------------------------------------------------------
+_SIG_FG_LANG = "fr"
+
+
+@register(
+    "q254_significant_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(list_distinct({TOKS_SQL})) AS term
+                 FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bg,
+                   CAST(SUM(CASE WHEN lang = {_sql_str(_SIG_FG_LANG)} THEN 1 ELSE 0 END) AS DOUBLE) AS n_fg
+            FROM documents),
+    tf AS (SELECT term,
+                  CAST(COUNT(*) AS BIGINT) AS bg_df,
+                  CAST(SUM(CASE WHEN lang = {_sql_str(_SIG_FG_LANG)} THEN 1 ELSE 0 END) AS BIGINT) AS fg_df
+           FROM tok GROUP BY term),
+    s AS (SELECT term, fg_df, bg_df,
+                 (CAST(fg_df AS DOUBLE) / n_fg - CAST(bg_df AS DOUBLE) / n_bg)
+                 * ((CAST(fg_df AS DOUBLE) / n_fg) / (CAST(bg_df AS DOUBLE) / n_bg)) AS jlh
+          FROM tf CROSS JOIN tot
+          WHERE CAST(fg_df AS DOUBLE) / n_fg > CAST(bg_df AS DOUBLE) / n_bg)
+    SELECT term, fg_df, bg_df, ROUND(jlh, 6) AS jlh
+    FROM s ORDER BY jlh DESC, term ASC LIMIT 10
+    """,
+)
+def q254_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_bg"),
+        F.sum(F.when(F.col("lang") == _SIG_FG_LANG, 1).otherwise(0)).cast("double").alias("n_fg"),
+    )
+    tf = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bg_df"),
+        F.sum(F.when(F.col("lang") == _SIG_FG_LANG, 1).otherwise(0)).cast("bigint").alias("fg_df"),
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.col("n_fg")
+    bg_pct = F.col("bg_df").cast("double") / F.col("n_bg")
+    jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        tf.crossJoin(F.broadcast(tot))
+        .filter(fg_pct > bg_pct)
+        .select("term", "fg_df", "bg_df", F.round(jlh, 6).alias("jlh"))
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(10)
+    )
