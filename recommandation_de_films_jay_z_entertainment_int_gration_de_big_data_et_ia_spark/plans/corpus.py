@@ -786,9 +786,13 @@ def q253_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = t.select(
         "doc_id",
         F.explode(
+            # sequence(1, 0) DESCENDS in Spark, so guard short docs with
+            # an explicit empty array instead of clamping the endpoint
             F.expr(
-                f"transform(sequence(1, greatest(size(tk) - {n - 1}, 0)),"
-                f" i -> struct(i AS i, concat_ws(' ', slice(tk, i, {n})) AS gram))"
+                f"if(size(tk) >= {n},"
+                f" transform(sequence(1, size(tk) - {n - 1}),"
+                f"   i -> struct(i AS i, concat_ws(' ', slice(tk, i, {n})) AS gram)),"
+                " array())"
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.i").alias("i"), F.col("e.gram").alias("gram"))

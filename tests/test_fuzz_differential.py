@@ -277,3 +277,103 @@ def test_ppjoin_equals_bruteforce(spark, fams, t_pre):
             if jac >= frac:
                 want[(i, j)] = round(float(jac), 6)
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Sloppy-phrase fuzz: the greedy positional certificate must equal a
+# brute-force "exists increasing tuple within span" check on arbitrary
+# token sequences (repeated terms, repeated phrase words, slop 0-3).
+# ---------------------------------------------------------------------------
+_DOC_TOKS = st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12)
+
+
+def _slop_bruteforce(doc: list[str], phrase: list[str], slop: int) -> bool:
+    from itertools import product
+
+    occ = [[i for i, t in enumerate(doc) if t == p] for p in phrase]
+    if any(not o for o in occ):
+        return False
+    for tup in product(*occ):
+        if all(tup[k] > tup[k - 1] for k in range(1, len(tup))) and (
+            tup[-1] - tup[0] - (len(phrase) - 1) <= slop
+        ):
+            return True
+    return False
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(_DOC_TOKS, min_size=1, max_size=8),
+    phrase=st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=3),
+    slop=st.integers(min_value=0, max_value=3),
+)
+def test_phrase_slop_equals_bruteforce(spark, docs, phrase, slop):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        phrase_search_slop_batch,
+    )
+
+    ph = " ".join(phrase)
+    rows = [
+        (d, p + 1, t) for d, toks in enumerate(docs) for p, t in enumerate(toks)
+    ]
+    if not rows:
+        return
+    postings = spark.createDataFrame(rows, "doc_id bigint, pos int, term string")
+    got = {
+        r["doc_id"]
+        for r in phrase_search_slop_batch(postings, [ph], slop=slop).collect()
+    }
+    want = {d for d, toks in enumerate(docs) if _slop_bruteforce(toks, phrase, slop)}
+    assert got == want, (got, want, docs, phrase, slop)
+
+
+# ---------------------------------------------------------------------------
+# Intra-doc span-removal fuzz: covered positions / cleaned sequence must
+# match a direct Python computation of "every occurrence after the first
+# of each repeated n-gram covers its n positions".
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_DOC_TOKS, min_size=1, max_size=6))
+def test_intradoc_span_dedup_equals_bruteforce(spark, docs):
+    import hashlib
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.corpus import (
+        _SPAN_N,
+        q253_intradoc_span_dedup,
+    )
+
+    n = _SPAN_N
+    # Reuse the registered plan by materializing a tiny documents table.
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+             for i, toks in enumerate(docs)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_hash"])
+            for r in q253_intradoc_span_dedup(spark, td).collect()
+        }
+    for i, toks in enumerate(docs):
+        # mirror the engine/oracle tokenizer exactly: splitting "" yields
+        # one empty token, not zero tokens
+        toks = " ".join(toks).split(" ")
+        seen: dict[tuple, int] = {}
+        covered: set[int] = set()
+        for s in range(len(toks) - n + 1):
+            g = tuple(toks[s:s + n])
+            if g in seen:
+                covered.update(range(s, s + n))
+            else:
+                seen[g] = s
+        cleaned = " ".join(t for p, t in enumerate(toks) if p not in covered)
+        want = (
+            len(toks),
+            len(covered),
+            hashlib.md5(cleaned.encode()).hexdigest(),
+        )
+        assert got[i] == want, (i, toks, got[i], want)
