@@ -1013,3 +1013,222 @@ def q254_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jlh"), F.asc("term"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — composite aggregation with after-key (ES composite agg, the
+# scale-safe way to page over ALL buckets of a group-by): buckets keyed
+# (lang, source) with doc counts, resumed AFTER a cursor bucket. The
+# after-tuple predicate + orderBy + limit compiles to one partial-agg
+# shuffle and a TakeOrderedAndProject — page N costs the same as page 1,
+# no global sort, no OFFSET skip-scan (the q100 keyset idiom lifted from
+# rows to aggregation buckets).
+# ---------------------------------------------------------------------------
+_COMPOSITE_AFTER = ("en", "src12")  # cursor: last bucket of the prior page
+_COMPOSITE_SIZE = 5
+
+
+@register(
+    "q255_composite_agg_pagination",
+    oracle=f"""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM documents
+    GROUP BY lang, source
+    HAVING (lang, source) > ({_sql_str(_COMPOSITE_AFTER[0])}, {_sql_str(_COMPOSITE_AFTER[1])})
+    ORDER BY lang, source
+    LIMIT {_COMPOSITE_SIZE}
+    """,
+)
+def q255_composite_agg_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a_lang, a_src = _COMPOSITE_AFTER
+    after = (F.col("lang") > a_lang) | (
+        (F.col("lang") == a_lang) & (F.col("source") > a_src)
+    )
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+        .filter(after)
+        .orderBy("lang", "source")
+        .limit(_COMPOSITE_SIZE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256 — function_score with gauss decay (ES decay scoring): relevance
+# decays with distance from an origin on a numeric field,
+# score = exp(ln(decay) * (max(0, |x - origin| - offset) / scale)^2).
+# Pure column math in one projection — whole-stage codegen, zero
+# shuffles before the top-k; both engines evaluate the identical double
+# expression order so round-6 scores hash-match.
+# ---------------------------------------------------------------------------
+_GAUSS = {"origin": 200.0, "offset": 10.0, "scale": 100.0, "decay": 0.5}
+
+
+@register(
+    "q256_function_score_decay",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(exp(ln({_GAUSS["decay"]!r}) *
+             pow(greatest(abs(CAST(n_chars AS DOUBLE) - {_GAUSS["origin"]!r}) - {_GAUSS["offset"]!r}, 0.0)
+                 / {_GAUSS["scale"]!r}, 2)), 6) AS score
+    FROM documents
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def q256_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    g = _GAUSS
+    docs = load_table(spark, sf_dir, "documents")
+    dist = F.greatest(
+        F.abs(F.col("n_chars").cast("double") - F.lit(g["origin"])) - F.lit(g["offset"]),
+        F.lit(0.0),
+    )
+    score = F.exp(F.lit(math.log(g["decay"])) * F.pow(dist / F.lit(g["scale"]), F.lit(2.0)))
+    return (
+        docs.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q257 — field collapsing with inner_hits (ES collapse): one TOP hit per
+# collapse key (source) ranked by (n_chars DESC, doc_id ASC), carrying
+# the top-3 inner hit ids per key. Single window per key — Spark's
+# WindowGroupLimit pushes the rank cut into the shuffle map side, so
+# only <=3 rows per key survive the exchange at any corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "q257_field_collapse",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents)
+    SELECT source,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS top_n_chars,
+           list(doc_id ORDER BY rn) AS inner_hits
+    FROM r WHERE rn <= 3
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q257_field_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("top_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("bigint").alias("top_n_chars"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "doc_id"))), lambda s: s["doc_id"]
+            ).alias("inner_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — adjacency_matrix aggregation (ES): doc counts for each named
+# filter and each pairwise intersection. ONE corpus scan, conditional
+# sums in a single partial-aggregated reduce to one row, then an inline
+# unpivot to (key, doc_count) — the standard way to get N^2 filter
+# intersections without N^2 scans.
+# ---------------------------------------------------------------------------
+@register(
+    "q258_adjacency_matrix",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(lang = 'en' AS INT) AS a,
+             CAST(lang = 'fr' AS INT) AS b,
+             CAST(list_contains({TOKS_SQL}, 'spark') AS INT) AS c
+      FROM documents),
+    s AS (SELECT CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(b) AS BIGINT) AS b,
+                 CAST(SUM(c) AS BIGINT) AS c,
+                 CAST(SUM(a * b) AS BIGINT) AS ab, CAST(SUM(a * c) AS BIGINT) AS ac,
+                 CAST(SUM(b * c) AS BIGINT) AS bc
+          FROM f)
+    SELECT k AS key, v AS doc_count FROM s,
+      LATERAL (VALUES ('en', a), ('fr', b), ('has_spark', c),
+                      ('en&fr', ab), ('en&has_spark', ac), ('fr&has_spark', bc)) AS t(k, v)
+    ORDER BY key
+    """,
+)
+def q258_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        (F.col("lang") == "en").cast("int").alias("a"),
+        (F.col("lang") == "fr").cast("int").alias("b"),
+        F.array_contains(tokens("text"), "spark").cast("int").alias("c"),
+    )
+    s = f.agg(
+        F.sum("a").cast("bigint").alias("a"),
+        F.sum("b").cast("bigint").alias("b"),
+        F.sum("c").cast("bigint").alias("c"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("ab"),
+        F.sum(F.col("a") * F.col("c")).cast("bigint").alias("ac"),
+        F.sum(F.col("b") * F.col("c")).cast("bigint").alias("bc"),
+    )
+    pairs = F.explode(
+        F.array(
+            F.struct(F.lit("en").alias("key"), F.col("a").alias("doc_count")),
+            F.struct(F.lit("fr").alias("key"), F.col("b").alias("doc_count")),
+            F.struct(F.lit("has_spark").alias("key"), F.col("c").alias("doc_count")),
+            F.struct(F.lit("en&fr").alias("key"), F.col("ab").alias("doc_count")),
+            F.struct(F.lit("en&has_spark").alias("key"), F.col("ac").alias("doc_count")),
+            F.struct(F.lit("fr&has_spark").alias("key"), F.col("bc").alias("doc_count")),
+        )
+    )
+    return (
+        s.select(pairs.alias("e"))
+        .select(F.col("e.key").alias("key"), F.col("e.doc_count").alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — diversified_sampler aggregation (ES): cap the sample at
+# max_docs_per_value=2 per diversity field (source) under a
+# DETERMINISTIC priority (md5 of doc_id — the engine's portable hash
+# discipline), then aggregate over the diversified sample (mean n_chars
+# per lang). The per-key cap is one window row_number — WindowGroupLimit
+# map-side — so no source can dominate the downstream statistic
+# regardless of corpus skew.
+# ---------------------------------------------------------------------------
+@register(
+    "q259_diversified_sampler",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM r WHERE rn <= 2
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q259_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
