@@ -194,6 +194,30 @@ def test_q251_fuzzy_bounds_prefix_join_and_bite(spark, sf_dir):
     assert unbounded.count() > 3  # the bound genuinely bit
 
 
+def test_round5_plan_shapes(spark, sf_dir):
+    """Pin the claimed physical shapes of the round-5 entries:
+    - q255 composite pagination: ONE exchange (partial agg) and a
+      TakeOrderedAndProject page cut — no global sort;
+    - q257 field collapse: WindowGroupLimit (map-side rank cut);
+    - q250 sloppy phrase: no nested-loop/cartesian join anywhere — the
+      probe is a broadcast equi-join, shuffle bounded by term hits."""
+    plans = {
+        n: QUERIES[n](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for n in (
+            "q250_phrase_slop_batch",
+            "q255_composite_agg_pagination",
+            "q257_field_collapse",
+        )
+    }
+    p255 = plans["q255_composite_agg_pagination"]
+    assert "TakeOrderedAndProject" in p255
+    assert p255.count("Exchange") == 1
+    assert "WindowGroupLimit" in plans["q257_field_collapse"]
+    p250 = plans["q250_phrase_slop_batch"]
+    assert "BroadcastNestedLoopJoin" not in p250 and "CartesianProduct" not in p250
+    assert "BroadcastHashJoin" in p250 or "BroadcastExchange" in p250
+
+
 def test_q240_dynamic_sessions_refine_fixed_sessions(spark, sf_dir):
     """Every dynamic gap (10/30/15 min) is <= q46's fixed 30 min, so the
     per-event intervals shrink and sessions can only SPLIT further —
