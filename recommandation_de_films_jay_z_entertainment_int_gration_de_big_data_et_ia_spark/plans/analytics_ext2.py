@@ -4443,3 +4443,116 @@ def q249_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — NDCG@10 ranking evaluation (the offline metric a recommender
+# like the reference's ALS pipeline is judged by): per customer, a
+# DETERMINISTIC model stand-in ranks purchased parts by
+# md5(cust|part) (portable hash discipline), relevance is the exact
+# total quantity purchased (integer-valued, BIGINT — no FP drift), and
+# NDCG@10 = DCG(predicted order) / DCG(ideal order) with the standard
+# rel/log2(rank+1) discount. Per-segment means use the repo's
+# order-independence protocol twice: per-customer DCGs left-fold in rank
+# order (<=10 terms), per-segment means sum round-6 NDCGs as
+# DECIMAL(18,6) — both engines reduce in identical order at any
+# parallelism.
+#
+# Shape: one (cust, part) shuffle for relevance, two fine-grained
+# windows over it (predicted + ideal rank — per-customer partitions,
+# skew-free, WindowGroupLimit cuts at 10), one shuffle-join to customer
+# for the segment, one final 5-row aggregate.
+# ---------------------------------------------------------------------------
+_NDCG_K = 10
+
+
+@register(
+    "q260_ndcg_eval",
+    oracle=f"""
+    WITH rel AS (
+      SELECT o.o_custkey AS c, l.l_partkey AS p,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS rel
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY c, p),
+    ranked AS (
+      SELECT c, p, rel,
+             ROW_NUMBER() OVER (PARTITION BY c
+               ORDER BY md5(CAST(c AS VARCHAR) || '|' || CAST(p AS VARCHAR)), p) AS rn_pred,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY rel DESC, p) AS rn_ideal
+      FROM rel),
+    dcg AS (
+      SELECT c,
+             list_reduce(list_prepend(0.0, list(CASE WHEN rn_pred <= {_NDCG_K}
+               THEN CAST(rel AS DOUBLE) / log2(rn_pred + 1) ELSE 0.0 END ORDER BY rn_pred)),
+               (x, y) -> x + y) AS dcg,
+             list_reduce(list_prepend(0.0, list(CASE WHEN rn_ideal <= {_NDCG_K}
+               THEN CAST(rel AS DOUBLE) / log2(rn_ideal + 1) ELSE 0.0 END ORDER BY rn_ideal)),
+               (x, y) -> x + y) AS idcg
+      FROM ranked GROUP BY c),
+    per_cust AS (
+      SELECT c, CAST(ROUND(dcg / idcg, 6) AS DECIMAL(18,6)) AS ndcg FROM dcg),
+    seg AS (
+      SELECT cu.c_mktsegment, per_cust.ndcg
+      FROM per_cust JOIN customer cu ON per_cust.c = cu.c_custkey)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(ndcg) AS DOUBLE) / COUNT(*), 4) AS mean_ndcg
+    FROM seg GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q260_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _NDCG_K
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    rel = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.sum("l_quantity").cast("bigint").alias("rel"))
+    )
+    w_pred = Window.partitionBy("c").orderBy(
+        F.md5(F.concat(F.col("c").cast("string"), F.lit("|"), F.col("p").cast("string"))),
+        F.col("p"),
+    )
+    w_ideal = Window.partitionBy("c").orderBy(F.desc("rel"), F.asc("p"))
+    ranked = rel.withColumn("rn_pred", F.row_number().over(w_pred)).withColumn(
+        "rn_ideal", F.row_number().over(w_ideal)
+    )
+    c_pred = F.when(
+        F.col("rn_pred") <= k, F.col("rel").cast("double") / F.log2(F.col("rn_pred") + 1)
+    ).otherwise(F.lit(0.0))
+    c_ideal = F.when(
+        F.col("rn_ideal") <= k, F.col("rel").cast("double") / F.log2(F.col("rn_ideal") + 1)
+    ).otherwise(F.lit(0.0))
+    dcg = ranked.groupBy("c").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rn_pred").alias("rn"), c_pred.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dcg"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rn_ideal").alias("rn"), c_ideal.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("idcg"),
+    )
+    per_cust = dcg.select(
+        "c", F.round(F.col("dcg") / F.col("idcg"), 6).cast("decimal(18,6)").alias("ndcg")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        per_cust.join(cust, per_cust.c == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("ndcg").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_ndcg"),
+        )
+        .orderBy("c_mktsegment")
+    )
