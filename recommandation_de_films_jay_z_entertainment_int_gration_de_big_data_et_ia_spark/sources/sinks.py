@@ -49,3 +49,29 @@ def foreach_partition_bulk(
             send_batch(buf)
 
     df.foreachPartition(_handler)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Idempotent partition-scoped backfill: replace ONLY the partitions
+    present in ``df``, leaving every other partition untouched — the
+    standard reprocess/backfill primitive for a partitioned 100 TB lake
+    table (static-mode ``overwrite`` would WIPE the whole table; append
+    would duplicate the backfilled days).
+
+    Implemented with Spark's dynamic partition-overwrite mode, set for
+    the duration of this write and restored afterwards (the session
+    default stays whatever the caller runs with). Exactly-once per
+    partition under retries: re-running the same backfill rewrites the
+    same partitions to the same content.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -89,3 +89,45 @@ def test_read_delimited_with_rejects_splits_good_and_bad(spark, tmp_path):
     bad_rows = [r.raw_line for r in bad.collect()]
     assert bad_rows == ["2\tnot_an_int\t3\t874965758"]
     assert good.columns == ["userId", "movieId", "rating", "ts"]
+
+
+def test_overwrite_partitions_backfill(spark, tmp_path):
+    """Dynamic partition overwrite: backfilling one day replaces ONLY
+    that day's partition; other partitions are byte-untouched; replaying
+    the same backfill is a no-op (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.sinks import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+         ("2024-01-02", 3, 30.0), ("2024-01-02", 4, 40.0)],
+        "day string, k int, v double",
+    )
+    overwrite_partitions(full, path, ["day"])
+
+    # backfill day 2 with corrected values (and a dropped row)
+    fix = spark.createDataFrame([("2024-01-02", 3, 99.0)], "day string, k int, v double")
+    overwrite_partitions(fix, path, ["day"])
+    def read_state():
+        # partition-column values round-trip as DATE via partition
+        # inference; stringify for comparison
+        return {
+            (r["day"], r["k"], r["v"])
+            for r in spark.read.parquet(path)
+            .select(F.col("day").cast("string").alias("day"), "k", "v")
+            .collect()
+        }
+
+    got = read_state()
+    assert got == {("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0), ("2024-01-02", 3, 99.0)}
+
+    # replay the identical backfill — state unchanged (idempotent)
+    overwrite_partitions(fix, path, ["day"])
+    assert read_state() == got
+
+    # the conf did not leak into the session
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", None) in (None, "STATIC", "static")
