@@ -822,3 +822,74 @@ def q253_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — temperature-based source mixing (the multinomial reweighting of
+# XLM-R / mT5: sample source s with probability p_s^alpha / sum_t
+# p_t^alpha, alpha < 1 flattening the mix so long-tail sources are
+# up-sampled): per source, the raw char share p_s (exact BIGINT char
+# totals), the temperature-adjusted mix weight q_s, and the resulting
+# boost q_s/p_s. One shuffle on source; the normalizer is a 1-row
+# aggregate whose p^alpha terms LEFT-FOLD in source order (the repo's
+# order-independent float protocol), then broadcast back — at any corpus
+# size the non-scan work is |sources| rows.
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.7
+
+
+@register(
+    "q261_mix_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM s),
+    p AS (SELECT s.source, s.n_docs, s.chars,
+                 CAST(s.chars AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+          FROM s CROSS JOIN tot),
+    z AS (SELECT list_reduce(list_prepend(0.0, list(pow(share, {_MIX_ALPHA!r}) ORDER BY source)),
+                             (x, y) -> x + y) AS norm
+          FROM p)
+    SELECT p.source, p.n_docs,
+           ROUND(p.share, 6) AS share,
+           ROUND(pow(p.share, {_MIX_ALPHA!r}) / z.norm, 6) AS mix_weight,
+           ROUND((pow(p.share, {_MIX_ALPHA!r}) / z.norm) / p.share, 4) AS boost
+    FROM p CROSS JOIN z
+    ORDER BY p.source
+    """,
+)
+def q261_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _MIX_ALPHA
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = s.agg(F.sum("chars").cast("bigint").alias("total"))
+    p = s.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("chars").cast("double") / F.col("total").cast("double")
+    )
+    z = p.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", F.pow("share", F.lit(a)).alias("pa")))),
+                lambda st: st["pa"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("norm")
+    )
+    q = F.pow("share", F.lit(a)) / F.col("norm")
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round("share", 6).alias("share"),
+            F.round(q, 6).alias("mix_weight"),
+            F.round(q / F.col("share"), 4).alias("boost"),
+        )
+        .orderBy("source")
+    )
