@@ -210,3 +210,52 @@ def sample_frames(binary_docs: DataFrame, stride: int = 24, id_col: str = "doc_i
             )
 
     return binary_docs.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+AUDIO_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_rms_windows(
+    binary_docs: DataFrame, window: int = 64, hop: int = 32
+) -> DataFrame:
+    """Windowed RMS energy over a binary payload treated as unsigned
+    8-bit PCM — the audio-pipeline frame/feature shape (librosa-style
+    fixed windows with 50% hop), on the engine's sanctioned Arrow
+    boundary. Only FULL windows are emitted (starts 0, hop, 2*hop, ...
+    while start + window <= n_bytes).
+
+    Determinism across engines: the per-window sum of squares is EXACT
+    int64 (bytes are <=255, window sizes bounded), so
+    ``rms = round(sqrt(ss / window), 6)`` feeds sqrt the identical
+    double in Spark/numpy and the DuckDB oracle — no float-accumulation
+    order anywhere. numpy does the windowing vectorized per Arrow batch;
+    a real audio codec would slot in where ``frombuffer`` is.
+    """
+    import numpy as np
+
+    def _win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                starts = range(0, n - window + 1, hop) if n >= window else ()
+                sq = b * b
+                # exact integer prefix sums -> exact per-window ss
+                csum = np.concatenate(([0], np.cumsum(sq)))
+                for k, s in enumerate(starts):
+                    ss = int(csum[s + window] - csum[s])
+                    ids.append(doc_id)
+                    widx.append(k)
+                    rms.append(round(float(np.sqrt(ss / window)), 6))
+            yield pd.DataFrame({"doc_id": ids, "window_idx": widx, "rms": rms})
+
+    return binary_docs.select("doc_id", "payload").mapInPandas(
+        _win, schema=AUDIO_RMS_SCHEMA
+    )

@@ -57,3 +57,42 @@ def q49_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q91_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return MM.sample_frames(MM.to_binary_docs(docs, "doc_id", "text"), stride=24)
+
+
+# ---------------------------------------------------------------------------
+# q262 — audio-style windowed RMS energy: the payload is treated as
+# unsigned 8-bit PCM and windowed (64 samples, hop 32, full windows
+# only) inside Arrow mapInPandas; per-window sum-of-squares is EXACT
+# int64, so rms = round(sqrt(ss/64), 6) is bit-identical to the oracle's
+# SQL replay (ord() per char — the corpus is ASCII, so UTF-8 bytes ==
+# code points). This is the audio third of the multimodal family next
+# to q49 (features) and q91 (frame fan-out): same binary plumbing, 1→N
+# window fan-out, numpy vectorization per batch.
+# ---------------------------------------------------------------------------
+_RMS_W, _RMS_H = 64, 32
+
+
+@register(
+    "q262_audio_rms_windows",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+    w AS (SELECT doc_id, text, u.s AS start,
+                 CAST(u.s / {_RMS_H} AS BIGINT) AS window_idx
+          FROM d, UNNEST(range(0, n - {_RMS_W} + 1, {_RMS_H})) AS u(s)
+          WHERE n >= {_RMS_W}),
+    b AS (SELECT doc_id, window_idx,
+                 SUM(CAST(ord(substr(text, CAST(start + i + 1 AS INT), 1)) AS BIGINT)
+                     * CAST(ord(substr(text, CAST(start + i + 1 AS INT), 1)) AS BIGINT)) AS ss
+          FROM w, UNNEST(range(0, {_RMS_W})) AS v(i)
+          GROUP BY doc_id, window_idx)
+    SELECT doc_id, window_idx,
+           ROUND(sqrt(CAST(ss AS DOUBLE) / {_RMS_W}), 6) AS rms
+    FROM b ORDER BY doc_id, window_idx
+    """,
+)
+def q262_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bin_docs = MM.to_binary_docs(docs, "doc_id", "text")
+    return MM.audio_rms_windows(bin_docs, window=_RMS_W, hop=_RMS_H).orderBy(
+        "doc_id", "window_idx"
+    )
