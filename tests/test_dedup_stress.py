@@ -126,3 +126,53 @@ def test_incremental_dedup_gates(spark):
         for r in D.incremental_dedup(batch, corpus, "doc_id", "text", threshold=0.5).collect()
     }
     assert admitted == {102}
+
+
+def test_ppjoin_planted_neardups_exact_recall(spark):
+    """Medium-scale exactness stress for the rebuilt PPJoin (positional
+    filter + pre-gate + rational 0.9 threshold): 400 base entities with
+    30-element sets, 60 planted near-dup pairs (3 elements swapped ->
+    J = 27/33 ~ 0.818 < 0.9, excluded) and 40 planted high-sim pairs
+    (1 element swapped -> J = 29/31 ~ 0.935 >= 0.9, included), plus 25
+    exact duplicates (J = 1.0, included via the pre-gate path). The
+    result must match brute force EXACTLY — 100% recall, zero false
+    pairs — under the bucketed candidate generation at real volume."""
+    import itertools
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.dedup import (
+        ppjoin_pairs,
+    )
+
+    def base_set(i):
+        return [f"e{i}_{j}" for j in range(30)]
+
+    rows = [(i, base_set(i)) for i in range(400)]
+    nid = 400
+    for i in range(60):  # below threshold
+        s = base_set(i)
+        s[0:3] = [f"x{nid}_0", f"x{nid}_1", f"x{nid}_2"]
+        rows.append((nid, s))
+        nid += 1
+    for i in range(40):  # above threshold
+        s = base_set(100 + i)
+        s[0] = f"y{nid}"
+        rows.append((nid, s))
+        nid += 1
+    for i in range(25):  # exact duplicates
+        rows.append((nid, base_set(200 + i)))
+        nid += 1
+
+    df = spark.createDataFrame(rows, "id bigint, els array<string>")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(df, "id", "els", threshold=0.9).collect()
+    }
+    sets = {i: frozenset(s) for i, s in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 10 >= 9 * union:
+            want[(a, b)] = round(inter / union, 6)
+    assert len(want) == 65  # 40 high-sim + 25 exact-dup pairs
+    assert got == want
