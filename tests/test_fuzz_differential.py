@@ -377,3 +377,85 @@ def test_intradoc_span_dedup_equals_bruteforce(spark, docs):
             hashlib.md5(cleaned.encode()).hexdigest(),
         )
         assert got[i] == want, (i, toks, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# As-of join fuzz: the join-free union-tag + running-last window shape
+# must equal a direct Python as-of computation on random keyed series —
+# duplicate timestamps on both sides, equal-ts left/right collisions
+# (>= semantics), NULL keys, and both how= modes.
+# ---------------------------------------------------------------------------
+_TS = st.integers(min_value=0, max_value=20)
+_KEY = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lrows=st.lists(st.tuples(_KEY, _TS), min_size=1, max_size=15),
+    rrows=st.lists(st.tuples(_KEY, _TS, st.integers(0, 99)), min_size=0, max_size=15),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_asof_join_equals_bruteforce(spark, lrows, rrows, how):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.relational import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k int, ts int, lid int"
+    )
+    right = spark.createDataFrame(rrows, "k int, ts int, v int")
+    got = {
+        (r["lid"], r["ts_matched"], r["v"])
+        for r in asof_join_backward(left, right, on="k", ts="ts", how=how).collect()
+    }
+    want = set()
+    for lid, (k, t) in enumerate(lrows):
+        cands = [
+            (rt, rv) for rk, rt, rv in rrows if rk is not None and rk == k and rt <= t
+        ]
+        if cands:
+            # max ts; at equal ts the payload-struct max wins -> max (ts, v)
+            want.add((lid,) + max(cands))
+        elif how == "left":
+            want.add((lid, None, None))
+    assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range-join fuzz: the equality-bucket rewrite must equal the
+# brute-force start <= ts < end predicate for arbitrary intervals
+# (empty, point-width, bucket-straddling) and bucket granularities,
+# with and without the broadcast path.
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(st.integers(0, 60), min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 20)), min_size=1, max_size=10
+    ),
+    bucket=st.sampled_from([1, 3, 7, 16]),
+    bc=st.booleans(),
+)
+def test_range_join_bucketed_equals_bruteforce(spark, events, intervals, bucket, bc):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.relational import (
+        range_join_bucketed,
+    )
+
+    ev = spark.createDataFrame([(i, t) for i, t in enumerate(events)], "eid int, ts long")
+    iv = spark.createDataFrame(
+        [(j, s, s + w) for j, (s, w) in enumerate(intervals)],
+        "iid int, start long, end long",
+    )
+    got = {
+        (r["eid"], r["iid"])
+        for r in range_join_bucketed(
+            ev, "ts", iv, "start", "end", bucket=bucket, broadcast_intervals=bc
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, t in enumerate(events)
+        for j, (s, w) in enumerate(intervals)
+        if s <= t < s + w
+    }
+    assert got == want, (got, want, bucket)
