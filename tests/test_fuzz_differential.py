@@ -459,3 +459,41 @@ def test_range_join_bucketed_equals_bruteforce(spark, events, intervals, bucket,
         if s <= t < s + w
     }
     assert got == want, (got, want, bucket)
+
+
+# ---------------------------------------------------------------------------
+# Connected-components fuzz: min-label propagation on random pair graphs
+# (self-loops, duplicate edges, chains, stars) must equal a Python
+# union-find — every node labeled with the smallest id in its component.
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=25
+    )
+)
+def test_dedup_clusters_equals_union_find(spark, edges):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {(r["node"], r["cluster_id"]) for r in dedup_clusters(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {(n, min(ms)) for r, ms in comps.items() for n in ms}
+    assert got == want, (got, want)
