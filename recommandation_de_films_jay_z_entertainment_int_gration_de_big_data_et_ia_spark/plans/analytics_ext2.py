@@ -4464,6 +4464,18 @@ def q249_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the segment, one final 5-row aggregate.
 # ---------------------------------------------------------------------------
 _NDCG_K = 10
+# 1/log2(rank+1) discounts computed ONCE in Python and embedded as the
+# same literals in both engines — SQL-side log2() would go through
+# DuckDB's libm, not guaranteed bit-identical to the JVM's (1-ulp
+# variance could flip a round-6 knife-edge at some scale factor).
+_NDCG_DISCOUNTS = tuple(1.0 / __import__("math").log2(r + 1) for r in range(1, _NDCG_K + 1))
+
+
+def _ndcg_discount_sql(rn: str) -> str:
+    whens = " ".join(
+        f"WHEN {r} THEN {d!r}" for r, d in enumerate(_NDCG_DISCOUNTS, start=1)
+    )
+    return f"(CASE {rn} {whens} ELSE 0.0 END)"
 
 
 @register(
@@ -4482,11 +4494,11 @@ _NDCG_K = 10
       FROM rel),
     dcg AS (
       SELECT c,
-             list_reduce(list_prepend(0.0, list(CASE WHEN rn_pred <= {_NDCG_K}
-               THEN CAST(rel AS DOUBLE) / log2(rn_pred + 1) ELSE 0.0 END ORDER BY rn_pred)),
+             list_reduce(list_prepend(0.0, list(CAST(rel AS DOUBLE) * {_ndcg_discount_sql("rn_pred")}
+               ORDER BY rn_pred)),
                (x, y) -> x + y) AS dcg,
-             list_reduce(list_prepend(0.0, list(CASE WHEN rn_ideal <= {_NDCG_K}
-               THEN CAST(rel AS DOUBLE) / log2(rn_ideal + 1) ELSE 0.0 END ORDER BY rn_ideal)),
+             list_reduce(list_prepend(0.0, list(CAST(rel AS DOUBLE) * {_ndcg_discount_sql("rn_ideal")}
+               ORDER BY rn_ideal)),
                (x, y) -> x + y) AS idcg
       FROM ranked GROUP BY c),
     per_cust AS (
@@ -4517,11 +4529,14 @@ def q260_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rel.withColumn("rn_pred", F.row_number().over(w_pred)).withColumn(
         "rn_ideal", F.row_number().over(w_ideal)
     )
+    discounts = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
     c_pred = F.when(
-        F.col("rn_pred") <= k, F.col("rel").cast("double") / F.log2(F.col("rn_pred") + 1)
+        F.col("rn_pred") <= k,
+        F.col("rel").cast("double") * F.element_at(discounts, F.col("rn_pred").cast("int")),
     ).otherwise(F.lit(0.0))
     c_ideal = F.when(
-        F.col("rn_ideal") <= k, F.col("rel").cast("double") / F.log2(F.col("rn_ideal") + 1)
+        F.col("rn_ideal") <= k,
+        F.col("rel").cast("double") * F.element_at(discounts, F.col("rn_ideal").cast("int")),
     ).otherwise(F.lit(0.0))
     dcg = ranked.groupBy("c").agg(
         F.aggregate(

@@ -1063,13 +1063,18 @@ def q255_composite_agg_pagination(spark: SparkSession, sf_dir: str) -> DataFrame
 # expression order so round-6 scores hash-match.
 # ---------------------------------------------------------------------------
 _GAUSS = {"origin": 200.0, "offset": 10.0, "scale": 100.0, "decay": 0.5}
+# ln(decay) is computed ONCE in Python and embedded as the same literal
+# in both engines: a SQL-side ln() would go through DuckDB's libm, which
+# is not guaranteed bit-identical to the JVM's (1-ulp variance could
+# flip a round-6 knife-edge at some scale factor).
+_GAUSS_LN_DECAY = __import__("math").log(_GAUSS["decay"])
 
 
 @register(
     "q256_function_score_decay",
     oracle=f"""
     SELECT doc_id,
-           ROUND(exp(ln({_GAUSS["decay"]!r}) *
+           ROUND(exp({_GAUSS_LN_DECAY!r} *
              pow(greatest(abs(CAST(n_chars AS DOUBLE) - {_GAUSS["origin"]!r}) - {_GAUSS["offset"]!r}, 0.0)
                  / {_GAUSS["scale"]!r}, 2)), 6) AS score
     FROM documents
