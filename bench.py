@@ -169,13 +169,17 @@ def main() -> None:
         "full_catalog": not headline_only,
         "full_total": round(sum(mins.values()), 3),
         "n_queries": len(mins),
-        "per_query_file": "BENCH_full_local.json",
+        "per_query_file": (
+            "BENCH_headline_local.json" if headline_only else "BENCH_full_local.json"
+        ),
     }
     # Full per-query detail goes to a side artifact, NOT stdout: the driver
     # captures only a bounded tail of stdout, and a 247-entry map pushed the
     # headline fields past the capture window in r03/r04 ("parsed": null).
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_full_local.json")
+    # --headline iteration runs write to their own file so they never
+    # clobber the committed full-catalog per-query artifact.
+    side_name = "BENCH_headline_local.json" if headline_only else "BENCH_full_local.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), side_name)
     with open(full_path, "w") as fh:
         json.dump({**summary, "queries": mins, "median": medians,
                    "cold": cold}, fh, indent=1, sort_keys=True)

@@ -209,7 +209,13 @@ def fuzzy_expand_terms(
       ``substring(term, 1, p)`` and only matching buckets meet each
       query term, the relational analog of Lucene's automaton pruning.
       At 100×-scale vocabulary this replaces the term×vocab fan-out
-      with |bucket| work per term (plan-guarded in tests).
+      with |bucket| work per term (plan-guarded in tests). Lucene clamps
+      the prefix to the term's own length — a query term SHORTER than
+      ``prefix_length`` still matches longer vocab terms sharing its
+      full text as a prefix — so the effective prefix per query term is
+      ``min(prefix_length, len(q))`` and terms are bucketed by that
+      clamped length (one vocab-side bucketing per distinct length; the
+      query list is tiny, so this stays a handful of broadcast joins).
     - ``prefix_length == 0``: every vocab term is a candidate (what ES
       does too); the fan-out is an in-partition Generate, no shuffle.
     - ``max_expansions``: per (field, query term), keep only the N
@@ -225,14 +231,26 @@ def fuzzy_expand_terms(
 
     qrows = [(q, auto_fuzziness(q) if fuzzy else 0) for q in query_terms]
     if prefix_length > 0:
-        qf = vocab.sparkSession.createDataFrame(qrows, "q string, d int").withColumn(
-            "__pfx", F.substring("q", 1, prefix_length)
-        )
-        cand = (
-            vocab.withColumn("__pfx", F.substring("term", 1, prefix_length))
-            .join(F.broadcast(qf), "__pfx")
-            .drop("__pfx")
-        )
+        # Lucene clamps the frozen prefix to the query term's length:
+        # group query terms by clamped length so each group equi-joins
+        # on a same-length vocab prefix (a short query term 'ab' with
+        # prefix_length=3 still meets vocab terms starting 'ab').
+        by_plen: dict[int, list[tuple[str, int]]] = {}
+        for q, d in qrows:
+            by_plen.setdefault(min(prefix_length, len(q)), []).append((q, d))
+        parts = []
+        for plen, rows in sorted(by_plen.items()):
+            qf = vocab.sparkSession.createDataFrame(
+                rows, "q string, d int"
+            ).withColumn("__pfx", F.substring("q", 1, plen))
+            parts.append(
+                vocab.withColumn("__pfx", F.substring("term", 1, plen))
+                .join(F.broadcast(qf), "__pfx")
+                .drop("__pfx")
+            )
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionAll(p)
     else:
         qarr = F.array(
             *[F.struct(F.lit(q).alias("q"), F.lit(d).alias("d")) for q, d in qrows]

@@ -347,9 +347,19 @@ _MM_SRC_TOKS = "regexp_split_to_array(trim(regexp_replace(lower(source), '[^a-z0
       SELECT 1 AS f, COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM d1),
     vocab AS (SELECT f, term, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY f, term),
     exp AS (
-      SELECT f, term, df FROM vocab WHERE levenshtein(term, 'sprak') <= 1
+      -- ES's max_expansions=50 cut, applied per (field, query term):
+      -- rank candidates (edit distance ASC, term ASC) — the engine's
+      -- deterministic stand-in for Lucene's boost-ranked enumeration
+      -- bound (operators/search.py fuzzy_expand_terms).
+      SELECT f, term, df FROM (
+        SELECT f, term, df, row_number() OVER (
+          PARTITION BY f ORDER BY levenshtein(term, 'sprak') ASC, term ASC) AS rn
+        FROM vocab WHERE levenshtein(term, 'sprak') <= 1) WHERE rn <= 50
       UNION ALL
-      SELECT f, term, df FROM vocab WHERE levenshtein(term, 'window') <= 2),
+      SELECT f, term, df FROM (
+        SELECT f, term, df, row_number() OVER (
+          PARTITION BY f ORDER BY levenshtein(term, 'window') ASC, term ASC) AS rn
+        FROM vocab WHERE levenshtein(term, 'window') <= 2) WHERE rn <= 50),
     tfs AS (SELECT f, doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY f, doc_id, dl, term),
     m AS (
       SELECT t.doc_id, t.f, t.term,
@@ -400,9 +410,19 @@ def q96_search_multimatch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 1 AS f, COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM d1),
     vocab AS (SELECT f, term, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY f, term),
     exp AS (
-      SELECT f, term, df FROM vocab WHERE levenshtein(term, 'sprak') <= 1
+      -- ES's max_expansions=50 cut, applied per (field, query term):
+      -- rank candidates (edit distance ASC, term ASC) — the engine's
+      -- deterministic stand-in for Lucene's boost-ranked enumeration
+      -- bound (operators/search.py fuzzy_expand_terms).
+      SELECT f, term, df FROM (
+        SELECT f, term, df, row_number() OVER (
+          PARTITION BY f ORDER BY levenshtein(term, 'sprak') ASC, term ASC) AS rn
+        FROM vocab WHERE levenshtein(term, 'sprak') <= 1) WHERE rn <= 50
       UNION ALL
-      SELECT f, term, df FROM vocab WHERE levenshtein(term, 'window') <= 2),
+      SELECT f, term, df FROM (
+        SELECT f, term, df, row_number() OVER (
+          PARTITION BY f ORDER BY levenshtein(term, 'window') ASC, term ASC) AS rn
+        FROM vocab WHERE levenshtein(term, 'window') <= 2) WHERE rn <= 50),
     tfs AS (SELECT f, doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY f, doc_id, dl, term),
     m AS (
       SELECT t.doc_id, t.f, t.term,

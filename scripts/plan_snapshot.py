@@ -31,8 +31,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def plan_shape(df) -> dict:
     p = df._jdf.queryExecution().executedPlan().toString()
+    # "Exchange" alone matches BOTH ShuffleExchange ("Exchange
+    # hashpartitioning(...)") and BroadcastExchange — a broadcast-join →
+    # shuffle-join swap would keep the combined count equal and slip the
+    # budget. Count them separately: only shuffle growth is a regression;
+    # broadcast exchanges are tracked for visibility.
+    broadcasts = p.count("BroadcastExchange")
     return {
-        "exchanges": p.count("Exchange"),
+        "shuffle_exchanges": p.count("Exchange") - broadcasts,
+        "broadcast_exchanges": broadcasts,
         "bnlj": "BroadcastNestedLoopJoin" in p,
         "cartesian": "CartesianProduct" in p,
         "sorts": p.count("Sort "),

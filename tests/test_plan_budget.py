@@ -29,8 +29,15 @@ BUDGET_PATH = os.path.join(
 
 def _shape(df) -> dict:
     p = df._jdf.queryExecution().executedPlan().toString()
+    # Shuffle and broadcast exchanges are budgeted separately: "Exchange"
+    # alone matches both ("BroadcastExchange" contains the substring), so
+    # a broadcast-join → shuffle-join swap would keep a combined count
+    # equal and slip through, while a benign new broadcast would be
+    # misreported as a shuffle regression.
+    broadcasts = p.count("BroadcastExchange")
     return {
-        "exchanges": p.count("Exchange"),
+        "shuffle_exchanges": p.count("Exchange") - broadcasts,
+        "broadcast_exchanges": broadcasts,
         "bnlj": "BroadcastNestedLoopJoin" in p,
         "cartesian": "CartesianProduct" in p,
         "sorts": p.count("Sort "),
@@ -56,9 +63,10 @@ def test_no_plan_gains_shuffles_or_nested_loops(spark):
         except Exception as e:  # noqa: BLE001
             problems.append(f"{name}: plan build failed: {e}")
             continue
-        if s["exchanges"] > b["exchanges"]:
+        if s["shuffle_exchanges"] > b["shuffle_exchanges"]:
             problems.append(
-                f"{name}: exchanges {b['exchanges']} -> {s['exchanges']} (shuffle regression)"
+                f"{name}: shuffle exchanges {b['shuffle_exchanges']} -> "
+                f"{s['shuffle_exchanges']} (shuffle regression)"
             )
         if s["bnlj"] and not b["bnlj"]:
             problems.append(f"{name}: plan gained a BroadcastNestedLoopJoin")

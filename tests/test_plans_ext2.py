@@ -194,6 +194,44 @@ def test_q251_fuzzy_bounds_prefix_join_and_bite(spark, sf_dir):
     assert unbounded.count() > 3  # the bound genuinely bit
 
 
+def test_fuzzy_prefix_clamps_to_short_query_terms(spark):
+    """Lucene clamps prefix_length to the query term's own length: a
+    2-char query term with prefix_length=3 must still meet longer vocab
+    terms sharing its full text as a prefix (round-5 ADVICE: the
+    unclamped join excluded them because substring('abcd',1,3) != 'ab')."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.search import (
+        fuzzy_expand_terms,
+    )
+
+    vocab = spark.createDataFrame(
+        [(0, "ab", 7), (0, "abc", 5), (0, "abcd", 4), (0, "abz", 2), (0, "zbc", 9)],
+        "f int, term string, df int",
+    )
+    # Query 'abc' (len 3, AUTO distance 1) with prefix_length=5: the
+    # effective prefix clamps to 3 chars, so 'abcd' (distance 1, shares
+    # the full 'abc' prefix) must match — the unclamped join compared
+    # substring('abcd',1,5)='abcd' to 'abc' and dropped it. 'abz'
+    # (distance 1 but edits INSIDE the frozen prefix) and 'zbc' stay out.
+    got = {
+        r["term"]
+        for r in fuzzy_expand_terms(
+            vocab, ["abc"], fuzzy=True, prefix_length=5, max_expansions=None
+        ).collect()
+    }
+    assert got == {"abc", "abcd"}
+
+    # Mixed-length query batch: each term buckets by ITS clamped length
+    # (one vocab bucketing per distinct clamp, unioned). 'ab' clamps to
+    # 2 (AUTO distance 0 -> exact only); 'abc' keeps the 3-char bucket.
+    got2 = {
+        (r["term"])
+        for r in fuzzy_expand_terms(
+            vocab, ["abc", "ab"], fuzzy=True, prefix_length=3, max_expansions=None
+        ).collect()
+    }
+    assert got2 == {"ab", "abc", "abcd"}
+
+
 def test_round5_plan_shapes(spark, sf_dir):
     """Pin the claimed physical shapes of the round-5 entries:
     - q255 composite pagination: ONE exchange (partial agg) and a
