@@ -284,3 +284,121 @@ def phrase_search_slop_batch(
         .select("phrase", "doc_id")
         .orderBy("phrase", "doc_id")
     )
+
+
+def cross_doc_span_excise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 3,
+    broadcast_threshold: int | None = None,
+    materialize: bool = False,
+) -> DataFrame:
+    """CROSS-document duplicated-span removal (RefinedWeb/Gopher-style
+    boilerplate excision, the cross-doc complement of the intra-doc q253
+    pass): any ``n``-token span occurring in ``>= min_docs`` DISTINCT
+    documents is boilerplate (mirrored headers/footers/templates) and is
+    excised from EVERY document — boilerplate has no canonical owner, so
+    unlike whole-doc dedup no occurrence is kept. Overlapping boilerplate
+    spans merge by INTERVAL UNION: each boilerplate occurrence covers
+    ``[i, i+n-1]``; sorted start positions fold into disjoint merged
+    intervals and a token survives iff outside every interval.
+
+    Returns one row per input document:
+    ``(id_col, n_tokens, n_removed, clean_tokens)`` with ``clean_tokens``
+    the surviving tokens in original order.
+
+    Shape (100 TB): the n-gram explode is scan-local; the boilerplate set
+    needs ONE shuffle on the shingle (distinct-doc count); by
+    construction it is tiny relative to the corpus (only cross-doc-
+    repeated n-grams survive ``>= min_docs``) so it broadcast-joins back
+    onto the occurrence frame — the corpus itself is never shuffled until
+    the per-doc start-set groupBy, the one unavoidable exchange, keyed by
+    doc so skew-free. Shuffle volume is one row per MATCHED OCCURRENCE
+    (not ×n per-position rows, and no extra distinct exchange): on a
+    boilerplate-saturated corpus (every doc fully templated — the sf1
+    replicated-corpus stress) the interval fold keeps per-doc work
+    O(len + occurrences), where the naive per-position covered-set
+    reconstruction is O(len²). Set ``broadcast_threshold=0`` to force a shuffle
+    join for a pathological corpus whose boilerplate set outgrows the
+    broadcast limit (the plan stays one extra shuffle, still never
+    all-pairs). The positional n-gram frame feeds BOTH the boilerplate
+    aggregate and the coverage join — Catalyst evaluates the explode
+    twice (the branches prune differently, so the exchanges are not
+    reuse-equal); ``materialize=True`` localCheckpoints it once (the
+    q237 pattern — same lifetime note as ``dedup.with_shingles``: drop
+    the reference or unpersist after the consuming query runs).
+    Reference scope: beyond the reference's surface
+    (`/root/reference/src/preprocessing.py` stops at column ETL); this is
+    the standard pre-training cleanup pass (Penedo et al., RefinedWeb
+    §3.2; Lee et al. 2022).
+    """
+    t = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("tk"))
+    # positional n-grams: (doc, start i, gram); docs shorter than n emit
+    # nothing (sequence(1, 0) DESCENDS in Spark — guard explicitly).
+    g = t.select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"if(size(tk) >= {n},"
+                f" transform(sequence(1, size(tk) - {n - 1}),"
+                f"   i -> struct(i AS i, concat_ws(' ', slice(tk, i, {n})) AS gram)),"
+                " array())"
+            )
+        ).alias("e"),
+    ).select("__id", F.col("e.i").alias("i"), F.col("e.gram").alias("gram"))
+    if materialize:
+        g = g.localCheckpoint(eager=True)
+    boiler = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("__id").alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("gram")
+    )
+    if broadcast_threshold != 0:
+        boiler = F.broadcast(boiler)
+    c = (
+        g.join(boiler, "gram")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_set("i")).alias("__ss"))
+    )
+    # sorted starts -> disjoint merged intervals [lo, hi]: starts ascend,
+    # so each new span's hi = s + n - 1 always >= the running hi, and a
+    # span merges into the last interval iff s <= hi + 1 (adjacency
+    # closes the gap — positions are integers).
+    ivs = F.expr(
+        "aggregate(coalesce(__ss, array()),"
+        " cast(array() as array<struct<lo:int,hi:int>>),"
+        " (acc, s) -> if(size(acc) > 0 AND s <= element_at(acc, -1).hi + 1,"
+        f"   concat(slice(acc, 1, size(acc) - 1),"
+        f"          array(struct(element_at(acc, -1).lo AS lo, s + {n - 1} AS hi))),"
+        f"   concat(acc, array(struct(s AS lo, s + {n - 1} AS hi)))))"
+    )
+    # fold the gaps BETWEEN intervals into the surviving token sequence:
+    # O(len) slices, no per-position membership scans.
+    cleaned = F.expr(
+        "concat("
+        " aggregate(__ivs,"
+        "   struct(cast(array() as array<string>) AS t, 0 AS prev),"
+        "   (acc, iv) -> struct("
+        "     concat(acc.t, slice(tk, acc.prev + 1, iv.lo - 1 - acc.prev)) AS t,"
+        "     iv.hi AS prev),"
+        "   acc -> acc.t),"
+        " if(size(__ivs) = 0, tk,"
+        "    slice(tk, element_at(__ivs, -1).hi + 1,"
+        "          size(tk) - element_at(__ivs, -1).hi)))"
+    )
+    n_removed = F.expr(
+        "aggregate(__ivs, 0L, (a, iv) -> a + iv.hi - iv.lo + 1)"
+    )
+    return (
+        t.join(c, "__id", "left")
+        .withColumn("__ivs", ivs)
+        .select(
+            F.col("__id").alias(id_col),
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            n_removed.cast("bigint").alias("n_removed"),
+            cleaned.alias("clean_tokens"),
+        )
+    )

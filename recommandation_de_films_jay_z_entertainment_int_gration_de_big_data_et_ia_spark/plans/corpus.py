@@ -893,3 +893,70 @@ def q261_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — CROSS-document duplicated-span removal (RefinedWeb §3.2 /
+# Lee et al. 2022 exact-substring cleanup; round-5 VERDICT "missing" #1):
+# any 5-token span occurring in >= 3 distinct documents is boilerplate
+# (mirrored templates/footers — on this corpus the planted duplicate
+# groups) and is excised from EVERY document; q110 *audits* exactly this
+# population, q263 *removes* it. Coverage is per token position, so
+# overlapping boilerplate windows merge into excised intervals for free.
+#
+# Shape (100 TB): scan-local n-gram explode, ONE shuffle to build the
+# boilerplate set (tiny by construction -> broadcast back), coverage
+# distinct + per-doc groupBy on doc_id (skew-free), array math for the
+# reconstruction. The corpus is never shuffled whole; nothing all-pairs.
+# Output carries an md5 of the cleaned text so the oracle hash-checks
+# the reconstruction exactly (the q253 protocol).
+# ---------------------------------------------------------------------------
+_XDOC_N = 5
+_XDOC_K = 3
+
+
+@register(
+    "q263_crossdoc_span_excise",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(tk[i:i + {_XDOC_N - 1}], ' ') AS gram
+          FROM t, UNNEST(range(1, len(tk) - {_XDOC_N - 2})) AS u(i)),
+    boiler AS (SELECT gram FROM g GROUP BY gram
+               HAVING COUNT(DISTINCT doc_id) >= {_XDOC_K}),
+    cov AS (SELECT DISTINCT g.doc_id, u.p
+            FROM g JOIN boiler USING (gram),
+                 UNNEST(range(g.i, g.i + {_XDOC_N})) AS u(p)),
+    c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed, list(p) AS ps
+          FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_removed, 0) AS n_removed,
+           -- COALESCE: a FULLY excised doc (every position covered —
+           -- expected here, unlike q253) string_aggs an empty list to
+           -- NULL in DuckDB; Spark's concat_ws gives ''. Hash ''.
+           md5(COALESCE(list_aggregate(
+                 list_transform(
+                   list_filter(range(1, len(t.tk) + 1),
+                               p -> NOT list_contains(COALESCE(c.ps, []), p)),
+                   p -> t.tk[p]),
+                 'string_agg', ' '), '')) AS clean_hash
+    FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q263_crossdoc_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import cross_doc_span_excise
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize=True: the positional n-gram frame feeds both the
+    # boilerplate aggregate and the coverage join — one localCheckpoint
+    # beats re-running the explode (the q237 pattern; ~25% at sf1).
+    out = cross_doc_span_excise(
+        docs, "doc_id", "text", n=_XDOC_N, min_docs=_XDOC_K, materialize=True
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.encode(F.concat_ws(" ", "clean_tokens"), "UTF-8")).alias("clean_hash"),
+    ).orderBy("doc_id")

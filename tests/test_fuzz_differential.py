@@ -497,3 +497,61 @@ def test_dedup_clusters_equals_union_find(spark, edges):
         comps.setdefault(find(n), []).append(n)
     want = {(n, min(ms)) for r, ms in comps.items() for n in ms}
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc span-excision fuzz: the boilerplate set (n-grams in >= K
+# distinct docs), per-doc covered positions, and cleaned reconstruction
+# must match a direct Python computation — with boilerplate PLANTED into
+# a random subset of docs (the 4-letter alphabet already collides at
+# n=2, so both planted and accidental boilerplate are exercised).
+# ---------------------------------------------------------------------------
+_XDOC_BOILER = ["b", "a", "d", "c"]  # the planted template span
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(_DOC_TOKS, min_size=1, max_size=8),
+    plant=st.lists(st.booleans(), min_size=8, max_size=8),
+    n=st.integers(min_value=2, max_value=3),
+    k=st.integers(min_value=2, max_value=3),
+)
+def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        cross_doc_span_excise,
+    )
+
+    # plant the template span at the FRONT of flagged docs (headers)
+    docs = [
+        (_XDOC_BOILER + toks) if plant[i] else toks
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], list(r["clean_tokens"]))
+        for r in cross_doc_span_excise(df, "doc_id", "text", n=n, min_docs=k).collect()
+    }
+
+    # brute force: tokenizer mirror (splitting "" yields one empty token)
+    toked = [" ".join(toks).split(" ") for toks in docs]
+    from collections import defaultdict
+
+    gram_docs: dict[tuple, set] = defaultdict(set)
+    for i, toks in enumerate(toked):
+        for s in range(len(toks) - n + 1):
+            gram_docs[tuple(toks[s:s + n])].add(i)
+    boiler = {g for g, ds in gram_docs.items() if len(ds) >= k}
+    for i, toks in enumerate(toked):
+        covered: set[int] = set()
+        for s in range(len(toks) - n + 1):
+            if tuple(toks[s:s + n]) in boiler:
+                covered.update(range(s, s + n))
+        want = (
+            len(toks),
+            len(covered),
+            [t for p, t in enumerate(toks) if p not in covered],
+        )
+        assert got[i] == want, (i, toks, got[i], want, n, k)
