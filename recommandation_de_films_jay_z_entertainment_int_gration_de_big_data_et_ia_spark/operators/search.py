@@ -516,3 +516,117 @@ def more_like_this(
         F.size(F.array_intersect("__ts", "__target_ts")).cast("bigint").alias("overlap"),
     ).filter(F.col("overlap") > 0)
     return scored.orderBy(F.desc("overlap"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# ES document-hierarchy queries (nested / has_child / has_parent) — the
+# last ES query family (the reference's stack supports it via the ES
+# image, docker-compose.yml:32, though src/api.py only issues flat
+# queries). ES models hierarchies two ways; both have exact relational
+# analogs:
+#   * join fields (parent/child as separate docs, joined at query time)
+#     -> two tables + SEMI-JOINS here;
+#   * nested objects (child docs inlined as an array, each matched as a
+#     UNIT) -> struct-array column + exists() higher-order predicate.
+# ---------------------------------------------------------------------------
+
+
+def has_child(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    child_pred,
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> DataFrame:
+    """ES ``has_child``: parent docs with at least ``min_children`` (and
+    at most ``max_children``) children matching ``child_pred`` — the ES
+    knobs of the same names. Returns parent rows unchanged.
+
+    Shape: the child side filters (pushdown-eligible), aggregates to one
+    row per parent key (map-side partial combine), and the qualifying key
+    set LEFT-SEMI joins the parents — the parent table is never widened
+    and duplicate-free by construction. Both sides shuffle on the join
+    key at scale; with a selective child predicate the key set collapses
+    enough for AQE to pick a broadcast semi-join (observed at test SFs).
+    """
+    counts = (
+        children.filter(child_pred)
+        .groupBy(F.col(child_key).alias("__ck"))
+        .agg(F.count(F.lit(1)).alias("__nc"))
+        .filter(F.col("__nc") >= int(min_children))
+    )
+    if max_children is not None:
+        counts = counts.filter(F.col("__nc") <= int(max_children))
+    return parents.join(
+        counts, parents[parent_key] == counts["__ck"], "leftsemi"
+    )
+
+
+def has_parent(
+    children: DataFrame,
+    parents: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_pred,
+) -> DataFrame:
+    """ES ``has_parent``: child docs whose parent matches ``parent_pred``.
+    Returns child rows unchanged — a LEFT-SEMI join against the filtered
+    parent key set (parents are unique per key, so semi == inner here,
+    but semi keeps the contract duplicate-safe and lets Spark drop the
+    parent payload before the exchange)."""
+    keys = parents.filter(parent_pred).select(F.col(parent_key).alias("__pk"))
+    return children.join(
+        keys, children[child_key] == keys["__pk"], "leftsemi"
+    )
+
+
+def nest_children(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    child_cols: Sequence[str],
+    out: str = "children",
+) -> DataFrame:
+    """Materialize the ES NESTED data model: children collapse to a
+    sorted struct array attached to their parent row (childless parents
+    get an empty array, mirroring an ES doc with no nested objects).
+    ``array_sort`` over the full structs makes the array order
+    deterministic regardless of shuffle order.
+
+    At scale this is the write-once layout step: persist the nested
+    table and every nested query after that is a single-table scan with
+    no join at all — exactly why ES nested beats join fields at read
+    time."""
+    nested = (
+        children.groupBy(F.col(child_key).alias("__nk"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(*[F.col(c) for c in child_cols]))
+            ).alias(out)
+        )
+    )
+    joined = parents.join(nested, parents[parent_key] == nested["__nk"], "left")
+    return joined.drop("__nk").withColumn(
+        out,
+        F.coalesce(
+            F.col(out),
+            F.array().cast(
+                "array<struct<"
+                + ",".join(f"{c}:{children.schema[c].dataType.simpleString()}" for c in child_cols)
+                + ">>"
+            ),
+        ),
+    )
+
+
+def nested_match(df: DataFrame, nested_col: str, pred) -> DataFrame:
+    """ES ``nested`` query: the document matches iff a SINGLE nested
+    object satisfies the whole predicate — the semantic that
+    distinguishes nested from object mapping (where fields flatten and
+    conditions can be met by DIFFERENT children; guarded by a test
+    asserting the two semantics genuinely differ on TPC-H data).
+    ``exists()`` evaluates in-partition, JVM-side — zero shuffles."""
+    return df.filter(F.exists(F.col(nested_col), pred))

@@ -1257,3 +1257,110 @@ def q259_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q264–q266 — ES document-hierarchy queries (round-5 VERDICT "missing"
+# #2, the last unimplemented ES query family; the reference's stack
+# ships ES with join/nested support, docker-compose.yml:32, though
+# src/api.py only issues flat queries). orders/lineitem is the natural
+# parent/child fixture.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q264_has_child",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+      GROUP BY l_orderkey HAVING COUNT(*) >= 2)
+    ORDER BY o_orderkey
+    """,
+)
+def q264_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_child`` with ``min_children``: orders having >= 2
+    lineitems of quantity >= 45. Child side filters + aggregates to a
+    key set, then a LEFT-SEMI join back — the parent table is never
+    widened (operators/search.py:has_child)."""
+    from ..operators.search import has_child
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        has_child(
+            orders, lineitem, "o_orderkey", "l_orderkey",
+            F.col("l_quantity") >= 45.0, min_children=2,
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q265_has_parent",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q265_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_parent``: lineitems whose order is 1-URGENT — a LEFT-SEMI
+    join against the filtered parent key set; the child payload never
+    crosses the exchange twice (operators/search.py:has_parent)."""
+    from ..operators.search import has_parent
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        has_parent(
+            lineitem, orders, "o_orderkey", "l_orderkey",
+            F.col("o_orderpriority") == "1-URGENT",
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q266_nested_match",
+    oracle="""
+    SELECT o.o_orderkey, CAST(x.n_hits AS BIGINT) AS n_hits
+    FROM orders o JOIN (
+      SELECT l_orderkey, COUNT(*) AS n_hits FROM lineitem
+      WHERE l_returnflag = 'R' AND l_quantity > 45
+      GROUP BY l_orderkey) x
+    ON o.o_orderkey = x.l_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def q266_nested_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` query over the nested data model: lineitems collapse
+    into a sorted struct array per order (nest_children — the write-once
+    layout; at scale the nested table persists and nested queries are
+    single-table scans), then the document matches iff ONE nested object
+    satisfies the WHOLE predicate (returnflag='R' AND quantity>45 on the
+    SAME lineitem — the semantic that distinguishes nested from ES
+    object mapping, where conditions may be met by different children;
+    the distinction is pinned by a unit test). exists()/filter() run
+    in-partition JVM-side — the only exchanges are the nest groupBy and
+    the parent join."""
+    from ..operators.search import nest_children, nested_match
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nested = nest_children(
+        orders, lineitem, "o_orderkey", "l_orderkey",
+        ["l_linenumber", "l_quantity", "l_returnflag"], out="items",
+    )
+    pred = lambda it: (it["l_returnflag"] == "R") & (it["l_quantity"] > 45.0)  # noqa: E731
+    return (
+        nested_match(nested, "items", pred)
+        .select(
+            "o_orderkey",
+            F.size(F.filter("items", pred)).cast("bigint").alias("n_hits"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -276,3 +276,55 @@ def test_q240_dynamic_sessions_refine_fixed_sessions(spark, sf_dir):
     for u in a46:
         assert a240[u][0] >= a46[u][0], u  # refinement
         assert a240[u][1] == a46[u][1], u  # conservation
+
+
+def test_nested_vs_object_semantics_differ(spark, sf_dir):
+    """The ES nested/object distinction must be REAL on this data: an
+    object-mapping query (conditions satisfiable by DIFFERENT children)
+    matches strictly more orders than the nested query (both conditions
+    on the SAME lineitem), and every nested match is an object match."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.search import (
+        nest_children,
+        nested_match,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nested = nest_children(
+        orders, lineitem, "o_orderkey", "l_orderkey",
+        ["l_linenumber", "l_quantity", "l_returnflag"], out="items",
+    )
+    pred = lambda it: (it["l_returnflag"] == "R") & (it["l_quantity"] > 45.0)  # noqa: E731
+    strict = {
+        r["o_orderkey"] for r in nested_match(nested, "items", pred).collect()
+    }
+    # object mapping: fields flatten, each condition independently
+    loose = {
+        r["o_orderkey"]
+        for r in nested.filter(
+            F.exists("items", lambda it: it["l_returnflag"] == "R")
+            & F.exists("items", lambda it: it["l_quantity"] > 45.0)
+        ).collect()
+    }
+    assert strict <= loose
+    assert strict < loose, "corpus too small to distinguish nested vs object"
+    # childless parents carry an EMPTY array (ES doc with no nested objects)
+    childless = nested.filter(F.size("items") == 0).count()
+    only_parents = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left_anti"
+    ).count()
+    assert childless == only_parents
+
+
+def test_hierarchy_queries_use_semi_joins(spark, sf_dir):
+    """q264/q265 must plan as LeftSemi joins (the has_child/has_parent
+    shape claim) with the child aggregation below the join."""
+    p264 = _plan(QUERIES["q264_has_child"](spark, sf_dir))
+    assert "LeftSemi" in p264, p264[:3000]
+    p265 = _plan(QUERIES["q265_has_parent"](spark, sf_dir))
+    assert "LeftSemi" in p265, p265[:3000]
