@@ -231,28 +231,11 @@ def phrase_search_batch(postings: DataFrame, phrases: Sequence[str]) -> DataFram
     return hits.orderBy("phrase", "doc_id")
 
 
-def phrase_search_slop_batch(
-    postings: DataFrame, phrases: Sequence[str], slop: int = 0
-) -> DataFrame:
-    """ES ``match_phrase`` with ``slop`` — ordered-within-window
-    semantics: phrase [t0..tn-1] matches doc d iff positions
-    p0 < p1 < ... < pn-1 exist (term ti at pi) with total extra gap
-    ``p(n-1) - p0 - (n-1) <= slop``. ``slop=0`` is exactly the
-    contiguous q22/q238 match (property-pinned in tests). Unlike ES we
-    do not admit transpositions (ES charges 2 slop per swap); ordered
-    matches are the documented subset (reference ``api.py:91-93`` only
-    ever uses the default slop=0, so this generalizes beyond the
-    reference surface).
-
-    Shape: postings ⋈ broadcast (phrase, i, term) probe → group by
-    (phrase, doc) collecting only the phrase's own term occurrences →
-    per-row greedy certificate check in JVM higher-order functions: for
-    each anchor position of t0, repeatedly take the smallest next-term
-    position above the previous one. Greedy minimizes the end position
-    for a given anchor, so a within-window ordered certificate exists
-    iff the greedy one qualifies. Shuffle volume is bounded by the
-    batch's term occurrence counts, never the corpus; no Python UDFs.
-    """
+def _slop_grouped(postings: DataFrame, phrases: Sequence[str]) -> DataFrame:
+    """Shared slop-search front half: postings ⋈ broadcast
+    (phrase, i, term) probe → one row per (phrase, doc) carrying the
+    phrase's own term occurrences. Shuffle volume is bounded by the
+    batch's term occurrence counts, never the corpus."""
     spark = postings.sparkSession
     rows = [
         (ph, i, t, len(ph.split()))
@@ -263,10 +246,19 @@ def phrase_search_slop_batch(
     j = postings.join(F.broadcast(pt), "term").select(
         "phrase", "doc_id", "i", "pos", "n"
     )
-    grouped = j.groupBy("phrase", "doc_id").agg(
+    return j.groupBy("phrase", "doc_id").agg(
         F.collect_list(F.struct("i", "pos")).alias("__occ"),
         F.first("n").alias("__n"),
     )
+
+
+def _slop_ordered_hits(grouped: DataFrame, slop: int) -> DataFrame:
+    """Ordered-within-window certificates: positions p0 < ... < pn-1
+    (term ti at pi) with total extra gap p(n-1) - p0 - (n-1) <= slop.
+    Greedy per-anchor check: for each anchor position of t0, repeatedly
+    take the smallest next-term position above the previous one — greedy
+    minimizes the end position for a given anchor, so a within-window
+    ordered certificate exists iff the greedy one qualifies."""
     per_slot = F.expr(
         "transform(sequence(0, __n - 1),"
         " ii -> array_sort(transform(filter(__occ, o -> o.i = ii), o -> o.pos)))"
@@ -282,8 +274,81 @@ def phrase_search_slop_batch(
         grouped.select("phrase", "doc_id", per_slot.alias("__ps"))
         .filter(matched)
         .select("phrase", "doc_id")
-        .orderBy("phrase", "doc_id")
     )
+
+
+def _slop_transposed_hits(grouped: DataFrame, slop: int) -> DataFrame:
+    """Transposition-admitting certificates for DISTINCT-term phrases:
+    assign each slot i a position p_i of term ti and charge the spread
+    of the offset-adjusted positions, ``max_i(p_i - i) - min_i(p_i - i)
+    <= slop`` — the idealized Lucene SloppyPhraseMatcher cost. For a
+    monotone assignment pp_i = p_i - i is non-decreasing, so the spread
+    IS the ordered gap formula; a swapped adjacent pair costs 2 (the
+    documented ES rule). Distinct terms make position-injectivity
+    automatic (one term per position).
+
+    Check: minimize the spread with the classic smallest-range sweep —
+    for every candidate lower bound L (any pp value), the tightest
+    window at L has upper bound max over slots of the smallest pp >= L;
+    some assignment fits slop iff some L yields spread <= slop. All
+    in-partition JVM higher-order functions, O(|pp| * n * occ) per
+    (phrase, doc) on the phrase's own occurrences only."""
+    per_slot_pp = F.expr(
+        "transform(sequence(0, __n - 1),"
+        " ii -> array_sort(transform(filter(__occ, o -> o.i = ii), o -> o.pos - o.i)))"
+    )
+    matched = F.expr(
+        "exists(array_distinct(flatten(__pps)), L ->"
+        " forall(__pps, lst -> size(filter(lst, p -> p >= L)) > 0)"
+        " AND array_max(transform(__pps, lst -> array_min(filter(lst, p -> p >= L))))"
+        f" - L <= {int(slop)})"
+    )
+    return (
+        grouped.select("phrase", "doc_id", per_slot_pp.alias("__pps"))
+        .filter(matched)
+        .select("phrase", "doc_id")
+    )
+
+
+def phrase_search_slop_batch(
+    postings: DataFrame,
+    phrases: Sequence[str],
+    slop: int = 0,
+    transpositions: bool = True,
+) -> DataFrame:
+    """ES ``match_phrase`` with ``slop``, admitting out-of-order matches
+    at ES's documented cost (a transposed adjacent pair charges 2 slop):
+    a phrase matches when some injective slot→position assignment has
+    offset-adjusted spread <= slop (see :func:`_slop_transposed_hits`;
+    ordered certificates reduce to the familiar total-gap formula, so
+    ``slop=0`` is exactly the contiguous q22/q238 match —
+    property-pinned in tests). ``transpositions=False`` restores the
+    ordered-only subset.
+
+    Phrases with REPEATED terms route to the ordered-only path even when
+    ``transpositions=True`` — a documented subset: the smallest-range
+    sweep would need per-slot occurrence disambiguation to keep
+    injectivity (Lucene's repeated-term sloppy matching is itself
+    approximate here). The batch splits driver-side (it is a Python
+    list) and the two certificate checks union — still one postings
+    probe per group, no corpus scan. Reference ``api.py:91-93`` only
+    ever uses slop=0; this generalizes beyond the reference surface.
+    """
+    phrases = list(phrases)
+    if transpositions:
+        trans = [ph for ph in phrases if len(set(ph.split())) == len(ph.split())]
+        ordered = [ph for ph in phrases if ph not in trans]
+    else:
+        trans, ordered = [], phrases
+    parts = []
+    if trans:
+        parts.append(_slop_transposed_hits(_slop_grouped(postings, trans), slop))
+    if ordered:
+        parts.append(_slop_ordered_hits(_slop_grouped(postings, ordered), slop))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("phrase", "doc_id")
 
 
 def cross_doc_span_excise(

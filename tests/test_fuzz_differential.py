@@ -287,7 +287,7 @@ def test_ppjoin_equals_bruteforce(spark, fams, t_pre):
 _DOC_TOKS = st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12)
 
 
-def _slop_bruteforce(doc: list[str], phrase: list[str], slop: int) -> bool:
+def _slop_bruteforce_ordered(doc: list[str], phrase: list[str], slop: int) -> bool:
     from itertools import product
 
     occ = [[i for i, t in enumerate(doc) if t == p] for p in phrase]
@@ -301,13 +301,39 @@ def _slop_bruteforce(doc: list[str], phrase: list[str], slop: int) -> bool:
     return False
 
 
+def _slop_bruteforce_transposed(doc: list[str], phrase: list[str], slop: int) -> bool:
+    """Min offset-adjusted spread over INJECTIVE assignments <= slop —
+    the engine's transposition-admitting semantic, enumerated directly."""
+    from itertools import product
+
+    occ = [[i for i, t in enumerate(doc) if t == p] for p in phrase]
+    if any(not o for o in occ):
+        return False
+    for tup in product(*occ):
+        if len(set(tup)) != len(tup):
+            continue
+        pps = [p - k for k, p in enumerate(tup)]
+        if max(pps) - min(pps) <= slop:
+            return True
+    return False
+
+
+def _slop_bruteforce(doc: list[str], phrase: list[str], slop: int, transpositions: bool) -> bool:
+    # mirror the engine's routing: repeated-term phrases use the
+    # ordered-only subset even when transpositions are on
+    if transpositions and len(set(phrase)) == len(phrase):
+        return _slop_bruteforce_transposed(doc, phrase, slop)
+    return _slop_bruteforce_ordered(doc, phrase, slop)
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(_DOC_TOKS, min_size=1, max_size=8),
     phrase=st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=3),
     slop=st.integers(min_value=0, max_value=3),
+    transpositions=st.booleans(),
 )
-def test_phrase_slop_equals_bruteforce(spark, docs, phrase, slop):
+def test_phrase_slop_equals_bruteforce(spark, docs, phrase, slop, transpositions):
     from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
         phrase_search_slop_batch,
     )
@@ -321,10 +347,15 @@ def test_phrase_slop_equals_bruteforce(spark, docs, phrase, slop):
     postings = spark.createDataFrame(rows, "doc_id bigint, pos int, term string")
     got = {
         r["doc_id"]
-        for r in phrase_search_slop_batch(postings, [ph], slop=slop).collect()
+        for r in phrase_search_slop_batch(
+            postings, [ph], slop=slop, transpositions=transpositions
+        ).collect()
     }
-    want = {d for d, toks in enumerate(docs) if _slop_bruteforce(toks, phrase, slop)}
-    assert got == want, (got, want, docs, phrase, slop)
+    want = {
+        d for d, toks in enumerate(docs)
+        if _slop_bruteforce(toks, phrase, slop, transpositions)
+    }
+    assert got == want, (got, want, docs, phrase, slop, transpositions)
 
 
 # ---------------------------------------------------------------------------

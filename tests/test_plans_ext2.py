@@ -328,3 +328,51 @@ def test_hierarchy_queries_use_semi_joins(spark, sf_dir):
     assert "LeftSemi" in p264, p264[:3000]
     p265 = _plan(QUERIES["q265_has_parent"](spark, sf_dir))
     assert "LeftSemi" in p265, p265[:3000]
+
+
+def test_slop_transpositions_cost_two(spark):
+    """ES's documented rule: a transposed adjacent pair matches at
+    slop>=2 and not below; ordered hits are unchanged by enabling
+    transpositions; repeated-term phrases stay on the ordered subset."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        phrase_search_slop_batch,
+    )
+
+    # doc 0: exact order; doc 1: transposed; doc 2: transposed + 1 gap
+    docs = {0: "the quick fox jumps", 1: "the fox quick jumps", 2: "fox a quick"}
+    rows = [
+        (d, p + 1, t) for d, txt in docs.items() for p, t in enumerate(txt.split())
+    ]
+    postings = spark.createDataFrame(rows, "doc_id bigint, pos int, term string")
+    ph = "quick fox"
+
+    def hits(slop, transpositions=True):
+        return {
+            r["doc_id"]
+            for r in phrase_search_slop_batch(
+                postings, [ph], slop=slop, transpositions=transpositions
+            ).collect()
+        }
+
+    assert hits(0) == {0}
+    assert hits(1) == {0}          # a swap costs 2, not 1
+    assert hits(2) == {0, 1}       # transposition admitted at slop=2
+    assert hits(3) == {0, 1, 2}    # swap + one extra gap = 3
+    # ordered-only mode is the previous semantics
+    assert hits(2, transpositions=False) == {0}
+    # ordered hits never disappear when transpositions turn on
+    for slop in (0, 1, 2, 3):
+        assert hits(slop, transpositions=False) <= hits(slop)
+    # repeated-term phrase routes to the ordered path: "fox a quick a"
+    # contains 'a quick a'... use a doc where only out-of-order would hit
+    rep_rows = [(9, p + 1, t) for p, t in enumerate("b a c a b".split())]
+    rep_postings = spark.createDataFrame(rep_rows, "doc_id bigint, pos int, term string")
+    rep = {
+        r["doc_id"]
+        for r in phrase_search_slop_batch(
+            rep_postings, ["a b a"], slop=2, transpositions=True
+        ).collect()
+    }
+    # ordered certificate a(2) b(5)? needs a after b: a@4 < b@5 no third a
+    # -> positions a=2, b=5, a=? none after 5: no ordered match
+    assert rep == set()
