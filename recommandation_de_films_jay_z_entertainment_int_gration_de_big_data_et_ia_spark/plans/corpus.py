@@ -60,9 +60,14 @@ from .textstats import TOKS_SQL
     """,
 )
 def q106_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the per-doc token arrays ONCE (one row per doc — the
+    # q237 bounded-memory pattern): the vocab aggregate and the probe
+    # side both explode from the checkpointed arrays, instead of each
+    # re-running the parquet scan + regexp split (the ~20%-over-linear
+    # sf1 overhead flagged in round-5 VERDICT).
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("tk")
-    )
+    ).localCheckpoint(eager=True)
     tok = docs.select("doc_id", F.explode("tk").alias("token"))
     # total folded into the vocab frame via a global window: the single
     # partition it forces holds only vocab rows (broadcast-small by the

@@ -22,6 +22,19 @@ from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_s
 )
 
 
+# Queries whose sf0.1->sf1 time ratio is driven by TRUE RESULT GROWTH
+# (LSH pair population on a replicated corpus), not plan shape — the
+# audit records their output row count so SCALE notes carry the numbers
+# (round-5 VERDICT task 4).
+ROWS_WATCHLIST = {
+    "q32_dedup_minhash_pairs",
+    "q33_dedup_jaccard_verify",
+    "q81_split_contamination",
+    "q99_dedup_incremental",
+    "q263_crossdoc_span_excise",
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1]
     out_path = sys.argv[2]
@@ -50,6 +63,8 @@ def main() -> None:
                     ).save()
                     runs.append(round(time.time() - t0, 2))
                 rec = {"query": name, "cold": runs[0], "warm": runs[1]}
+                if name in ROWS_WATCHLIST:
+                    rec["rows"] = queries[name](spark, sf_dir).count()
             except Exception as e:  # noqa: BLE001
                 rec = {"query": name, "error": f"{type(e).__name__}: {e}"[:300]}
             fh.write(json.dumps(rec) + "\n")

@@ -1,39 +1,73 @@
 #!/usr/bin/env python
-"""Compare per-query steady-state times between two bench JSON files
-(default: a fresh sf0.1 run vs the sf1 rehearsal) and print a markdown
-table of scaling ratios, flagging anything super-linear (> the
-flag threshold; data is 10x, so linear ≈ 10, with fixed-overhead
-queries far below).
+"""Render the round's SCALE markdown from the sf1 audit: per-query
+sf0.1 (steady, from BENCH_full_local.json) vs sf1 (warm, from the
+sf1_audit JSONL) with scaling ratios, flagging anything super-linear
+(data is 10x, so linear ≈ 10x with fixed-overhead queries far below).
+Output-growth watchlist queries carry their sf1 result row count so
+"output growth, not plan" claims have numbers attached.
 
-Usage: python scripts/sf1_ratios.py BENCH_sf01.json BENCH_sf1_raw.json [flag_ratio]
+Usage: python scripts/sf1_ratios.py BENCH_sf1_full_rN.jsonl SCALE_rN.md [flag_ratio]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    base_path, sf1_path = sys.argv[1], sys.argv[2]
+    sf1_path, out_path = sys.argv[1], sys.argv[2]
     flag = float(sys.argv[3]) if len(sys.argv) > 3 else 12.0
-    base = json.load(open(base_path))["queries"]
-    sf1 = json.load(open(sf1_path))["queries"]
-    rows = []
+    base = json.load(open(os.path.join(HERE, "BENCH_full_local.json")))["queries"]
+    sf1: dict[str, dict] = {}
+    with open(sf1_path) as fh:
+        for line in fh:
+            if line.strip():
+                rec = json.loads(line)
+                sf1[rec["query"]] = rec
+    rows, errors = [], []
     for name in sorted(set(base) & set(sf1)):
-        b, s = base[name], sf1[name]
-        rows.append((name, b, s, s / b if b > 0 else float("inf")))
+        rec = sf1[name]
+        if "error" in rec:
+            errors.append((name, rec["error"]))
+            continue
+        b, s = base[name], rec["warm"]
+        rows.append((name, b, s, s / b if b > 0 else float("inf"), rec.get("rows")))
     rows.sort(key=lambda r: -r[3])
-    print("| query | sf0.1 s | sf1 s | ratio |")
-    print("|---|---|---|---|")
-    for name, b, s, r in rows:
+    lines = [
+        "# Scale audit: full catalog at sf0.1 vs sf1 (10x data)",
+        "",
+        f"sf0.1 base: BENCH_full_local.json steady min; sf1: warm run of 2 "
+        f"({os.path.basename(sf1_path)}). Linear = 10x; flag > {flag:g}x. "
+        "`rows` = sf1 result rows for the output-growth watchlist "
+        "(LSH pair families where the true result, not the plan, grows "
+        "super-linearly on the replicated corpus).",
+        "",
+        "| query | sf0.1 s | sf1 s | ratio | rows (sf1) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, b, s, r, nrows in rows:
         mark = " **⚠**" if r > flag else ""
-        print(f"| {name} | {b:.2f} | {s:.2f} | {r:.1f}x{mark} |")
+        rtxt = f"{nrows:,}" if nrows is not None else ""
+        lines.append(f"| {name} | {b:.2f} | {s:.2f} | {r:.1f}x{mark} | {rtxt} |")
     tot_b = sum(r[1] for r in rows)
     tot_s = sum(r[2] for r in rows)
-    print(f"| **total** | {tot_b:.1f} | {tot_s:.1f} | {tot_s / tot_b:.1f}x |")
+    lines.append(f"| **total** | {tot_b:.1f} | {tot_s:.1f} | {tot_s / tot_b:.1f}x | |")
     flagged = [r for r in rows if r[3] > flag]
-    print(f"\n{len(flagged)} queries above {flag}x (linear = 10x for 10x data)")
+    lines.append("")
+    lines.append(
+        f"{len(flagged)} queries above {flag:g}x "
+        f"({', '.join(r[0] for r in flagged) or 'none'})."
+    )
+    if errors:
+        lines.append("")
+        lines.append("Errors: " + "; ".join(f"{n}: {e}" for n, e in errors))
+    with open(out_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}: total {tot_s / tot_b:.1f}x, {len(flagged)} flagged")
 
 
 if __name__ == "__main__":
