@@ -333,3 +333,48 @@ def test_foreachbatch_upsert_replay_is_idempotent(spark, sf_dir, tmp_path):
         .collect()
     )
     assert before == want
+
+
+def test_upsert_state_probe_accepts_file_uri(spark, sf_dir, tmp_path):
+    """State detection goes through the Hadoop FS API: a file:// URI
+    must behave exactly like the bare local path (the old os.path probe
+    saw 'no state' for ANY URI — which would drop prior state), and the
+    probe must see state written under either addressing."""
+    from pyspark.sql import functions as F
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.windows import (
+        _state_has_parquet,
+        apply_upsert_batch,
+    )
+
+    state = str(tmp_path / "state_uri")
+    uri = f"file://{state}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    assert not _state_has_parquet(spark, uri)
+    apply_upsert_batch(b1, uri)          # first merge via URI
+    assert _state_has_parquet(spark, uri)
+    assert _state_has_parquet(spark, state)  # same dir, bare path
+    apply_upsert_batch(b2, state)        # second merge via bare path
+    # merging through mixed addressing must still union prior state:
+    # the final state is latest-per-key over BOTH batches
+    got = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    )
+    assert got == want
