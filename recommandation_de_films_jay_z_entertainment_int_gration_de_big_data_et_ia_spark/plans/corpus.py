@@ -965,3 +965,232 @@ def q263_crossdoc_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.encode(F.concat_ws(" ", "clean_tokens"), "UTF-8")).alias("clean_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q267 — Gopher repetition-quality rules (Rae et al. 2021, Table A1):
+# the two standard within-doc repetition signals a pre-training filter
+# computes per document —
+#   * top-2-gram character fraction: chars covered by occurrences of
+#     the doc's MOST FREQUENT bigram / total token chars (threshold
+#     0.20; ties break to the lexicographically smallest bigram);
+#   * duplicated-5-gram character fraction: chars of token positions
+#     covered by any 5-gram occurring >= 2 times in the doc — ALL
+#     occurrences count, unlike q253's keep-first excision (threshold
+#     0.15).
+# Char accounting is exact integers (token lengths; gram chars =
+# len(gram) - (n-1) separators); fractions round once at the end.
+#
+# Shape (100 TB): both signals are per-doc — n-gram explodes are
+# scan-local and every aggregation keys on (doc, gram) or doc, so the
+# whole query is two fine-grained shuffles + one doc-keyed reduce; no
+# cross-doc state at all (contrast q110/q263, the cross-doc passes).
+# ---------------------------------------------------------------------------
+_GOPHER_TOP2 = 0.20
+_GOPHER_DUP5 = 0.15
+
+
+@register(
+    "q267_gopher_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    chars AS (SELECT doc_id, len(tk) AS n_tokens,
+                     CAST(len(array_to_string(tk, '')) AS BIGINT) AS n_chars
+              FROM t),
+    g2 AS (SELECT doc_id, array_to_string(tk[i:i + 1], ' ') AS gram
+           FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    top2 AS (SELECT doc_id, gram, cnt FROM (
+               SELECT doc_id, gram, cnt, ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+               FROM c2) WHERE rn = 1),
+    g5 AS (SELECT doc_id, i, array_to_string(tk[i:i + 4], ' ') AS gram
+           FROM t, UNNEST(range(1, len(tk) - 3)) AS u(i)),
+    d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+    cov AS (SELECT DISTINCT g5.doc_id, u.p
+            FROM g5 JOIN d5 USING (doc_id, gram),
+                 UNNEST(range(g5.i, g5.i + 5)) AS u(p)),
+    covch AS (SELECT cov.doc_id, CAST(SUM(len(t.tk[cov.p])) AS BIGINT) AS dup_chars
+              FROM cov JOIN t USING (doc_id) GROUP BY cov.doc_id)
+    SELECT c.doc_id,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(COALESCE(top2.cnt, 0) * (len(COALESCE(top2.gram, '')) - 1)
+                      AS DOUBLE) / c.n_chars, 4) AS top2_frac,
+           ROUND(CAST(COALESCE(covch.dup_chars, 0) AS DOUBLE) / c.n_chars, 4)
+             AS dup5_frac,
+           (CAST(COALESCE(top2.cnt, 0) * (len(COALESCE(top2.gram, '')) - 1)
+                 AS DOUBLE) / c.n_chars <= {_GOPHER_TOP2}
+            AND CAST(COALESCE(covch.dup_chars, 0) AS DOUBLE) / c.n_chars
+                <= {_GOPHER_DUP5}) AS keep
+    FROM chars c
+      LEFT JOIN top2 ON c.doc_id = top2.doc_id
+      LEFT JOIN covch ON c.doc_id = covch.doc_id
+    WHERE c.n_chars > 0
+    ORDER BY c.doc_id
+    """,
+)
+def q267_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # four branches (char totals, bigram, 5-gram, coverage join) consume
+    # the tokenized frame — localCheckpoint once (q106/q237 pattern)
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    ).localCheckpoint(eager=True)
+    chars = t.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.length(F.concat_ws("", "tk")).cast("bigint").alias("n_chars"),
+    )
+    g2 = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(tk) >= 2,"
+                " transform(sequence(1, size(tk) - 1),"
+                "   i -> concat_ws(' ', slice(tk, i, 2))),"
+                " array())"
+            )
+        ).alias("gram"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top2 = (
+        g2.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("t2gram"), F.col("cnt").alias("t2cnt"))
+    )
+    g5 = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(tk) >= 5,"
+                " transform(sequence(1, size(tk) - 4),"
+                "   i -> struct(i AS i, concat_ws(' ', slice(tk, i, 5)) AS gram)),"
+                " array())"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.i").alias("i"), F.col("e.gram").alias("gram"))
+    d5 = (
+        g5.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "gram")
+    )
+    cov = (
+        g5.join(d5, ["doc_id", "gram"])
+        .select("doc_id", F.explode(F.expr("sequence(i, i + 4)")).alias("p"))
+        .distinct()
+    )
+    covch = (
+        cov.join(t, "doc_id")
+        .select("doc_id", F.length(F.expr("element_at(tk, p)")).alias("ch"))
+        .groupBy("doc_id")
+        .agg(F.sum("ch").cast("bigint").alias("dup_chars"))
+    )
+    top2_chars = F.coalesce(F.col("t2cnt"), F.lit(0)) * (
+        F.length(F.coalesce(F.col("t2gram"), F.lit(""))) - F.lit(1)
+    )
+    top2_frac = top2_chars.cast("double") / F.col("n_chars")
+    dup5_frac = (
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double") / F.col("n_chars")
+    )
+    return (
+        chars.join(top2, "doc_id", "left")
+        .join(covch, "doc_id", "left")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top2_frac, 4).alias("top2_frac"),
+            F.round(dup5_frac, 4).alias("dup5_frac"),
+            ((top2_frac <= _GOPHER_TOP2) & (dup5_frac <= _GOPHER_DUP5)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268 — PII scrubbing (the redaction pass every production corpus
+# pipeline runs before training): emails and phone numbers are replaced
+# with typed placeholder tokens; the query reports per-doc redaction
+# counts and an md5 of the scrubbed text so the oracle hash-checks the
+# rewrite exactly. The synthetic corpus carries no PII, so deterministic
+# PII is INJECTED from doc_id first (the q107 URL-injection protocol —
+# the oracle derives the identical text, so the scrubber is provably
+# exercised; patterns are conservative char-classes that parse
+# identically under Java regex and RE2).
+#
+# Shape (100 TB): pure per-row column math — regexp_extract_all +
+# nested regexp_replace, zero shuffles beyond the output sort; the scan
+# stays in whole-stage codegen.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_PII_PHONE = "\\+1-555-[0-9][0-9][0-9][0-9]"
+
+_PII_INJECT_SQL = """
+    text || CASE
+      WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example now'
+      WHEN doc_id % 4 = 1 THEN ' call +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      WHEN doc_id % 4 = 2 THEN ' from user' || CAST(doc_id AS VARCHAR)
+           || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE ''
+    END
+"""
+
+
+def _pii_inject() -> F.Column:
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), d.cast("string"), F.lit("@mail"),
+        (d % 7).cast("string"), F.lit(".example now"),
+    )
+    phone = F.concat(
+        F.lit(" call +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"), F.lit(" today"),
+    )
+    both = F.concat(
+        F.lit(" from user"), d.cast("string"), F.lit("@mail"),
+        (d % 7).cast("string"), F.lit(".example or +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, email)
+        .when(d % 4 == 1, phone)
+        .when(d % 4 == 2, both)
+        .otherwise(F.lit("")),
+    )
+
+
+@register(
+    "q268_pii_scrub",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_PII_INJECT_SQL} AS txt FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_hash
+    FROM t ORDER BY doc_id
+    """,
+)
+def q268_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_inject().alias("txt")
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("txt", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("txt", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("clean_hash"),
+    ).orderBy("doc_id")
