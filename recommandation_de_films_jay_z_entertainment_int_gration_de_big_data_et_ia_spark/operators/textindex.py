@@ -359,16 +359,22 @@ def cross_doc_span_excise(
     min_docs: int = 3,
     broadcast_threshold: int | None = None,
     materialize: bool = False,
+    keep_first: bool = False,
 ) -> DataFrame:
     """CROSS-document duplicated-span removal (RefinedWeb/Gopher-style
     boilerplate excision, the cross-doc complement of the intra-doc q253
     pass): any ``n``-token span occurring in ``>= min_docs`` DISTINCT
     documents is boilerplate (mirrored headers/footers/templates) and is
     excised from EVERY document — boilerplate has no canonical owner, so
-    unlike whole-doc dedup no occurrence is kept. Overlapping boilerplate
-    spans merge by INTERVAL UNION: each boilerplate occurrence covers
-    ``[i, i+n-1]``; sorted start positions fold into disjoint merged
-    intervals and a token survives iff outside every interval.
+    by default no occurrence is kept. ``keep_first=True`` switches to the
+    Lee et al. 2022 EXACT-SUBSTRING-DEDUP semantic instead: one canonical
+    occurrence of each duplicated span survives — the one at the
+    globally smallest ``(doc, position)``, a deterministic stand-in for
+    "keep one copy" — and only the other occurrences are excised.
+    Overlapping spans merge by INTERVAL UNION either way: each excised
+    occurrence covers ``[i, i+n-1]``; sorted start positions fold into
+    disjoint merged intervals and a token survives iff outside every
+    interval.
 
     Returns one row per input document:
     ``(id_col, n_tokens, n_removed, clean_tokens)`` with ``clean_tokens``
@@ -417,17 +423,27 @@ def cross_doc_span_excise(
         g = g.localCheckpoint(eager=True)
     boiler = (
         g.groupBy("gram")
-        .agg(F.countDistinct("__id").alias("nd"))
+        .agg(
+            F.countDistinct("__id").alias("nd"),
+            # the canonical surviving occurrence under keep_first: the
+            # globally smallest (doc, position) — struct min is
+            # lexicographic, so deterministic under any shuffle order
+            F.min(F.struct("__id", "i")).alias("__keep"),
+        )
         .filter(F.col("nd") >= int(min_docs))
-        .select("gram")
+        .select("gram", "__keep")
     )
     if broadcast_threshold != 0:
         boiler = F.broadcast(boiler)
-    c = (
-        g.join(boiler, "gram")
-        .groupBy("__id")
-        .agg(F.sort_array(F.collect_set("i")).alias("__ss"))
-    )
+    hits = g.join(boiler, "gram")
+    if keep_first:
+        hits = hits.filter(
+            ~(
+                (F.col("__id") == F.col("__keep.__id"))
+                & (F.col("i") == F.col("__keep.i"))
+            )
+        )
+    c = hits.groupBy("__id").agg(F.sort_array(F.collect_set("i")).alias("__ss"))
     # sorted starts -> disjoint merged intervals [lo, hi]: starts ascend,
     # so each new span's hi = s + n - 1 always >= the running hi, and a
     # span merges into the last interval iff s <= hi + 1 (adjacency

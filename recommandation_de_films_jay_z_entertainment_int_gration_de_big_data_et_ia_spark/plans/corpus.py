@@ -1194,3 +1194,61 @@ def q268_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(F.encode(scrubbed, "UTF-8")).alias("clean_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q269 — cross-document EXACT-SUBSTRING DEDUP, keep-first (Lee et al.
+# 2022 semantic — the ownership-preserving complement of q263's
+# boilerplate excision): each 5-gram span duplicated across >= 3 docs
+# keeps ONE canonical occurrence — the globally smallest (doc,
+# position) — and every other occurrence is excised. Same engine
+# operator (cross_doc_span_excise(keep_first=True)), same interval-merge
+# reconstruction; the oracle ranks occurrences per gram and excises
+# rn > 1.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q269_crossdoc_keep_first",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(tk[i:i + {_XDOC_N - 1}], ' ') AS gram
+          FROM t, UNNEST(range(1, len(tk) - {_XDOC_N - 2})) AS u(i)),
+    b AS (SELECT gram FROM g GROUP BY gram
+          HAVING COUNT(DISTINCT doc_id) >= {_XDOC_K}),
+    hits AS (SELECT g.doc_id, g.i,
+                    ROW_NUMBER() OVER (PARTITION BY g.gram
+                                       ORDER BY g.doc_id, g.i) AS rn
+             FROM g JOIN b USING (gram)),
+    cov AS (SELECT DISTINCT hits.doc_id, u.p
+            FROM hits, UNNEST(range(hits.i, hits.i + {_XDOC_N})) AS u(p)
+            WHERE hits.rn > 1),
+    c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed, list(p) AS ps
+          FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_removed, 0) AS n_removed,
+           md5(COALESCE(list_aggregate(
+                 list_transform(
+                   list_filter(range(1, len(t.tk) + 1),
+                               p -> NOT list_contains(COALESCE(c.ps, []), p)),
+                   p -> t.tk[p]),
+                 'string_agg', ' '), '')) AS clean_hash
+    FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q269_crossdoc_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import cross_doc_span_excise
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cross_doc_span_excise(
+        docs, "doc_id", "text", n=_XDOC_N, min_docs=_XDOC_K,
+        materialize=True, keep_first=True,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.encode(F.concat_ws(" ", "clean_tokens"), "UTF-8")).alias("clean_hash"),
+    ).orderBy("doc_id")

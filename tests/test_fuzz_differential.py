@@ -546,8 +546,9 @@ _XDOC_BOILER = ["b", "a", "d", "c"]  # the planted template span
     plant=st.lists(st.booleans(), min_size=8, max_size=8),
     n=st.integers(min_value=2, max_value=3),
     k=st.integers(min_value=2, max_value=3),
+    keep_first=st.booleans(),
 )
-def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k):
+def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k, keep_first):
     from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
         cross_doc_span_excise,
     )
@@ -563,7 +564,9 @@ def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k):
     )
     got = {
         r["doc_id"]: (r["n_tokens"], r["n_removed"], list(r["clean_tokens"]))
-        for r in cross_doc_span_excise(df, "doc_id", "text", n=n, min_docs=k).collect()
+        for r in cross_doc_span_excise(
+            df, "doc_id", "text", n=n, min_docs=k, keep_first=keep_first
+        ).collect()
     }
 
     # brute force: tokenizer mirror (splitting "" yields one empty token)
@@ -571,18 +574,23 @@ def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k):
     from collections import defaultdict
 
     gram_docs: dict[tuple, set] = defaultdict(set)
+    gram_keeper: dict[tuple, tuple] = {}
     for i, toks in enumerate(toked):
         for s in range(len(toks) - n + 1):
-            gram_docs[tuple(toks[s:s + n])].add(i)
+            g = tuple(toks[s:s + n])
+            gram_docs[g].add(i)
+            if g not in gram_keeper or (i, s) < gram_keeper[g]:
+                gram_keeper[g] = (i, s)
     boiler = {g for g, ds in gram_docs.items() if len(ds) >= k}
     for i, toks in enumerate(toked):
         covered: set[int] = set()
         for s in range(len(toks) - n + 1):
-            if tuple(toks[s:s + n]) in boiler:
+            g = tuple(toks[s:s + n])
+            if g in boiler and not (keep_first and gram_keeper[g] == (i, s)):
                 covered.update(range(s, s + n))
         want = (
             len(toks),
             len(covered),
             [t for p, t in enumerate(toks) if p not in covered],
         )
-        assert got[i] == want, (i, toks, got[i], want, n, k)
+        assert got[i] == want, (i, toks, got[i], want, n, k, keep_first)
