@@ -71,6 +71,10 @@ HEADLINE = [
     "q126_pagerank_copurchase",
     "q237_ppjoin_exact",
     "q249_poisson_bootstrap",
+    # r06 append: the round-6 cross-doc span-dedup + Gopher-rules
+    # additions — the heaviest new entries, tracked from birth.
+    "q263_crossdoc_span_excise",
+    "q267_gopher_repetition",
 ]
 
 # Entries appended to HEADLINE after the r01/r02 baseline was frozen.
@@ -84,6 +88,8 @@ _POST_R02 = {
     "q126_pagerank_copurchase",
     "q237_ppjoin_exact",
     "q249_poisson_bootstrap",
+    "q263_crossdoc_span_excise",
+    "q267_gopher_repetition",
 }
 
 
