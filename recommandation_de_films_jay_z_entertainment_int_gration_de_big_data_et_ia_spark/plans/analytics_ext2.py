@@ -4571,3 +4571,142 @@ def q260_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q270 — exact triangle count + global clustering coefficient over the
+# co-purchase graph (the graph-stats companion to q126 PageRank / q215
+# link prediction). Algorithm: DEGREE-ORDERED EDGE ORIENTATION (the
+# standard scalable MapReduce formulation, Suri & Vassilvitskii "Counting
+# Triangles and the Curse of the Last Reducer", WWW'11): orient every
+# undirected edge from its lower-(deg, id) endpoint to the higher one —
+# every out-neighborhood then has size O(sqrt(m)), so the wedge join
+# E(u,v) ⋈ E(u,w) generates Σ outdeg(u)² = O(m^1.5) candidates
+# REGARDLESS of hub skew (the unoriented wedge count Σ deg² is unbounded
+# under power laws — the "last reducer" this kills). A semi-join of
+# wedges against oriented edges closes triangles exactly once each.
+#
+# All counts are exact integers; the clustering coefficient
+# 3·triangles / wedges(unoriented) rounds once at the end.
+# ---------------------------------------------------------------------------
+_TRI_MIN_SUP = 2
+
+
+@register(
+    "q270_triangle_count",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey),
+    rawpairs AS (
+      SELECT p1.part AS a, p2.part AS b
+      FROM baskets, UNNEST(parts) AS p1(part), UNNEST(parts) AS p2(part)
+      WHERE p1.part < p2.part),
+    edges AS (SELECT a, b FROM rawpairs GROUP BY a, b
+              HAVING COUNT(*) >= {_TRI_MIN_SUP}),
+    deg AS (SELECT node, COUNT(*) AS d FROM (
+              SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+            GROUP BY node),
+    orient AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dstd
+      FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+    wedges AS (
+      SELECT o1.dst AS v, o2.dst AS w
+      FROM orient o1 JOIN orient o2 ON o1.src = o2.src
+      WHERE (o1.dstd, o1.dst) < (o2.dstd, o2.dst)),
+    tri AS (SELECT COUNT(*) AS t FROM wedges w
+            WHERE EXISTS (SELECT 1 FROM orient o
+                          WHERE o.src = w.v AND o.dst = w.w)),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM edges) AS n_edges,
+             (SELECT SUM(d * (d - 1) // 2) FROM deg) AS n_wedges,
+             (SELECT t FROM tri) AS n_triangles)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           ROUND(3.0 * n_triangles / n_wedges, 6) AS global_cc
+    FROM stats
+    """,
+)
+def q270_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, a -> transform(filter(parts, b -> b > a),"
+        " b -> struct(a AS a, b AS b))))"
+    )
+    # materialize the (small) edge set once: FIVE downstream branches
+    # (deg ×2, orientation, wedge legs ×2, the closing semi-join, the
+    # edge-count stat) would each replay the basket explode + pair agg,
+    # exploding the physical plan (46 exchanges measured un-materialized
+    # vs 7 after; the q237/q106 localCheckpoint pattern).
+    edges = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _TRI_MIN_SUP)
+        .drop("c")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient low-(deg, id) -> high-(deg, id); carry dst's degree so the
+    # wedge join can order its two legs without another deg lookup
+    da, db = deg.alias("da"), deg.alias("db")
+    e = (
+        edges.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select(
+            "a", "b",
+            F.col("da.d").alias("ad"), F.col("db.d").alias("bd"),
+        )
+    )
+    fwd = (F.col("ad") < F.col("bd")) | (
+        (F.col("ad") == F.col("bd")) & (F.col("a") < F.col("b"))
+    )
+    # three consumers (both wedge legs + the closing semi-join)
+    orient = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("bd")).otherwise(F.col("ad")).alias("dstd"),
+    ).localCheckpoint(eager=True)
+    o1, o2 = orient.alias("o1"), orient.alias("o2")
+    wedges = o1.join(o2, F.col("o1.src") == F.col("o2.src")).filter(
+        (F.col("o1.dstd") < F.col("o2.dstd"))
+        | (
+            (F.col("o1.dstd") == F.col("o2.dstd"))
+            & (F.col("o1.dst") < F.col("o2.dst"))
+        )
+    ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    closed = wedges.join(
+        orient.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "leftsemi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("t"))
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("t").cast("bigint").alias("n_triangles"),
+        F.round(F.lit(3.0) * F.col("t") / F.col("n_wedges"), 6).alias("global_cc"),
+    )

@@ -594,3 +594,67 @@ def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k, keep_f
             [t for p, t in enumerate(toks) if p not in covered],
         )
         assert got[i] == want, (i, toks, got[i], want, n, k, keep_first)
+
+
+# ---------------------------------------------------------------------------
+# Triangle-count fuzz: the degree-ordered orientation + wedge-close
+# pipeline (q270's core) must count each triangle exactly once on random
+# graphs — hub-heavy shapes included (star + clique mixtures).
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_triangle_count_equals_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    # canonicalize to a<b and dedup
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    if not und:
+        return
+    eset = set(und)
+    nodes = sorted({n for e in und for n in e})
+    want = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset
+    )
+
+    edf = spark.createDataFrame(und, "a int, b int")
+    deg = (
+        edf.select(F.col("a").alias("node"))
+        .unionAll(edf.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    e = (
+        edf.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select("a", "b", F.col("da.d").alias("ad"), F.col("db.d").alias("bd"))
+    )
+    fwd = (F.col("ad") < F.col("bd")) | (
+        (F.col("ad") == F.col("bd")) & (F.col("a") < F.col("b"))
+    )
+    orient = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("bd")).otherwise(F.col("ad")).alias("dstd"),
+    )
+    o1, o2 = orient.alias("o1"), orient.alias("o2")
+    wedges = o1.join(o2, F.col("o1.src") == F.col("o2.src")).filter(
+        (F.col("o1.dstd") < F.col("o2.dstd"))
+        | ((F.col("o1.dstd") == F.col("o2.dstd")) & (F.col("o1.dst") < F.col("o2.dst")))
+    ).select(F.col("o1.dst").alias("v"), F.col("o2.dst").alias("w"))
+    got = wedges.join(
+        orient.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "leftsemi",
+    ).count()
+    assert got == want, (und, got, want)
