@@ -259,3 +259,103 @@ def audio_rms_windows(
     return binary_docs.select("doc_id", "payload").mapInPandas(
         _win, schema=AUDIO_RMS_SCHEMA
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(
+    raw_frames: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Perceptual difference hash (dHash) over raw 8-bit grayscale
+    frames — the standard near-duplicate image fingerprint: 2×2
+    integer-mean downsample to (w/2)×(h/2), then one bit per horizontally
+    adjacent cell pair (left < right), row-major. With an 8×8 grid that
+    is 7 bits × 8 rows = 56 bits — always a positive int64, so the
+    fingerprint is exactly representable in both engines (no unsigned
+    wrap games).
+
+    ``raw_frames`` carries ``(id_col, payload binary, meta struct)`` with
+    ``payload`` = width*height raw grayscale bytes (``image/x-raw`` —
+    the frame format video pipelines hand around; PNG/JPEG ingestion
+    swaps a PIL decode into ``_decode`` without touching the plumbing).
+    Arrow-batched ``mapInPandas`` end to end: decode (np.frombuffer),
+    downsample, and hash are vectorized numpy per batch; zero shuffles —
+    the output is one row per input row, partitioning preserved.
+    """
+    import numpy as np
+
+    w2, h2 = width // 2, height // 2
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for did, payload in zip(b[id_col], b["payload"]):
+                px = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                    height, width
+                )
+                # exact integer 2x2 block mean (sum // 4) — the oracle
+                # reproduces this arithmetic bit-for-bit
+                g = (
+                    px[0::2, 0::2].astype(np.int64)
+                    + px[1::2, 0::2]
+                    + px[0::2, 1::2]
+                    + px[1::2, 1::2]
+                ) // 4
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64)
+                shifts = (
+                    np.arange(h2)[:, None] * (w2 - 1) + np.arange(w2 - 1)[None, :]
+                )
+                out.append((did, width * height, int((bits << shifts).sum())))
+            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "dhash"])
+
+    return raw_frames.mapInPandas(_hash, DHASH_SCHEMA)
+
+
+def synth_raw_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    n_distinct: int = 19,
+) -> DataFrame:
+    """Deterministic raw-frame synthesis for the dHash pipeline: pixel
+    (x, y) of doc d is ``(7*(d % n_distinct) + 13*x + 31*y) % 251`` —
+    docs congruent mod ``n_distinct`` share a frame byte-for-byte, so
+    near-dup groups exist by construction and the whole payload is
+    arithmetic the DuckDB oracle can re-derive. Payload bytes are built
+    in the same Arrow boundary the real ingestion would use."""
+    import numpy as np
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(width)[None, :]
+        ys = np.arange(height)[:, None]
+        for b in batches:
+            rows = []
+            for did in b[id_col]:
+                d = int(did) % n_distinct
+                px = ((7 * d + 13 * xs + 31 * ys) % 251).astype(np.uint8)
+                rows.append((int(did), px.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out = df.select(F.col(id_col)).mapInPandas(_synth, schema)
+    meta = F.struct(
+        F.lit(width * height).alias("n_bytes"),
+        F.lit(f"image/x-raw;{width}x{height};L").alias("mime"),
+    )
+    return out.select("doc_id", "payload", meta.alias("meta"))

@@ -96,3 +96,72 @@ def q262_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_rms_windows(bin_docs, window=_RMS_W, hop=_RMS_H).orderBy(
         "doc_id", "window_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 — image perceptual-hash (dHash) near-dup dedup: the multimodal
+# member of the dedup family. Raw 16×16 grayscale frames (synthesized
+# deterministically from doc_id — docs congruent mod 19 share a frame,
+# so dup groups exist by construction) flow through the real Arrow
+# mapInPandas decode → integer 2×2 downsample → 56-bit dHash, then an
+# exact hash-groupBy yields duplicate groups. Every pixel is arithmetic
+# in doc_id, so the DuckDB oracle re-derives the SAME fingerprints
+# bit-for-bit — an exact oracle through a real binary decode path
+# (operators/multimodal.py:image_dhash; PNG/JPEG ingestion swaps a PIL
+# decode into the same plumbing).
+#
+# Shape (100 TB): hashing is one row-preserving Arrow pass, zero
+# shuffles; the dedup is one hash-groupBy — identical scale shape to
+# exact text dedup (q31), with the 56-bit fingerprint standing in for
+# the md5.
+# ---------------------------------------------------------------------------
+_DH_K = 19
+
+
+def _dh_px(x: str, y: str) -> str:
+    return f"((7 * k + 13 * ({x}) + 31 * ({y})) % 251)"
+
+
+def _dh_g(x: str, y: str) -> str:
+    return (
+        "(("
+        + " + ".join(
+            _dh_px(f"2*({x}){dx}", f"2*({y}){dy}")
+            for dx in ("", "+1")
+            for dy in ("", "+1")
+        )
+        + ") // 4)"
+    )
+
+
+@register(
+    "q271_image_dhash_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, doc_id % {_DH_K} AS k FROM documents),
+    h AS (
+      SELECT doc_id,
+             SUM(CASE WHEN {_dh_g('x', 'y')} < {_dh_g('x + 1', 'y')}
+                 THEN CAST(1 AS BIGINT) << (y * 7 + x) ELSE CAST(0 AS BIGINT) END) AS dhash
+      FROM d, UNNEST(range(0, 8)) AS uy(y), UNNEST(range(0, 7)) AS ux(x)
+      GROUP BY doc_id),
+    g AS (SELECT dhash, COUNT(*) AS cnt FROM h GROUP BY dhash)
+    SELECT h.doc_id, CAST(h.dhash AS BIGINT) AS dhash,
+           CAST(g.cnt AS BIGINT) AS group_size
+    FROM h JOIN g USING (dhash)
+    ORDER BY h.doc_id
+    """,
+)
+def q271_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.synth_raw_frames(docs, "doc_id", n_distinct=_DH_K)
+    # two consumers (fingerprints + group counts) — checkpoint so the
+    # Arrow stage runs once
+    h = MM.image_dhash(frames, "doc_id").select("doc_id", "dhash").localCheckpoint(
+        eager=True
+    )
+    g = h.groupBy("dhash").agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+    return (
+        h.join(F.broadcast(g), "dhash")
+        .select("doc_id", "dhash", "group_size")
+        .orderBy("doc_id")
+    )
