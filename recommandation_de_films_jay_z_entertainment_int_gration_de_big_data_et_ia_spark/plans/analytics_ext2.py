@@ -4710,3 +4710,128 @@ def q270_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("bigint").alias("n_triangles"),
         F.round(F.lit(3.0) * F.col("t") / F.col("n_wedges"), 6).alias("global_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+# language, documents split into head / middle / tail TERCILES by LM
+# perplexity — the standard quality stratification a multilingual corpus
+# pipeline applies before mixing (head = lowest perplexity = cleanest).
+# Perplexity is q184's add-one-smoothed bigram LM (same decimal-summed
+# lp discipline); thresholds are RANK-EXACT terciles — rank within
+# (lang) by (rounded ppl, doc_id), head = rank <= ceil(n/3), middle <=
+# ceil(2n/3) — integer arithmetic on both engines, no percentile-
+# function semantics to reconcile. Reports per (lang, bucket) counts and
+# the bucket's perplexity range.
+#
+# Shape (100 TB): the bigram/count joins are q184's (key-partitioned,
+# vocab 1-row broadcast); the tercile window shuffles once on lang (a
+# handful of partitions at any scale — if a lang is a hot partition,
+# rank via two-pass histogram instead; documented trade-off).
+# ---------------------------------------------------------------------------
+@register(
+    "q273_ccnet_ppl_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SNM_TOKS_SQL} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+      FROM t, UNNEST(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    c2 AS (SELECT a, b, COUNT(*) AS n2 FROM bg GROUP BY a, b),
+    c1 AS (SELECT a, COUNT(*) AS n1 FROM bg GROUP BY a),
+    v AS (SELECT COUNT(DISTINCT u.t) AS vocab FROM t, UNNEST(tk) AS u(t)),
+    terms AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(ln((CAST(c2.n2 AS DOUBLE) + 1.0) / (CAST(c1.n1 AS DOUBLE) + v.vocab)), 12)
+                  AS DECIMAL(20,12)) AS lp
+      FROM bg JOIN c2 ON bg.a = c2.a AND bg.b = c2.b
+              JOIN c1 ON bg.a = c1.a
+              CROSS JOIN v),
+    ppl AS (
+      SELECT doc_id, ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4) AS p
+      FROM terms GROUP BY doc_id),
+    r AS (
+      SELECT t.lang, ppl.p,
+             ROW_NUMBER() OVER (PARTITION BY t.lang ORDER BY ppl.p, ppl.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY t.lang) AS n
+      FROM ppl JOIN t ON ppl.doc_id = t.doc_id),
+    b AS (
+      SELECT lang, p,
+             CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                  WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM r)
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(p) AS min_ppl, MAX(p) AS max_ppl
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def q273_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("tk")
+    )
+    bg = (
+        docs.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, size(tk) - 1),"
+                    " (x, i) -> struct(x AS a, tk[i+1] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("a").agg(F.count(F.lit(1)).alias("n1"))
+    v = docs.select(F.explode("tk").alias("t")).agg(F.countDistinct("t").alias("vocab"))
+    terms = (
+        bg.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n2").cast("double") + 1.0)
+                    / (F.col("n1").cast("double") + F.col("vocab"))
+                ),
+                12,
+            )
+            .cast("decimal(20,12)")
+            .alias("lp"),
+        )
+    )
+    ppl = terms.groupBy("doc_id").agg(
+        F.round(
+            F.exp(-(F.sum("lp").cast("double") / F.count(F.lit(1)))), 4
+        ).alias("p")
+    )
+    r = (
+        ppl.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("lang").orderBy("p", "doc_id")),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    )
+    b = r.select(
+        "lang",
+        "p",
+        F.when(F.expr("rn <= (n + 2) div 3"), F.lit("head"))
+        .when(F.expr("rn <= (2 * n + 2) div 3"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("p").alias("min_ppl"),
+            F.max("p").alias("max_ppl"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -1384,3 +1384,117 @@ def q266_nested_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — TRUE ES more_like_this: unlike the reference's genre-overlap
+# recommender (q28's token-set overlap, api.py:138-145), the real ES MLT
+# first selects the seed document's most significant terms by TF-IDF
+# (max_query_terms, default 25 — here 10) and then ranks other docs by
+# BM25 over the SELECTED terms. The whole lifecycle stays in the plan:
+# the seed's term frame joins the vocabulary (broadcast of the ~|doc|
+# seed terms), a window picks the top terms (ROUND(tfidf, 6) DESC, term
+# ASC — the repo's float-ordering protocol), the winners broadcast onto
+# the corpus tf frame, and per-doc scores left-fold in sorted term order
+# for bit-stable totals. No .collect() anywhere — the "like" document
+# drives term selection inside the query itself.
+#
+# Shape (100 TB): the token explode materializes ONCE (localCheckpoint —
+# tfs feeds vocabulary, seed selection, and scoring); seed frame and
+# selected-terms frame are broadcast; the one corpus-sized shuffle is
+# the (doc, term) tf aggregate, the final reduce keys on doc.
+# ---------------------------------------------------------------------------
+_MLT_SEED = 42
+_MLT_MQT = 10
+
+
+@register(
+    "q272_more_like_this_tfidf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    e AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM t),
+    tfs AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY doc_id, dl, term),
+    vocab AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(tk)) AS sumdl FROM t),
+    sel AS (
+      SELECT term, df FROM (
+        SELECT s.term, v.df,
+               ROW_NUMBER() OVER (ORDER BY
+                 ROUND(CAST(s.tf AS DOUBLE)
+                       * ln((CAST(st.n AS DOUBLE) - CAST(v.df AS DOUBLE) + 0.5)
+                            / (CAST(v.df AS DOUBLE) + 0.5) + 1.0), 6) DESC,
+                 s.term ASC) AS rn
+        FROM tfs s JOIN vocab v USING (term) CROSS JOIN stats st
+        WHERE s.doc_id = {_MLT_SEED}) WHERE rn <= {_MLT_MQT}),
+    m AS (
+      SELECT t.doc_id, t.term,
+             ln((CAST(st.n AS DOUBLE) - CAST(x.df AS DOUBLE) + 0.5)
+                / (CAST(x.df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE)
+                    / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))) AS contrib
+      FROM tfs t JOIN sel x USING (term) CROSS JOIN stats st
+      WHERE t.doc_id != {_MLT_SEED}),
+    folded AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(contrib ORDER BY term, contrib)),
+                         (x, y) -> x + y) AS s
+      FROM m GROUP BY doc_id)
+    SELECT doc_id, ROUND(s, 4) AS score FROM folded
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q272_more_like_this_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("tk"))
+    tfs = (
+        t.select("doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = tfs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("tk")).alias("sumdl")
+    )
+    n = F.col("n").cast("double")
+    dfc = F.col("df").cast("double")
+    idf = F.log((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0))
+    seed_terms = tfs.filter(F.col("doc_id") == _MLT_SEED).select("term", "tf")
+    ranked = (
+        vocab.join(F.broadcast(seed_terms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("tfidf", F.round(F.col("tf").cast("double") * idf, 6))
+    )
+    w = Window.partitionBy().orderBy(F.desc("tfidf"), F.asc("term"))
+    sel = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MLT_MQT)
+        .select("term", "df")
+    )
+    tf = F.col("tf").cast("double")
+    avgdl = F.col("sumdl").cast("double") / n
+    denom = tf + F.lit(1.2) * (
+        (F.lit(1.0) - F.lit(0.75)) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+    contrib = (idf * (tf * F.lit(2.2)) / denom).alias("contrib")
+    per_term = (
+        tfs.filter(F.col("doc_id") != _MLT_SEED)
+        .join(F.broadcast(sel), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", contrib)
+    )
+    folded = (
+        per_term.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "contrib"))).alias("__cs"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate("__cs", F.lit(0.0), lambda a, s: a + s["contrib"]), 4
+            ).alias("score"),
+        )
+    )
+    return folded.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
