@@ -1252,3 +1252,59 @@ def q269_crossdoc_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.encode(F.concat_ws(" ", "clean_tokens"), "UTF-8")).alias("clean_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q274 — overlapping token chunking (the RAG / long-context prep step:
+# split every document into fixed-size token windows with overlap so
+# retrieval units respect a model's context budget): chunk k of a doc
+# covers tokens [1 + k*stride, ... + size), k while the start is in
+# range; trailing chunks may be short, empty docs yield one empty chunk
+# (tokenizer contract: splitting '' gives one empty token). Each chunk
+# carries its ordinal, token count, and an md5 of the joined text — the
+# downstream embedding/dedup key.
+#
+# Shape (100 TB): pure scan-local array math — one transform+explode per
+# doc, zero shuffles beyond the output sort; chunk count per doc is
+# ceil(len/stride), so output size is len/stride × corpus — linear.
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "q274_token_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    c AS (
+      SELECT doc_id, u.k AS chunk_idx,
+             tk[1 + u.k * {_CHUNK_STRIDE} :
+                least(1 + u.k * {_CHUNK_STRIDE} + {_CHUNK_SIZE - 1}, len(tk))] AS ck
+      FROM t, UNNEST(range(0, greatest((len(tk) - 2) // {_CHUNK_STRIDE}, 0) + 1)) AS u(k))
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(ck) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def q274_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    # starts: 1 + k*stride for k = 0 .. (len-2) div stride (every start
+    # <= len; a doc of len L gets ceil((L-1)/stride)+... == the oracle's
+    # (L-2)//stride + 1 chunks, 1 chunk for L <= 1)
+    chunks = F.expr(
+        f"transform(sequence(0, greatest((size(tk) - 2) div {_CHUNK_STRIDE}, 0)),"
+        f" k -> struct(k AS k, slice(tk, 1 + k * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS ck))"
+    )
+    return (
+        t.select("doc_id", F.explode(chunks).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.k").cast("bigint").alias("chunk_idx"),
+            F.size("e.ck").cast("bigint").alias("n_tokens"),
+            F.md5(F.encode(F.concat_ws(" ", "e.ck"), "UTF-8")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
