@@ -1308,3 +1308,121 @@ def q274_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — DSIR importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every raw
+# document by how target-like its hashed-unigram profile is, then keep
+# the top-K. Features are token hash buckets (first 2 md5 hex digits ->
+# 256 buckets); the target distribution is the English slice of the
+# corpus, the raw distribution is the whole corpus; bucket log-ratios
+# use add-1 smoothing. Per-token log-ratio is rounded to DECIMAL(18,6)
+# BEFORE summing (the q106 discipline) so the per-doc score is an exact,
+# order-independent decimal and the top-K ranking is bit-stable across
+# engines.
+#
+# Shape (100 TB): one explode -> 256-row distribution aggregate (both
+# target and raw counts in a single conditional pass), broadcast the
+# 256-row log-ratio table back onto the token stream, one (doc_id)
+# aggregate, TakeOrdered top-K. Two shuffles total, nothing driver-side;
+# the smoothing is computed as ln(t+1)-ln(T+B) differences (no big
+# integer products), so counts up to 1e18 tokens stay in range.
+# ---------------------------------------------------------------------------
+_DSIR_B = 256
+_DSIR_K = 100
+_DSIR_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1)"
+)
+
+
+@register(
+    "q275_dsir_resample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, unnest({TOKS_SQL}) AS token FROM documents),
+    bk AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM t),
+    dist AS (SELECT b, COUNT(*) AS r_cnt,
+                    COUNT(*) FILTER (WHERE lang = 'en') AS t_cnt
+             FROM bk GROUP BY b),
+    tot AS (SELECT b, r_cnt, t_cnt,
+                   SUM(r_cnt) OVER () AS rtot, SUM(t_cnt) OVER () AS ttot
+            FROM dist),
+    lr AS (SELECT b,
+                  CAST(ROUND(
+                    (ln(CAST(t_cnt + 1 AS DOUBLE)) - ln(CAST(ttot + {_DSIR_B} AS DOUBLE)))
+                    - (ln(CAST(r_cnt + 1 AS DOUBLE)) - ln(CAST(rtot + {_DSIR_B} AS DOUBLE))),
+                    6) AS DECIMAL(18,6)) AS lr
+           FROM tot),
+    s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lr) AS sw
+          FROM bk JOIN lr USING (b) GROUP BY doc_id),
+    top AS (SELECT doc_id, n_tokens, sw,
+                   ROW_NUMBER() OVER (ORDER BY sw DESC, doc_id) AS rank
+            FROM s)
+    SELECT CAST(top.rank AS BIGINT) AS rank, top.doc_id, d.lang, top.n_tokens,
+           ROUND(CAST(top.sw AS DOUBLE), 4) AS logw
+    FROM top JOIN documents d ON top.doc_id = d.doc_id
+    WHERE top.rank <= {_DSIR_K}
+    ORDER BY rank
+    """,
+)
+def q275_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("tk")
+    ).localCheckpoint(eager=True)
+    bk = docs.select("doc_id", "lang", F.explode("tk").alias("token")).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5(F.encode("token", "UTF-8")), 1, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    dist = bk.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_cnt"),
+    )
+    w = Window.partitionBy()
+    lr = (
+        dist.withColumn("rtot", F.sum("r_cnt").over(w))
+        .withColumn("ttot", F.sum("t_cnt").over(w))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log((F.col("t_cnt") + 1).cast("double"))
+                    - F.log((F.col("ttot") + _DSIR_B).cast("double"))
+                )
+                - (
+                    F.log((F.col("r_cnt") + 1).cast("double"))
+                    - F.log((F.col("rtot") + _DSIR_B).cast("double"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    s = (
+        bk.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr").alias("sw"),
+        )
+    )
+    top = s.orderBy(F.desc("sw"), "doc_id").limit(_DSIR_K)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("sw"), "doc_id")).cast("bigint"),
+    )
+    return (
+        ranked.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "rank",
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("sw").cast("double"), 4).alias("logw"),
+        )
+        .orderBy("rank")
+    )
