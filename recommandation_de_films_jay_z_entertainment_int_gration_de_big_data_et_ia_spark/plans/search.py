@@ -1498,3 +1498,110 @@ def q272_more_like_this_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# q277 — ES `rare_terms` aggregation: the long-tail complement of
+# `terms` — surface terms whose document frequency is <= max_doc_count
+# (here 2), over a shingle(2)-analyzed field (bigrams; the unigram
+# vocabulary of this corpus is dense — min df 25 — so the rare tail
+# lives at the shingle level, exactly where ES users point rare_terms).
+# ES computes this with a CuckooFilter sweep to avoid the memory blow-up
+# of a full terms agg ordered ascending; the shuffle-native analog IS
+# the full distinct-(doc,gram) -> df aggregate (one shuffle, partial-agg
+# combined), with the rare slice filtered after. Deterministic
+# presentation: df ASC, term ASC, capped at 100 rows (the cap is
+# presentation only — the aggregate itself is complete).
+#
+# Shape (100 TB): scan-local shingling + distinct -> one (gram) shuffle
+# -> filter df <= k -> TakeOrdered. No driver-side state; the rare
+# slice is a tiny fraction of the vocabulary by definition.
+# ---------------------------------------------------------------------------
+_RARE_MAX_DF = 2
+
+
+@register(
+    "q277_rare_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT DISTINCT doc_id, tk[u.i] || ' ' || tk[u.i + 1] AS term
+          FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_count
+           FROM g GROUP BY term)
+    SELECT term, doc_count FROM df
+    WHERE doc_count <= {_RARE_MAX_DF}
+    ORDER BY doc_count ASC, term ASC LIMIT 100
+    """,
+)
+def q277_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', tk[i + 1])))"
+            )
+        ).alias("term"),
+    )
+    return (
+        grams.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+        .filter(F.col("doc_count") <= _RARE_MAX_DF)
+        .orderBy(F.asc("doc_count"), F.asc("term"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278 — ES `span_first` query: match documents where a term occurs
+# within the first `end` token positions (Lucene SpanFirstQuery — the
+# last span-query primitive not already covered: span_near == q250's
+# sloppy phrase). Output per matching doc: the earliest qualifying
+# position and how many occurrences fall inside the window.
+#
+# Shape (100 TB): positional explode is scan-local (posexplode carries
+# the ordinal — no window function, no shuffle before the per-doc
+# aggregate); one (doc_id) shuffle for the min/count agg. Filter on
+# position happens BEFORE the shuffle, so only in-window hits move.
+# ---------------------------------------------------------------------------
+_SPAN_TERM = "join"
+_SPAN_END = 10
+
+
+@register(
+    "q278_span_first",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS tk FROM documents),
+    p AS (SELECT doc_id, u.i AS pos
+          FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+          WHERE tk[u.i] = '{_SPAN_TERM}' AND u.i <= {_SPAN_END})
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS first_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_in_window
+    FROM p GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q278_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    hits = t.select(
+        "doc_id", F.posexplode("tk").alias("pos0", "tok")
+    ).filter(
+        (F.col("tok") == _SPAN_TERM) & (F.col("pos0") < _SPAN_END)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            (F.min("pos0") + 1).cast("bigint").alias("first_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_in_window"),
+        )
+        .orderBy("doc_id")
+    )

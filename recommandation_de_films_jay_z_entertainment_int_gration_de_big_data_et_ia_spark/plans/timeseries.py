@@ -1185,3 +1185,67 @@ def q240_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start_s", "n_events", "duration_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# q276 — ES pipeline aggregations over a date_histogram: the
+# `cumulative_sum`, `derivative`, and `moving_fn`(avg, window=7) sibling
+# aggs Elasticsearch layers on a date_histogram bucket response
+# (reference stack surface: the ES DSL family; the reference's own
+# queries stop at flat aggs). Daily revenue buckets over `orders`;
+# per-bucket revenue is an exact DECIMAL(18,2) sum so every derived
+# pipeline value (running sum, first difference, 7-bucket moving mean)
+# is order-stable and bit-identical across engines. First-bucket
+# derivative is NULL, exactly as ES emits it; moving_fn averages the
+# partial window at the head, as ES does.
+#
+# Shape (100 TB): one shuffle to the day-grain aggregate; the pipeline
+# window functions then run over the *bucket frame* — date_histogram
+# cardinality (one row per day), which is small by construction, same
+# as the single ES agg response the pipeline aggs walk.
+# ---------------------------------------------------------------------------
+@register(
+    "q276_es_pipeline_aggs",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(SUM(rev) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_revenue,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY day) AS DOUBLE), 2) AS deriv,
+           ROUND(CAST(SUM(rev) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov7_avg
+    FROM daily ORDER BY day
+    """,
+)
+def q276_es_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("day")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_mov = Window.orderBy("day").rowsBetween(-6, 0)
+    w_lag = Window.orderBy("day")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev").over(w_cum).cast("double"), 2).alias("cum_revenue"),
+        F.round(
+            (F.col("rev") - F.lag("rev").over(w_lag)).cast("double"), 2
+        ).alias("deriv"),
+        F.round(
+            F.sum("rev").over(w_mov).cast("double")
+            / F.count(F.lit(1)).over(w_mov),
+            4,
+        ).alias("mov7_avg"),
+    ).orderBy("day")
