@@ -1337,6 +1337,61 @@ _DSIR_BUCKET_SQL = (
 )
 
 
+def dsir_scores(
+    docs: DataFrame, target: F.Column, n_buckets: int = _DSIR_B
+) -> DataFrame:
+    """Per-doc DSIR importance score over hashed-unigram buckets.
+
+    ``docs`` must carry ``doc_id`` and a token array ``tk``; ``target``
+    is the boolean column marking target-distribution rows. Returns
+    (doc_id, n_tokens, sw) where ``sw`` is the exact DECIMAL(18,6) sum
+    of per-token smoothed log-ratios (reusable core of q275; fuzzed
+    against a brute-force scorer in tests/test_fuzz_differential.py).
+    """
+    bk = docs.select(
+        "doc_id", target.alias("is_t"), F.explode("tk").alias("token")
+    ).select(
+        "doc_id",
+        "is_t",
+        F.conv(F.substring(F.md5(F.encode("token", "UTF-8")), 1, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    dist = bk.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.count(F.when(F.col("is_t"), 1)).alias("t_cnt"),
+    )
+    w = Window.partitionBy()
+    lr = (
+        dist.withColumn("rtot", F.sum("r_cnt").over(w))
+        .withColumn("ttot", F.sum("t_cnt").over(w))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log((F.col("t_cnt") + 1).cast("double"))
+                    - F.log((F.col("ttot") + n_buckets).cast("double"))
+                )
+                - (
+                    F.log((F.col("r_cnt") + 1).cast("double"))
+                    - F.log((F.col("rtot") + n_buckets).cast("double"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    return (
+        bk.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("lr").alias("sw"),
+        )
+    )
+
+
 @register(
     "q275_dsir_resample",
     oracle=f"""
@@ -1370,46 +1425,7 @@ def q275_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tokens("text").alias("tk")
     ).localCheckpoint(eager=True)
-    bk = docs.select("doc_id", "lang", F.explode("tk").alias("token")).select(
-        "doc_id",
-        "lang",
-        F.conv(F.substring(F.md5(F.encode("token", "UTF-8")), 1, 2), 16, 10)
-        .cast("int")
-        .alias("b"),
-    )
-    dist = bk.groupBy("b").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("t_cnt"),
-    )
-    w = Window.partitionBy()
-    lr = (
-        dist.withColumn("rtot", F.sum("r_cnt").over(w))
-        .withColumn("ttot", F.sum("t_cnt").over(w))
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log((F.col("t_cnt") + 1).cast("double"))
-                    - F.log((F.col("ttot") + _DSIR_B).cast("double"))
-                )
-                - (
-                    F.log((F.col("r_cnt") + 1).cast("double"))
-                    - F.log((F.col("rtot") + _DSIR_B).cast("double"))
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lr"),
-        )
-    )
-    s = (
-        bk.join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("lr").alias("sw"),
-        )
-    )
+    s = dsir_scores(docs, F.col("lang") == "en")
     top = s.orderBy(F.desc("sw"), "doc_id").limit(_DSIR_K)
     ranked = top.withColumn(
         "rank",

@@ -658,3 +658,76 @@ def test_triangle_count_equals_bruteforce(spark, edges):
         "leftsemi",
     ).count()
     assert got == want, (und, got, want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c.!X7 "),
+            max_size=40,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    flags=st.lists(st.booleans(), min_size=12, max_size=12),
+)
+def test_dsir_scores_equal_bruteforce(spark, texts, flags):
+    """DSIR hashed-unigram importance scores (q275 core) vs a pure-Python
+    scorer that mirrors the spec exactly: md5-bucket tokens, add-1
+    smoothed target/raw log-ratios rounded to 6 decimals BEFORE the
+    per-doc sum, exact Decimal accumulation."""
+    import hashlib
+    import math
+    import re
+    from decimal import Decimal
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.corpus import (
+        dsir_scores,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.functions.text import (
+        tokens,
+    )
+
+    B = 256
+    rows = [(i, t, bool(flags[i])) for i, t in enumerate(texts)]
+
+    def tok(t):
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+
+    r_cnt, t_cnt = {}, {}
+    for _i, t, is_t in rows:
+        for w in tok(t):
+            b = bucket(w)
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+            if is_t:
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+    rtot = sum(r_cnt.values())
+    ttot = sum(t_cnt.values())
+    lr = {
+        b: Decimal(
+            str(
+                round(
+                    (math.log(t_cnt.get(b, 0) + 1) - math.log(ttot + B))
+                    - (math.log(r_cnt[b] + 1) - math.log(rtot + B)),
+                    6,
+                )
+            )
+        )
+        for b in r_cnt
+    }
+    want = {
+        i: (len(tok(t)), sum((lr[bucket(w)] for w in tok(t)), Decimal(0)))
+        for i, t, _is_t in rows
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    docs = df.select("doc_id", "is_t", tokens("text").alias("tk"))
+    got = {
+        r.doc_id: (r.n_tokens, Decimal(r.sw))
+        for r in dsir_scores(docs, F.col("is_t")).collect()
+    }
+    assert got == want
