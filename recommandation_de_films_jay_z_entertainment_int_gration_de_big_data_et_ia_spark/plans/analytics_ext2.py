@@ -4835,3 +4835,116 @@ def q273_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q279 — deterministic negative sampling for implicit-feedback training
+# (the BPR / two-tower data-prep step the ALS pipeline feeds): for every
+# user, draw K catalog items the user has NOT interacted with. The
+# sampler is hash-based — candidate j of a user is item
+# md5_32(user|j) % |catalog| + 1 — so the draw is reproducible across
+# runs, engines, and partitionings (no RNG state), and over-drawing
+# K*3 candidates absorbs positive-collision and duplicate-draw loss.
+# Per user: dedup candidates (keep the earliest draw of an item),
+# anti-join the positives, keep the first K surviving draws in draw
+# order.
+#
+# Shape (100 TB): candidate generation is scan-local (sequence explode
+# off the distinct-user frame — K*3 rows per user); the anti-join
+# shuffles on (user, item), exactly the positives' natural key; no
+# per-user catalog scan, no cross join, no RNG skew. Relies on the
+# catalog's dense 1..M item ids (p_partkey); with sparse ids you'd
+# hash-mod a dense id map (q207) first.
+# ---------------------------------------------------------------------------
+_NEG_K = 5
+_NEG_DRAWS = 15  # K * 3 over-draw
+
+
+def _md5_32bit_sql(expr: str) -> str:
+    # 32-bit int from the first 8 hex chars of md5(expr).
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+@register(
+    "q279_negative_sampling",
+    oracle=f"""
+    WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    mx AS (SELECT MAX(p_partkey) AS m FROM part),
+    users AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+    cand AS (SELECT user_id, u.j,
+                    ({_md5_32bit_sql("CAST(user_id AS VARCHAR) || '|' || CAST(u.j AS VARCHAR)")}
+                     % (SELECT m FROM mx)) + 1 AS item
+             FROM users, UNNEST(range(0, {_NEG_DRAWS})) AS u(j)),
+    neg AS (SELECT c.user_id, c.item, MIN(c.j) AS j
+            FROM cand c LEFT JOIN pos p
+              ON c.user_id = p.user_id AND c.item = p.item
+            WHERE p.user_id IS NULL GROUP BY c.user_id, c.item),
+    r AS (SELECT user_id, item,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY j, item) AS rn
+          FROM neg)
+    SELECT user_id, CAST(rn AS BIGINT) AS rn, CAST(item AS BIGINT) AS neg_item
+    FROM r WHERE rn <= {_NEG_K} ORDER BY user_id, rn
+    """,
+)
+def q279_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pos = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    mx = part.agg(F.max("p_partkey").alias("m"))
+    users = orders.select(F.col("o_custkey").alias("user_id")).distinct()
+    cand = (
+        users.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "m",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_DRAWS - 1))).alias("j"),
+        )
+        .select(
+            "user_id",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("user_id").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("m")
+                + 1
+            ).alias("item"),
+        )
+    )
+    neg = (
+        cand.join(pos, ["user_id", "item"], "left_anti")
+        .groupBy("user_id", "item")
+        .agg(F.min("j").alias("j"))
+    )
+    w = Window.partitionBy("user_id").orderBy("j", "item")
+    return (
+        neg.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _NEG_K)
+        .select("user_id", "rn", F.col("item").cast("bigint").alias("neg_item"))
+        .orderBy("user_id", "rn")
+    )
