@@ -256,6 +256,7 @@ def embedding_neardup_pairs(
 def cosine_topk_lsh_batch(
     df: DataFrame, id_col: str, vec_col: str, target_ids, k: int = 5,
     planes: int = 4, tables: int = 2, score_col: str = "score",
+    exclude_same: str | None = None,
 ) -> DataFrame:
     """Batched ANN: top-k for MANY stored query vectors in one pass.
 
@@ -266,27 +267,39 @@ def cosine_topk_lsh_batch(
     tables, then exact-cosine re-ranked per query with a window top-k.
     Returns (qid, id, score, rank<=k); ordering ties break on the
     rounded score then id, so results are deterministic.
+
+    ``exclude_same`` names an attribute column of ``df``: candidate rows
+    sharing the anchor's value are dropped BEFORE ranking — the
+    hard-negative-mining predicate (most-similar items of a *different*
+    class). The filter rides the existing bucket join (anchor attrs are
+    broadcast with the bucket keys), so the scale shape is unchanged.
     """
     from pyspark.sql import Window
 
+    extra = [exclude_same] if exclude_same else []
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
+        *extra,
         norm(F.col(vec_col)).alias("__nrm"),
         F.array(
             *[hyperplane_bucket(F.col(vec_col), planes, table=t) for t in range(tables)]
         ).alias("__buckets"),
     )
-    exploded = b.select(id_col, F.posexplode("__buckets").alias("__t", "__b"))
+    exploded = b.select(id_col, *extra, F.posexplode("__buckets").alias("__t", "__b"))
     qe = exploded.filter(F.col(id_col).isin(list(target_ids))).select(
-        F.col(id_col).alias("qid"), "__t", "__b"
+        F.col(id_col).alias("qid"),
+        *[F.col(c).alias(f"__q_{c}") for c in extra],
+        "__t",
+        "__b",
     )
     pairs = (
         exploded.join(F.broadcast(qe), on=["__t", "__b"])
         .filter(F.col(id_col) != F.col("qid"))
-        .select("qid", id_col)
-        .distinct()
     )
+    if exclude_same:
+        pairs = pairs.filter(F.col(exclude_same) != F.col(f"__q_{exclude_same}"))
+    pairs = pairs.select("qid", id_col).distinct()
     qv = b.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"), F.col("__nrm").alias("__qn")
     ).filter(F.col("qid").isin(list(target_ids)))

@@ -803,3 +803,51 @@ def q234_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 — hard-negative mining (contrastive-training data prep: for each
+# anchor, the most-similar vectors of a DIFFERENT label — "close but
+# wrong" examples that make the best negatives for two-tower/BPR
+# training). Same LSH-bucketed batch machinery as q85 — candidates come
+# from the (table, bucket) equi-join, never all pairs — plus the
+# label-exclusion predicate applied on the bucket join's broadcast
+# anchor attributes, BEFORE exact re-ranking. Top-3 per anchor,
+# rank-deterministic (rounded score DESC, vec_id ASC).
+#
+# Shape (100 TB): identical to q85's (the predicate rides the existing
+# broadcast join, filtering candidates before the cosine stage); the
+# label filter *reduces* work downstream of the bucket join.
+# ---------------------------------------------------------------------------
+_HN_ANCHORS = (0, 1, 2, 3, 4, 5, 6, 7)
+
+
+@register(
+    "q280_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    b AS (SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS nrm,
+                 {_bucket_sql('v', table=0)} AS b0, {_bucket_sql('v', table=1)} AS b1 FROM e),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn, b0 AS qb0, b1 AS qb1
+          FROM b WHERE vec_id IN {_HN_ANCHORS}),
+    pairs AS (
+      SELECT DISTINCT q.qid, b.vec_id FROM b CROSS JOIN q
+      WHERE (b.b0 = q.qb0 OR b.b1 = q.qb1) AND b.vec_id != q.qid
+        AND b.label != q.qlabel),
+    scored AS (
+      SELECT p.qid, p.vec_id,
+             ROUND({_dot_sql('c.v', 'q.qv')} / (c.nrm * q.qn), 4) AS score
+      FROM pairs p JOIN b c ON p.vec_id = c.vec_id JOIN q ON p.qid = q.qid)
+    SELECT qid, vec_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    ORDER BY qid, rank
+    """,
+)
+def q280_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk_lsh_batch(
+        emb, "vec_id", "embedding", target_ids=list(_HN_ANCHORS), k=3,
+        planes=4, tables=2, exclude_same="label",
+    )
