@@ -1442,3 +1442,92 @@ def q275_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q281 — covariate-matched control sampling (the ablation/experiment
+# prep step: to measure a treatment source's effect you need a control
+# set with the SAME covariate profile, not a uniform draw): treatment =
+# docs from source 'src1'; controls are drawn from the rest of the
+# corpus within each length stratum (n_chars div 100) — per stratum,
+# exactly min(n_treat, n_pool) controls, chosen by deterministic md5
+# rank (RNG-free, partition-order-proof). Output is one row per
+# stratum: treatment count, control count, and an md5 over the sorted
+# selected-control ids (the manifest fingerprint a downstream join
+# would key on).
+#
+# Shape (100 TB): stratum counts are one partial-agg shuffle; control
+# ranking is a window PARTITIONED BY stratum (never global); the
+# per-stratum quota join broadcasts the tiny stratum-count frame. No
+# driver sampling state, no RNG skew.
+# ---------------------------------------------------------------------------
+_MATCH_TREAT_SRC = "src1"
+_MATCH_BUCKET = 100
+
+
+@register(
+    "q281_matched_sampling",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(n_chars // {_MATCH_BUCKET} AS BIGINT) AS stratum
+               FROM documents),
+    t AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_treat
+          FROM d WHERE source = '{_MATCH_TREAT_SRC}' GROUP BY stratum),
+    pool AS (SELECT stratum, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY stratum
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM d WHERE source != '{_MATCH_TREAT_SRC}'),
+    ctrl AS (SELECT p.stratum, p.doc_id
+             FROM pool p JOIN t ON p.stratum = t.stratum
+             WHERE p.rn <= t.n_treat)
+    SELECT t.stratum, t.n_treat,
+           CAST(COALESCE(COUNT(c.doc_id), 0) AS BIGINT) AS n_control,
+           md5(COALESCE(string_agg(CAST(c.doc_id AS VARCHAR), ','
+                 ORDER BY c.doc_id), '')) AS control_ids_hash
+    FROM t LEFT JOIN ctrl c ON t.stratum = c.stratum
+    GROUP BY t.stratum, t.n_treat
+    ORDER BY t.stratum
+    """,
+)
+def q281_matched_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.floor(F.col("n_chars") / _MATCH_BUCKET).cast("bigint").alias("stratum"),
+    )
+    t = (
+        d.filter(F.col("source") == _MATCH_TREAT_SRC)
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_treat"))
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    pool = d.filter(F.col("source") != _MATCH_TREAT_SRC).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    ctrl = pool.join(F.broadcast(t), "stratum").filter(
+        F.col("rn") <= F.col("n_treat")
+    )
+    picked = ctrl.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_control"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("control_ids_hash"),
+    )
+    return (
+        t.join(picked, "stratum", "left")
+        .select(
+            "stratum",
+            "n_treat",
+            F.coalesce("n_control", F.lit(0).cast("bigint")).alias("n_control"),
+            F.coalesce("control_ids_hash", F.md5(F.lit(""))).alias("control_ids_hash"),
+        )
+        .orderBy("stratum")
+    )
