@@ -1605,3 +1605,49 @@ def q278_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q282 — ES `terms_set` query: like `terms`, but the number of terms
+# that must match is read from a FIELD of each document
+# (minimum_should_match_field) — the per-doc dynamic threshold that a
+# static bool/minimum_should_match (q23) can't express. Threshold field
+# modeled as (n_chars % 3) + 1 (1..3 required matches); query terms are
+# a fixed 4-term set. Output: matching docs with their overlap count
+# and threshold.
+#
+# Shape (100 TB): scan-local — the overlap count is an array_intersect
+# against a literal array and the threshold comparison is per-row; no
+# shuffle at all before the output sort. The distinct-token overlap
+# uses the same set semantics ES applies to terms_set.
+# ---------------------------------------------------------------------------
+_TERMS_SET = ("join", "scan", "window", "batch")
+
+
+@register(
+    "q282_terms_set",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars, list_distinct({TOKS_SQL}) AS ts
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(list_intersect(ts,
+                     {list(_TERMS_SET)!r})) AS BIGINT) AS n_matched,
+                 CAST(n_chars % 3 + 1 AS BIGINT) AS required
+          FROM d)
+    SELECT doc_id, n_matched, required FROM m
+    WHERE n_matched >= required
+    ORDER BY doc_id
+    """,
+)
+def q282_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    qterms = F.array(*[F.lit(t) for t in _TERMS_SET])
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_intersect(F.array_distinct(tokens("text")), qterms))
+        .cast("bigint")
+        .alias("n_matched"),
+        (F.col("n_chars") % 3 + 1).cast("bigint").alias("required"),
+    )
+    return d.filter(F.col("n_matched") >= F.col("required")).orderBy("doc_id")
