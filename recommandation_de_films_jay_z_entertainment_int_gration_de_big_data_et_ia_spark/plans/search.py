@@ -1651,3 +1651,51 @@ def q282_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") % 3 + 1).cast("bigint").alias("required"),
     )
     return d.filter(F.col("n_matched") >= F.col("required")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q283 — ES `wildcard` term query: match documents where ANY token
+# matches the wildcard pattern `sc*n` (compiled to the anchored regex
+# ^sc.*n$ — `*` is ES's multi-char wildcard; tokens are [a-z0-9]+ so
+# Java-regex vs RE2 semantics coincide). Output per matching doc: the
+# sorted distinct matching terms (joined) and their count — what ES
+# surfaces through highlight on a wildcard query.
+#
+# Shape (100 TB): scan-local — a higher-order `filter` over the token
+# array, zero shuffles before the output sort. On an indexed engine a
+# wildcard with a leading literal prefix walks the term dictionary;
+# the scan analog is exactly this predicate pushed to the data, and the
+# q68-style postings table turns it into the dictionary walk when the
+# corpus is indexed.
+# ---------------------------------------------------------------------------
+_WILDCARD_RE = "^sc.*n$"
+
+
+@register(
+    "q283_wildcard_query",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, list_sort(list_filter(list_distinct({TOKS_SQL}),
+                 x -> regexp_matches(x, '{_WILDCARD_RE}'))) AS hits
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_terms,
+           array_to_string(hits, ',') AS matched_terms
+    FROM d WHERE len(hits) > 0
+    ORDER BY doc_id
+    """,
+)
+def q283_wildcard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    hits = F.array_sort(
+        F.filter(
+            F.array_distinct(tokens("text")),
+            lambda x: x.rlike(_WILDCARD_RE),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(hits).cast("bigint").alias("n_terms"),
+        F.concat_ws(",", hits).alias("matched_terms"),
+    )
+    return d.filter(F.col("n_terms") > 0).orderBy("doc_id")
