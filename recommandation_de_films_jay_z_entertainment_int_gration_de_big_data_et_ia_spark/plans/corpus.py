@@ -1531,3 +1531,68 @@ def q281_matched_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — crawl novelty curve (the saturation metric that decides when
+# more crawling stops paying: per ingestion batch, what fraction of its
+# 5-gram occurrences were never seen in ANY earlier batch?). Batch =
+# doc_id div 100 (ingestion order proxy); a gram's first-seen batch is
+# min(batch) over its occurrences; a batch's novel occurrences are
+# those of grams first seen in it. As a corpus saturates, novelty
+# decays toward the boilerplate floor — the curve is how RefinedWeb-
+# scale pipelines budget crawl depth.
+#
+# Shape (100 TB): shingle explode -> one (gram) aggregate carrying
+# min-batch + per-batch occurrence counts in the same pass (explode the
+# per-gram batch histogram back out), then one tiny (batch) aggregate.
+# Never materializes a seen-set; the first-seen reduction IS the
+# incremental-novelty join that a daily pipeline would run against a
+# persisted gram->first_batch table (q99's incremental-dedup state
+# pattern).
+# ---------------------------------------------------------------------------
+_NOV_N = 5
+_NOV_BATCH = 100
+
+
+@register(
+    "q284_novelty_curve",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, doc_id // {_NOV_BATCH} AS batch, {TOKS_SQL} AS tk
+               FROM documents),
+    g AS (SELECT batch, array_to_string(tk[i:i + {_NOV_N - 1}], ' ') AS gram
+          FROM t, UNNEST(range(1, greatest(len(tk) - {_NOV_N - 2}, 2))) AS u(i)),
+    per AS (SELECT gram, batch, COUNT(*) AS occ FROM g GROUP BY gram, batch),
+    fs AS (SELECT gram, MIN(batch) OVER (PARTITION BY gram) AS first_batch,
+                  batch, occ FROM per)
+    SELECT CAST(batch AS BIGINT) AS batch,
+           CAST(SUM(occ) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN batch = first_batch THEN occ ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN batch = first_batch THEN occ ELSE 0 END) AS DOUBLE)
+                 / SUM(occ), 4) AS novelty
+    FROM fs GROUP BY batch ORDER BY batch
+    """,
+)
+def q284_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens, word_shingles
+
+    t = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / _NOV_BATCH).cast("bigint").alias("batch"),
+        tokens("text").alias("tk"),
+    )
+    g = t.select("batch", F.explode(word_shingles(F.col("tk"), _NOV_N)).alias("gram"))
+    per = g.groupBy("gram", "batch").agg(F.count(F.lit(1)).alias("occ"))
+    fs = per.withColumn(
+        "first_batch", F.min("batch").over(Window.partitionBy("gram"))
+    )
+    novel = F.sum(F.when(F.col("batch") == F.col("first_batch"), F.col("occ")).otherwise(0))
+    return (
+        fs.groupBy("batch")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel.cast("double") / F.sum("occ"), 4).alias("novelty"),
+        )
+        .orderBy("batch")
+    )
