@@ -1699,3 +1699,38 @@ def q283_wildcard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", hits).alias("matched_terms"),
     )
     return d.filter(F.col("n_terms") > 0).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q285 — ES `top_metrics` aggregation: per bucket, the metric values
+# taken FROM the document with the extremal sort field (not the
+# extremal metric — the distinction from `max`). Buckets = lang; sort =
+# n_chars DESC (ties: doc_id ASC, pinned so the answer is
+# deterministic); metrics = the winning doc's id, length, and source.
+#
+# Shape (100 TB): one per-bucket window top-1 — compiles to Spark's
+# WindowGroupLimit (partial top-1 per partition BEFORE the shuffle), so
+# only one candidate row per (bucket, partition) moves. The q14/q257
+# top-k idiom at k=1.
+# ---------------------------------------------------------------------------
+@register(
+    "q285_top_metrics",
+    oracle="""
+    SELECT lang, doc_id, n_chars, source FROM (
+      SELECT lang, doc_id, n_chars, source,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn = 1 ORDER BY lang
+    """,
+)
+def q285_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("lang")
+    )
