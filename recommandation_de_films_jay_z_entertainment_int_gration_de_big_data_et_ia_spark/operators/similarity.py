@@ -257,6 +257,7 @@ def cosine_topk_lsh_batch(
     df: DataFrame, id_col: str, vec_col: str, target_ids, k: int = 5,
     planes: int = 4, tables: int = 2, score_col: str = "score",
     exclude_same: str | None = None,
+    require_same: str | None = None,
 ) -> DataFrame:
     """Batched ANN: top-k for MANY stored query vectors in one pass.
 
@@ -271,12 +272,14 @@ def cosine_topk_lsh_batch(
     ``exclude_same`` names an attribute column of ``df``: candidate rows
     sharing the anchor's value are dropped BEFORE ranking — the
     hard-negative-mining predicate (most-similar items of a *different*
-    class). The filter rides the existing bucket join (anchor attrs are
-    broadcast with the bucket keys), so the scale shape is unchanged.
+    class). ``require_same`` is the complement — keep only candidates
+    SHARING the anchor's value (positive mining). Both filters ride the
+    existing bucket join (anchor attrs are broadcast with the bucket
+    keys), so the scale shape is unchanged.
     """
     from pyspark.sql import Window
 
-    extra = [exclude_same] if exclude_same else []
+    extra = [c for c in {exclude_same, require_same} if c]
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -299,6 +302,8 @@ def cosine_topk_lsh_batch(
     )
     if exclude_same:
         pairs = pairs.filter(F.col(exclude_same) != F.col(f"__q_{exclude_same}"))
+    if require_same:
+        pairs = pairs.filter(F.col(require_same) == F.col(f"__q_{require_same}"))
     pairs = pairs.select("qid", id_col).distinct()
     qv = b.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"), F.col("__nrm").alias("__qn")

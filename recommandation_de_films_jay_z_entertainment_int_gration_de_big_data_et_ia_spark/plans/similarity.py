@@ -851,3 +851,80 @@ def q280_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", target_ids=list(_HN_ANCHORS), k=3,
         planes=4, tables=2, exclude_same="label",
     )
+
+
+# ---------------------------------------------------------------------------
+# q286 — triplet mining (anchor, positive, hard negative): the full
+# contrastive-training data-prep composition — per anchor, the
+# most-similar SAME-label vector (positive) and the most-similar
+# DIFFERENT-label vector (hard negative), with the triplet margin
+# (pos_score - neg_score; negative margin = the triplets that actually
+# teach the model something). Both sides come from the same
+# LSH-bucketed batch machinery (q280's candidates, one `require_same` /
+# one `exclude_same` pass); anchors with no same-label bucket collision
+# drop out (LEFT-side inner join), exactly as a production miner skips
+# unpairable anchors.
+#
+# Shape (100 TB): two bucket-join passes over the same frame, each
+# q85-shaped; the final assembly joins two 8-row top-1 frames.
+# ---------------------------------------------------------------------------
+@register(
+    "q286_triplet_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    b AS (SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS nrm,
+                 {_bucket_sql('v', table=0)} AS b0, {_bucket_sql('v', table=1)} AS b1 FROM e),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn, b0 AS qb0, b1 AS qb1
+          FROM b WHERE vec_id IN {_HN_ANCHORS}),
+    cand AS (
+      SELECT DISTINCT q.qid, b.vec_id, (b.label = q.qlabel) AS same
+      FROM b CROSS JOIN q
+      WHERE (b.b0 = q.qb0 OR b.b1 = q.qb1) AND b.vec_id != q.qid),
+    scored AS (
+      SELECT p.qid, p.vec_id, p.same,
+             ROUND({_dot_sql('c.v', 'q.qv')} / (c.nrm * q.qn), 4) AS score
+      FROM cand p JOIN b c ON p.vec_id = c.vec_id JOIN q ON p.qid = q.qid),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, same
+                 ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored),
+    pos AS (SELECT qid, vec_id AS pos_id, score AS pos_score FROM ranked
+            WHERE same AND rn = 1),
+    neg AS (SELECT qid, vec_id AS neg_id, score AS neg_score FROM ranked
+            WHERE NOT same AND rn = 1)
+    SELECT p.qid, p.pos_id, p.pos_score, n.neg_id, n.neg_score,
+           ROUND(p.pos_score - n.neg_score, 4) AS margin
+    FROM pos p JOIN neg n ON p.qid = n.qid
+    ORDER BY p.qid
+    """,
+)
+def q286_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = SIM.cosine_topk_lsh_batch(
+        emb, "vec_id", "embedding", target_ids=list(_HN_ANCHORS), k=1,
+        planes=4, tables=2, require_same="label",
+    ).select(
+        "qid",
+        F.col("vec_id").alias("pos_id"),
+        F.col("score").alias("pos_score"),
+    )
+    neg = SIM.cosine_topk_lsh_batch(
+        emb, "vec_id", "embedding", target_ids=list(_HN_ANCHORS), k=1,
+        planes=4, tables=2, exclude_same="label",
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neg_id"),
+        F.col("score").alias("neg_score"),
+    )
+    return (
+        pos.join(neg, "qid")
+        .select(
+            "qid",
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            F.round(F.col("pos_score") - F.col("neg_score"), 4).alias("margin"),
+        )
+        .orderBy("qid")
+    )
