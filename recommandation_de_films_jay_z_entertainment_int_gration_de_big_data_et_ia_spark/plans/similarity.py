@@ -928,3 +928,96 @@ def q286_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 — ANN recall audit (the index-quality monitor a production
+# vector store runs continuously): for a panel of anchors, compare the
+# LSH-bucketed top-5 (q85 machinery) against the exact brute-force
+# top-5, and report per-anchor recall@5 = |ANN ∩ exact| / 5. The
+# brute-force side IS the documented baseline — 8 anchors × corpus,
+# scan-bound, the same shape as q37 batched; in production you run the
+# audit on a sampled anchor panel, exactly this plan.
+#
+# Shape (100 TB): exact side one broadcast-anchor scan + per-anchor
+# window top-5 (WindowGroupLimit); ANN side the q85 bucket join; the
+# recall join touches two 40-row frames.
+# ---------------------------------------------------------------------------
+@register(
+    "q287_ann_recall_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    b AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm,
+                 {_bucket_sql('v', table=0)} AS b0, {_bucket_sql('v', table=1)} AS b1 FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, b0 AS qb0, b1 AS qb1
+          FROM b WHERE vec_id IN {_HN_ANCHORS}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY ROUND({_dot_sql('c.v', 'q.qv')} / (c.nrm * q.qn), 4) DESC,
+                          c.vec_id ASC) AS rn
+        FROM b c CROSS JOIN q WHERE c.vec_id != q.qid)
+      WHERE rn <= 5),
+    cand AS (
+      SELECT DISTINCT q.qid, b.vec_id FROM b CROSS JOIN q
+      WHERE (b.b0 = q.qb0 OR b.b1 = q.qb1) AND b.vec_id != q.qid),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, p.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                 ORDER BY ROUND({_dot_sql('c.v', 'q.qv')} / (c.nrm * q.qn), 4) DESC,
+                          p.vec_id ASC) AS rn
+        FROM cand p JOIN b c ON p.vec_id = c.vec_id JOIN q ON p.qid = q.qid)
+      WHERE rn <= 5)
+    SELECT x.qid,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / 5, 4) AS recall_at_5
+    FROM exact x LEFT JOIN ann a ON x.qid = a.qid AND x.vec_id = a.vec_id
+    GROUP BY x.qid ORDER BY x.qid
+    """,
+)
+def q287_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", SIM.norm(F.col("embedding")).alias("nrm")
+    )
+    q = b.filter(F.col("vec_id").isin(list(_HN_ANCHORS))).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                SIM.dot(F.col("embedding"), F.col("qv"))
+                / (F.col("nrm") * F.col("qn")),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    ann = SIM.cosine_topk_lsh_batch(
+        emb, "vec_id", "embedding", target_ids=list(_HN_ANCHORS), k=5,
+        planes=4, tables=2,
+    ).select("qid", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(ann, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.round(F.count("hit").cast("double") / 5, 4).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
