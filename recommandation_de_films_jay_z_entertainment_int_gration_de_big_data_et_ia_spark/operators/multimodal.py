@@ -295,6 +295,13 @@ def image_dhash(
     import numpy as np
 
     w2, h2 = width // 2, height // 2
+    if h2 * (w2 - 1) > 63:
+        # The fingerprint must fit a signed int64 (LongType); a larger
+        # grid would silently wrap the numpy shift (round-6 ADVICE).
+        raise ValueError(
+            f"dhash grid {width}x{height} needs {h2 * (w2 - 1)} bits; "
+            "the LongType fingerprint holds at most 63 — shrink the grid"
+        )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

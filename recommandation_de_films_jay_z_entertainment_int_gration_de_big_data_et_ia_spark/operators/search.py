@@ -555,8 +555,20 @@ def has_child(
         children.filter(child_pred)
         .groupBy(F.col(child_key).alias("__ck"))
         .agg(F.count(F.lit(1)).alias("__nc"))
-        .filter(F.col("__nc") >= int(min_children))
     )
+    if int(min_children) <= 0:
+        # ES-valid min_children=0: every parent qualifies on the lower
+        # bound (parents with zero matching children have no counts row,
+        # so the semi-join below would wrongly drop them — round-6
+        # ADVICE). Only the upper bound can exclude, via an anti-join
+        # against the over-the-cap key set.
+        if max_children is None:
+            return parents
+        over = counts.filter(F.col("__nc") > int(max_children))
+        return parents.join(
+            over, parents[parent_key] == over["__ck"], "leftanti"
+        )
+    counts = counts.filter(F.col("__nc") >= int(min_children))
     if max_children is not None:
         counts = counts.filter(F.col("__nc") <= int(max_children))
     return parents.join(

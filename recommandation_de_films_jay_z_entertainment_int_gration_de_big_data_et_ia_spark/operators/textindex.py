@@ -16,6 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import tokens
 
@@ -335,6 +336,19 @@ def phrase_search_slop_batch(
     ever uses slop=0; this generalizes beyond the reference surface.
     """
     phrases = list(phrases)
+    if not phrases:
+        # An empty batch is a valid request: return an empty (phrase,
+        # doc_id) frame with doc_id typed from the postings schema
+        # (round-6 ADVICE — parts[0] would raise IndexError).
+        return postings.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("phrase", T.StringType()),
+                    T.StructField("doc_id", postings.schema["doc_id"].dataType),
+                ]
+            ),
+        )
     if transpositions:
         trans = [ph for ph in phrases if len(set(ph.split())) == len(ph.split())]
         ordered = [ph for ph in phrases if ph not in trans]

@@ -1578,7 +1578,10 @@ def q284_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens, word_shingles
 
     t = load_table(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / _NOV_BATCH).cast("bigint").alias("batch"),
+        # floor-div matches the oracle's // exactly (round-6 ADVICE:
+        # float-div-then-cast truncates toward zero and loses precision
+        # for very large ids)
+        F.floor(F.col("doc_id") / _NOV_BATCH).cast("bigint").alias("batch"),
         tokens("text").alias("tk"),
     )
     g = t.select("batch", F.explode(word_shingles(F.col("tk"), _NOV_N)).alias("gram"))

@@ -64,7 +64,12 @@ def main() -> None:
                     runs.append(round(time.time() - t0, 2))
                 rec = {"query": name, "cold": runs[0], "warm": runs[1]}
                 if name in ROWS_WATCHLIST:
-                    rec["rows"] = queries[name](spark, sf_dir).count()
+                    # a count failure annotates the record instead of
+                    # discarding the captured timings (round-6 ADVICE)
+                    try:
+                        rec["rows"] = queries[name](spark, sf_dir).count()
+                    except Exception as e:  # noqa: BLE001
+                        rec["rows_error"] = f"{type(e).__name__}: {e}"[:300]
             except Exception as e:  # noqa: BLE001
                 rec = {"query": name, "error": f"{type(e).__name__}: {e}"[:300]}
             fh.write(json.dumps(rec) + "\n")

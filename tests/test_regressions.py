@@ -137,3 +137,73 @@ def test_multimatch_index_survives_field_reordering(spark, sf_dir):
     # same contributions folded in a different (f, term) order — equal to
     # rounding tolerance
     assert all(abs(a[k] - b[k]) <= 1e-4 for k in a)
+
+
+def test_slop_batch_empty_phrase_list(spark, sf_dir):
+    """Round-6 ADVICE: an empty phrase batch must return an empty
+    (phrase, doc_id) frame — not raise IndexError on parts[0]."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
+        build_positional_postings,
+        phrase_search_slop_batch,
+    )
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = build_positional_postings(docs, "doc_id", "text")
+    out = phrase_search_slop_batch(postings, [], slop=2)
+    assert out.columns == ["phrase", "doc_id"]
+    assert out.count() == 0
+    # doc_id keeps the postings' type so unions with non-empty batches work
+    assert out.schema["doc_id"].dataType == postings.schema["doc_id"].dataType
+
+
+def test_image_dhash_rejects_oversized_grid(spark):
+    """Round-6 ADVICE: a grid whose fingerprint exceeds 63 bits must fail
+    loudly instead of silently wrapping the int64 shift."""
+    import pytest
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.multimodal import (
+        image_dhash,
+        synth_raw_frames,
+    )
+
+    base = spark.range(4).withColumnRenamed("id", "doc_id")
+    frames = synth_raw_frames(base, width=18, height=18)
+    with pytest.raises(ValueError, match="63"):
+        image_dhash(frames, width=18, height=18)  # 9*8 = 72 bits
+    # the documented 16x16 default still fits (8*7 = 56 bits)
+    ok = image_dhash(synth_raw_frames(base), width=16, height=16)
+    assert ok.count() == 4
+
+
+def test_has_child_min_children_zero(spark):
+    """Round-6 ADVICE: min_children=0 is ES-valid and must keep parents
+    with ZERO matching children (they have no counts row, so the
+    semi-join path would drop them)."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.search import (
+        has_child,
+    )
+
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "pid long, name string"
+    )
+    children = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 5)], "pid long, v long"
+    )
+    pred = F.col("v") >= 10
+    # min_children=0, no cap: every parent qualifies (incl. childless 3)
+    all_p = {r.pid for r in has_child(parents, children, "pid", "pid", pred, min_children=0).collect()}
+    assert all_p == {1, 2, 3}
+    # min_children=0 with max_children=1: parent 1 (2 matching) excluded
+    capped = {
+        r.pid
+        for r in has_child(
+            parents, children, "pid", "pid", pred, min_children=0, max_children=1
+        ).collect()
+    }
+    assert capped == {2, 3}
+    # the >=1 path is unchanged
+    one = {r.pid for r in has_child(parents, children, "pid", "pid", pred).collect()}
+    assert one == {1}
