@@ -41,6 +41,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         analytics_ext,
         analytics_ext2,
+        analytics_ext3,
         core,
         core_ext,
         corpus,
