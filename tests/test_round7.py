@@ -1,0 +1,148 @@
+"""Differential tests for the round-7 catalog entries (q288–q306):
+each nontrivial operator is re-derived with an independent
+implementation (numpy / itertools / plain Python) on the sf0.001
+fixture and compared exactly — the same strategy the dedup and ANN
+families use (test_fuzz_differential.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.catalog import (
+    QUERIES,
+    load_all,
+)
+
+from .conftest import SF_SMOKE
+
+load_all()
+
+
+def _pdf(name: str, spark) -> pd.DataFrame:
+    return QUERIES[name](spark, SF_SMOKE).toPandas()
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _toks(text: str) -> list[str]:
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split()
+
+
+def test_q295_boxplot_matches_numpy_linear(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = _pdf("q295_boxplot", spark)
+    for flag, grp in li.groupby("l_returnflag"):
+        want = np.percentile(grp["l_quantity"].to_numpy(), [25, 50, 75], method="linear")
+        sub = got[got.l_returnflag == flag].sort_values("quartile")
+        assert len(sub) == 3
+        np.testing.assert_allclose(sub["q_value"].to_numpy(), want, atol=1e-6)
+        assert (sub["n"] == len(grp)).all()
+
+
+def test_q299_span_near_matches_bruteforce(spark):
+    docs = _docs()
+    want: dict[int, tuple[int, int]] = {}
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        pa = [i for i, t in enumerate(tk) if t == "hash"]
+        pb = [i for i, t in enumerate(tk) if t == "join"]
+        if not pa or not pb:
+            continue
+        gaps = [abs(x - y) - 1 for x in pa for y in pb]
+        best = min(gaps)
+        if best <= 3:
+            want[r["doc_id"]] = (best, sum(1 for g in gaps if g <= 3))
+    got = _pdf("q299_span_near", spark)
+    assert {
+        int(r.doc_id): (int(r.best_gap), int(r.n_pairs_within))
+        for r in got.itertuples()
+    } == want
+    assert want, "fixture should contain span_near matches"
+
+
+def test_q300_itemsets_match_itertools(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    support: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        items = sorted(set(grp["l_partkey"]))
+        for k in (2, 3):
+            for combo in combinations(items, k):
+                support[(k, ",".join(map(str, combo)))] += 1
+    want = {key: n for key, n in support.items() if n >= 2}
+    got = _pdf("q300_frequent_item_sets", spark)
+    assert {
+        (int(r.k), r.items): int(r.support) for r in got.itertuples()
+    } == want
+    assert want, "fixture should contain frequent itemsets"
+
+
+def test_q290_entropy_matches_python_log2(spark):
+    docs = _docs()
+    got = _pdf("q290_string_stats", spark).set_index("lang")
+    for lang, grp in docs.groupby("lang"):
+        chars = Counter("".join(grp["text"]))
+        total = sum(chars.values())
+        ent = -sum((k / total) * math.log2(k / total) for k in chars.values())
+        assert got.loc[lang, "entropy"] == pytest.approx(ent, abs=1e-5)
+        lens = grp["text"].str.len()
+        assert got.loc[lang, "min_len"] == lens.min()
+        assert got.loc[lang, "max_len"] == lens.max()
+
+
+def test_q305_interval_choice_and_buckets(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    days = ev["ts"].dt.normalize().map(lambda d: (d - pd.Timestamp("1970-01-01")).days)
+    span = days.max() - days.min()
+    chosen = min(iv for iv in (1, 7, 30, 90, 365) if span // iv + 1 <= 20)
+    got = _pdf("q305_auto_date_histogram", spark)
+    assert set(got["interval_days"]) == {chosen}
+    assert len(got) <= 20
+    assert got["doc_count"].sum() == len(ev)
+
+
+def test_q304_curriculum_stage_invariants(spark):
+    got = _pdf("q304_quality_curriculum", spark)
+    docs = _docs()
+    for lang, grp in got.groupby("lang"):
+        # all four stages populated, each within one max-doc of total/4
+        assert sorted(grp["stage"]) == [0, 1, 2, 3]
+        total = grp["tokens"].sum()
+        max_doc = max(len(_toks(t)) for t in docs[docs.lang == lang]["text"])
+        for tok in grp["tokens"]:
+            assert abs(tok - total / 4) <= max_doc
+
+
+def test_q302_batching_invariants(spark):
+    got = _pdf("q302_length_batching", spark)
+    docs = _docs()
+    for lang, grp in got.groupby("lang"):
+        n_docs_lang = (docs.lang == lang).sum()
+        assert grp["n_docs"].sum() == n_docs_lang
+        # every batch full except possibly the last
+        full = grp.sort_values("batch")["n_docs"].to_numpy()
+        assert (full[:-1] == 32).all()
+        # utilization consistent with its own columns
+        util = grp["real_tokens"] / (grp["n_docs"] * grp["max_len"])
+        np.testing.assert_allclose(grp["utilization"], util.round(6), atol=1e-9)
+
+
+def test_q293_geotile_covers_all_customers(spark):
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    got = _pdf("q293_geotile_grid", spark)
+    # top-20 at sf0.001 covers every non-empty tile (<=64 possible, few
+    # populated at this SF is not guaranteed — so check count sum <= total
+    # and keys well-formed z/x/y in range)
+    assert got["doc_count"].sum() <= len(cust)
+    for t in got["tile"]:
+        z, x, y = map(int, t.split("/"))
+        assert z == 3 and 0 <= x < 8 and 0 <= y < 8
