@@ -1133,3 +1133,334 @@ def q306_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q307 — ES pipeline aggs `bucket_script` + `bucket_selector`: monthly
+# order buckets get a derived metric (avg order value = exact decimal
+# sum / count) via bucket_script, then bucket_selector keeps only
+# months with >= 25 orders. Completes the q276 pipeline-agg family
+# (cumulative_sum/derivative/moving_fn) with the scripted pair.
+#
+# Shape (100 TB): one map-combinable monthly shuffle; script+selector
+# are post-aggregation row-local arithmetic on ~tens of buckets.
+# ---------------------------------------------------------------------------
+@register(
+    "q307_bucket_script_selector",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m')
+               AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+      FROM orders GROUP BY 1)
+    SELECT month, n_orders,
+           ROUND(CAST(total AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(total AS DOUBLE) / n_orders, 6) AS avg_order_value
+    FROM m WHERE n_orders >= 25 ORDER BY month
+    """,
+)
+def q307_bucket_script_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            F.date_format(F.trunc(F.col("o_orderdate"), "month"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("total"),
+        )
+    )
+    return (
+        m.filter(F.col("n_orders") >= 25)
+        .select(
+            "month",
+            "n_orders",
+            F.round(F.col("total").cast("double"), 2).alias("revenue"),
+            F.round(F.col("total").cast("double") / F.col("n_orders"), 6).alias(
+                "avg_order_value"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q308 — ES `cumulative_cardinality` pipeline agg, EXACT: per day, how
+# many distinct users have been seen up to and including that day. The
+# distributed-exact formulation is the first-seen trick — min(day) per
+# user (one shuffle keyed by user), then a daily count + running sum
+# over the (tiny) daily grid — never a growing distinct-state window.
+#
+# Shape (100 TB): shuffle #1 keyed by user_id (map-combinable min),
+# shuffle #2 to the ~365-row daily grid; the cumulative window runs on
+# the grid, not the events.
+# ---------------------------------------------------------------------------
+@register(
+    "q308_cumulative_cardinality",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    d AS (SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM fs GROUP BY first_day)
+    SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM d ORDER BY day
+    """,
+)
+def q308_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    d = fs.groupBy("first_day").agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q309 — ES `normalize` pipeline agg (method=percent_of_sum): each
+# monthly event-count bucket as a percentage of the total, plus the
+# 0-100 min-max rescale (method=rescale_0_100 — ES's other normalizer).
+# Exact integer counts; two double divides at the end.
+#
+# Shape (100 TB): one monthly shuffle; the total/min/max come from a
+# 1-row broadcast over the tiny bucket frame.
+# ---------------------------------------------------------------------------
+@register(
+    "q309_normalize_agg",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(CAST(date_trunc('month', ts) AS DATE), '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    s AS (SELECT SUM(cnt) AS total, MIN(cnt) AS lo, MAX(cnt) AS hi FROM m)
+    SELECT month, cnt,
+           ROUND(100.0 * cnt / s.total, 6) AS percent_of_sum,
+           ROUND(CASE WHEN s.hi = s.lo THEN 0.0
+                 ELSE 100.0 * (cnt - s.lo) / (s.hi - s.lo) END, 6) AS rescale_0_100
+    FROM m, s ORDER BY month
+    """,
+)
+def q309_normalize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.select(F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("month"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    s = m.agg(
+        F.sum("cnt").alias("total"), F.min("cnt").alias("lo"), F.max("cnt").alias("hi")
+    )
+    j = m.crossJoin(F.broadcast(s))
+    rescale = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        F.lit(100.0) * (F.col("cnt") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return j.select(
+        "month",
+        "cnt",
+        F.round(F.lit(100.0) * F.col("cnt") / F.col("total"), 6).alias("percent_of_sum"),
+        F.round(rescale, 6).alias("rescale_0_100"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# q310 — ES `geo_distance` sort: the 20 customers nearest to the plane
+# center (15.00, 15.00) on the q235 synthetic lattice. Distances are
+# EXACT squared lattice units (bigint — the lattice is integer
+# hundredths of a degree), so the sort key never touches a float;
+# the surfaced distance divides once at the end.
+#
+# Shape (100 TB): scan-local key derivation + TakeOrdered(20) — the
+# per-partition top-k merge, no global sort materialization.
+# ---------------------------------------------------------------------------
+@register(
+    "q310_geo_distance_sort",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 7919) % 3000 AS ulat,
+             (c_custkey * 104729) % 3000 AS ulon
+      FROM customer)
+    SELECT c_custkey,
+           CAST((ulat - 1500) * (ulat - 1500)
+                + (ulon - 1500) * (ulon - 1500) AS BIGINT) AS d2_units,
+           ROUND(sqrt(CAST((ulat - 1500) * (ulat - 1500)
+                + (ulon - 1500) * (ulon - 1500) AS DOUBLE)) / 100.0, 6)
+             AS distance_deg
+    FROM pts ORDER BY d2_units, c_custkey LIMIT 20
+    """,
+)
+def q310_geo_distance_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ulat = (k * 7919) % 3000
+    ulon = (k * 104729) % 3000
+    d2 = (ulat - 1500) * (ulat - 1500) + (ulon - 1500) * (ulon - 1500)
+    return (
+        cust.select(
+            "c_custkey",
+            d2.cast("bigint").alias("d2_units"),
+            F.round(F.sqrt(d2.cast("double")) / 100.0, 6).alias("distance_deg"),
+        )
+        .orderBy("d2_units", "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q311 — ES `terms` lookup query: the term list is FETCHED FROM ANOTHER
+# DOCUMENT (index/id/path) rather than inlined — here, the distinct
+# token set of doc_id 42. Docs (other than the source) matching ANY
+# looked-up term, with their overlap counts.
+#
+# Shape (100 TB): the lookup doc reduces to a 1-row array broadcast
+# (exactly ES's coordinating-node term fetch); the match is then a
+# scan-local array_intersect — no shuffle before the output sort.
+# ---------------------------------------------------------------------------
+_LOOKUP_DOC = 42
+
+
+@register(
+    "q311_terms_lookup",
+    oracle=f"""
+    WITH lu AS (
+      SELECT list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' +')) AS terms
+      FROM documents WHERE doc_id = {_LOOKUP_DOC}),
+    d AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(list_distinct(regexp_split_to_array(trim(
+               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +')),
+               lu.terms)) AS BIGINT) AS n_overlap
+      FROM documents, lu WHERE doc_id <> {_LOOKUP_DOC})
+    SELECT doc_id, n_overlap FROM d WHERE n_overlap > 0 ORDER BY doc_id
+    """,
+)
+def q311_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import distinct_tokens_sorted
+
+    docs = load_table(spark, sf_dir, "documents")
+    lu = docs.filter(F.col("doc_id") == _LOOKUP_DOC).select(
+        distinct_tokens_sorted("text").alias("terms")
+    )
+    d = (
+        docs.filter(F.col("doc_id") != _LOOKUP_DOC)
+        .crossJoin(F.broadcast(lu))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect(distinct_tokens_sorted("text"), F.col("terms")))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+    )
+    return d.filter(F.col("n_overlap") > 0).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q312 — ES `script_score` + `rank_feature` saturation: score each doc
+# containing the term `spark` as tf * saturation(n_chars, pivot=200)
+# where saturation(f, p) = f / (f + p) — the exact rank_feature
+# saturation curve. PURE RATIONAL arithmetic (tf and n_chars are ints),
+# so the score is engine-exact before the final round.
+#
+# Shape (100 TB): scan-local scoring + TakeOrdered(20).
+# ---------------------------------------------------------------------------
+_RF_PIVOT = 200
+
+
+@register(
+    "q312_script_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')), ' +'), x -> x = 'spark'))
+               AS BIGINT) AS tf
+      FROM documents)
+    SELECT doc_id, tf, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(tf * (CAST(n_chars AS DOUBLE) / (n_chars + {_RF_PIVOT})), 6)
+             AS score
+    FROM t WHERE tf > 0 ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q312_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.filter(tokens("text"), lambda x: x == F.lit("spark")))
+        .cast("bigint")
+        .alias("tf"),
+    )
+    score = F.col("tf") * (
+        F.col("n_chars").cast("double") / (F.col("n_chars") + _RF_PIVOT)
+    )
+    return (
+        t.filter(F.col("tf") > 0)
+        .select("doc_id", "tf", "n_chars", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q313 — ES `pinned` query: curated ids surface first IN THE GIVEN
+# ORDER, then organic results ranked by score (n_chars desc, doc_id
+# tiebreak), pinned ids excluded from the organic section. Surfaced
+# with an explicit rank so the contract is order-proof under the
+# driver's order-insensitive compare.
+#
+# Shape (100 TB): the pin list is a literal broadcast; organic ranking
+# is TakeOrdered(k) — never a global sort.
+# ---------------------------------------------------------------------------
+_PINNED = (11, 3, 7)
+_PIN_ORGANIC = 10
+
+
+@register(
+    "q313_pinned_query",
+    oracle=f"""
+    WITH pins AS (
+      SELECT * FROM (VALUES {", ".join(f"({r}, {d})" for r, d in enumerate(_PINNED))})
+        AS v(rank, doc_id)),
+    organic AS (
+      SELECT CAST({len(_PINNED)} - 1 + ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+               AS BIGINT) AS rank,
+             doc_id
+      FROM documents WHERE doc_id NOT IN {_PINNED!r}
+      ORDER BY n_chars DESC, doc_id LIMIT {_PIN_ORGANIC})
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+           rank < {len(_PINNED)} AS pinned
+    FROM (SELECT rank, doc_id FROM pins UNION ALL SELECT rank, doc_id FROM organic)
+    ORDER BY rank
+    """,
+)
+def q313_pinned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pins = spark.createDataFrame(
+        [(r, d) for r, d in enumerate(_PINNED)], "rank long, doc_id long"
+    )
+    # NB: organic re-ranks the limited 10-row frame — window over 10 rows
+    organic = (
+        docs.filter(~F.col("doc_id").isin(*_PINNED))
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(_PIN_ORGANIC)
+        .withColumn(
+            "rank",
+            F.lit(len(_PINNED) - 1)
+            + F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id")),
+        )
+        .select("rank", "doc_id")
+    )
+    out = pins.select("rank", "doc_id").unionAll(organic.select("rank", "doc_id"))
+    return out.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.col("rank") < len(_PINNED)).alias("pinned"),
+    ).orderBy("rank")
