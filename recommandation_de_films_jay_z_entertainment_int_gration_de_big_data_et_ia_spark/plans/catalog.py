@@ -42,6 +42,7 @@ def load_all() -> None:
         analytics_ext,
         analytics_ext2,
         analytics_ext3,
+        analytics_ext4,
         core,
         core_ext,
         corpus,

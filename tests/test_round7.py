@@ -146,3 +146,85 @@ def test_q293_geotile_covers_all_customers(spark):
     for t in got["tile"]:
         z, x, y = map(int, t.split("/"))
         assert z == 3 and 0 <= x < 8 and 0 <= y < 8
+
+
+# ---------------------------------------------------------------------------
+# batch 5 (q314-q317): boosting / dis_max / FIM split / matryoshka energy
+# ---------------------------------------------------------------------------
+
+
+def test_q314_boosting_matches_bruteforce(spark):
+    docs = _docs()
+    scored = []
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        pos = tk.count("merge")
+        if pos == 0:
+            continue
+        demoted = "slow" in tk
+        scored.append((r["doc_id"], pos, demoted, pos * (0.5 if demoted else 1.0)))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    want = scored[:20]
+    got = _pdf("q314_boosting_query", spark)
+    assert [
+        (int(r.doc_id), int(r.pos_tf), bool(r.demoted), float(r.score))
+        for r in got.itertuples()
+    ] == want
+    assert any(d for _, _, d, _ in want), "fixture should contain demoted docs"
+
+
+def test_q315_dis_max_matches_bruteforce(spark):
+    docs = _docs()
+    scored = []
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        tfs = [tk.count(t) for t in ("sort", "window", "scan")]
+        if sum(tfs) == 0:
+            continue
+        score = round(max(tfs) + 0.3 * (sum(tfs) - max(tfs)), 6)
+        scored.append((r["doc_id"], *tfs, score))
+    scored.sort(key=lambda x: (-x[4], x[0]))
+    want = scored[:20]
+    got = _pdf("q315_dis_max", spark)
+    assert [
+        (int(r.doc_id), int(r.tf0), int(r.tf1), int(r.tf2), float(r.score))
+        for r in got.itertuples()
+    ] == want
+
+
+def test_q316_fim_split_invariants_and_md5(spark):
+    import hashlib
+
+    docs = _docs().set_index("doc_id")
+    got = _pdf("q316_fim_transform", spark)
+    assert len(got) == (docs["text"].map(lambda t: len(_toks(t)) >= 8)).sum()
+    for r in got.itertuples():
+        tk = _toks(docs.loc[r.doc_id, "text"])
+        n = len(tk)
+        assert r.n_tokens == n
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4], 16)
+        span = n // 4
+        start = 2 + h % (n - span - 1)
+        assert (r.fim_start, r.span_len) == (start, span)
+        # prefix + middle + suffix partitions the token list, both ends non-empty
+        assert r.prefix_len >= 1 and r.suffix_len >= 1
+        assert r.prefix_len + r.span_len + r.suffix_len == n
+        middle = " ".join(tk[start - 1 : start - 1 + span])
+        assert r.middle_md5 == hashlib.md5(middle.encode()).hexdigest()
+
+
+def test_q317_energy_monotone_and_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = _pdf("q317_matryoshka_energy", spark)
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    total = (vecs**2).sum(axis=1)
+    for (label, d), grp in got.groupby(["label", "d"]):
+        mask = (emb["label"] == label).to_numpy()
+        frac = np.round((vecs[mask, : int(d)] ** 2).sum(axis=1) / total[mask], 6)
+        assert grp["n_vec"].iloc[0] == mask.sum()
+        assert grp["avg_energy_frac"].iloc[0] == pytest.approx(frac.mean(), abs=2e-6)
+    # energy is monotone non-decreasing in d and exactly 1.0 at full dim
+    for label, grp in got.groupby("label"):
+        vals = grp.sort_values("d")["avg_energy_frac"].to_numpy()
+        assert (np.diff(vals) >= -1e-12).all()
+        assert vals[-1] == pytest.approx(1.0, abs=1e-9)
