@@ -24,6 +24,7 @@ from ..functions.text import tokens
 from ..sources.readers import load_table
 from .analytics_ext2 import _md5_16bit_sql
 from .catalog import register
+from .similarity import _dot_sql as _dot_sql_ext4
 
 # DuckDB mirror of functions.text.tokens() — keep in sync.
 _TOKS_SQL = (
@@ -296,4 +297,318 @@ def q317_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_energy_frac"),
         )
         .orderBy("label", "d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318 — ES `intervals` query, `all_of(ordered: true, max_gaps: G)` over
+# three terms: a document matches when positions pa < pb < pc exist with
+# total internal gap (pc - pa - 2 for 3 terms) <= G; we also surface the
+# MINIMAL gap certificate. For ordered interval matching the greedy
+# earliest-next-position certificate starting at each pa is optimal, so
+# min_gaps = min over pa of (first pc after the first pb after pa) - pa - 2.
+#
+# Determinism: pure integer position arithmetic; absent continuations
+# coalesce to a shared sentinel before the array-min on both engines.
+#
+# Shape (100 TB): scan-local — the three position arrays and the nested
+# greedy fold all live inside one projection over each document; no
+# shuffle except the final display sort.
+# ---------------------------------------------------------------------------
+_IV_TERMS = ("scan", "filter", "merge")
+_IV_MAX_GAPS = 4
+_IV_SENTINEL = 1_000_000_000
+
+
+# Positions via a single (x, i) pass over the token array (the q299
+# idiom — never element_at over a sequence, which re-evaluates the
+# split per index after projection collapse). DuckDB's lambda index is
+# 1-based and Spark's 0-based, but q318 only uses position DIFFERENCES,
+# so the constant offset cancels.
+def _positions_sql(term: str) -> str:
+    return (
+        f"list_filter(list_transform(toks, (x, i) ->"
+        f" CASE WHEN x = '{term}' THEN i ELSE -1 END), p -> p >= 0)"
+    )
+
+
+@register(
+    "q318_intervals_query",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT doc_id,
+             {_positions_sql(_IV_TERMS[0])} AS pa,
+             {_positions_sql(_IV_TERMS[1])} AS pb,
+             {_positions_sql(_IV_TERMS[2])} AS pc
+      FROM t),
+    g AS (
+      SELECT doc_id,
+             list_min(list_transform(pa, a ->
+               COALESCE(
+                 list_min(list_filter(pc, y -> y >
+                   COALESCE(list_min(list_filter(pb, x -> x > a)),
+                            {_IV_SENTINEL})))
+                 - a - 2,
+                 {_IV_SENTINEL}))) AS min_gaps
+      FROM p WHERE len(pa) > 0)
+    SELECT doc_id, CAST(min_gaps AS BIGINT) AS min_gaps
+    FROM g WHERE min_gaps <= {_IV_MAX_GAPS}
+    ORDER BY doc_id
+    """,
+)
+def q318_intervals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+
+    def positions(term: str) -> F.Column:
+        return F.expr(
+            f"filter(transform(toks, (x, i) -> IF(x = '{term}', i, -1)),"
+            f" p -> p >= 0)"
+        )
+
+    p = docs.select(
+        "doc_id",
+        positions(_IV_TERMS[0]).alias("pa"),
+        positions(_IV_TERMS[1]).alias("pb"),
+        positions(_IV_TERMS[2]).alias("pc"),
+    ).filter(F.size("pa") > 0)
+
+    sentinel = F.lit(_IV_SENTINEL)
+
+    def chain(a: F.Column) -> F.Column:
+        b = F.coalesce(F.array_min(F.filter("pb", lambda x: x > a)), sentinel)
+        c = F.array_min(F.filter("pc", lambda y: y > b))
+        return F.coalesce(c - a - 2, sentinel)
+
+    g = p.select(
+        "doc_id",
+        F.array_min(F.transform("pa", chain)).cast("bigint").alias("min_gaps"),
+    )
+    return g.filter(F.col("min_gaps") <= _IV_MAX_GAPS).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q319 — ES `distance_feature` query on a date field: within a filtered
+# result set (open orders), boost by temporal proximity to an origin:
+#   score = boost * pivot / (pivot + |orderdate - origin| in days)
+# ES's exact rational form — no exp/ln, so the doubles are bit-identical
+# given the same integer day distance.
+#
+# Shape (100 TB): scan-local rational scoring over the filtered scan
+# (predicate pushed to parquet) + TakeOrdered(20).
+# ---------------------------------------------------------------------------
+_DF_ORIGIN = "1998-01-01"
+_DF_PIVOT = 30
+_DF_BOOST = 2.0
+
+
+@register(
+    "q319_distance_feature",
+    oracle=f"""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(abs(datediff('day', DATE '{_DF_ORIGIN}',
+                             CAST(o_orderdate AS DATE))) AS BIGINT) AS dist_days,
+           ROUND({_DF_BOOST} * {_DF_PIVOT}.0
+                 / ({_DF_PIVOT} + abs(datediff('day', DATE '{_DF_ORIGIN}',
+                                               CAST(o_orderdate AS DATE)))), 6)
+             AS score
+    FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY score DESC, o_orderkey LIMIT 20
+    """,
+)
+def q319_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    dist = F.abs(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_DF_ORIGIN).cast("date"))
+    ).cast("bigint")
+    o = o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        dist.alias("dist_days"),
+    )
+    score = F.lit(_DF_BOOST) * F.lit(float(_DF_PIVOT)) / (
+        F.lit(_DF_PIVOT) + F.col("dist_days")
+    )
+    return (
+        o.select("o_orderkey", "dist_days", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320 — ES `matrix_stats` aggregation: pairwise covariance and Pearson
+# correlation across three numeric fields (quantity, extendedprice,
+# discount) per l_returnflag bucket.
+#
+# Determinism: all sums / sums-of-squares / cross-sums are exact DECIMAL
+# folds (inputs have <= 3 fraction digits, products <= 6 — DECIMAL(38,6)
+# holds the fold exactly at any SF); ONE cast to double per statistic
+# and the identical expression tree on both engines:
+#   cov = sxy/n - (sx/n)(sy/n);  corr = cov / sqrt(varx * vary).
+#
+# Shape (100 TB): one map-side-combinable groupBy carrying 10 decimal
+# accumulators — a single shuffle of 3 rows per partition, then a
+# row-local 3-pair unpivot. The canonical scan-bound metric agg.
+# ---------------------------------------------------------------------------
+_MS_FIELDS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _ms_dec(f: str) -> str:
+    return f"CAST({f} AS DECIMAL(18,3))"
+
+
+@register(
+    "q320_matrix_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM({_ms_dec("l_quantity")}) AS s0,
+             SUM({_ms_dec("l_extendedprice")}) AS s1,
+             SUM({_ms_dec("l_discount")}) AS s2,
+             SUM({_ms_dec("l_quantity")} * {_ms_dec("l_quantity")}) AS s00,
+             SUM({_ms_dec("l_extendedprice")} * {_ms_dec("l_extendedprice")}) AS s11,
+             SUM({_ms_dec("l_discount")} * {_ms_dec("l_discount")}) AS s22,
+             SUM({_ms_dec("l_quantity")} * {_ms_dec("l_extendedprice")}) AS s01,
+             SUM({_ms_dec("l_quantity")} * {_ms_dec("l_discount")}) AS s02,
+             SUM({_ms_dec("l_extendedprice")} * {_ms_dec("l_discount")}) AS s12
+      FROM lineitem GROUP BY l_returnflag),
+    pairs AS (
+      SELECT l_returnflag, n, fx, fy, sx, sy, sxx, syy, sxy FROM (
+        SELECT l_returnflag, n,
+          '{_MS_FIELDS[0]}' AS fx, '{_MS_FIELDS[1]}' AS fy,
+          s0 AS sx, s1 AS sy, s00 AS sxx, s11 AS syy, s01 AS sxy FROM s
+        UNION ALL SELECT l_returnflag, n,
+          '{_MS_FIELDS[0]}', '{_MS_FIELDS[2]}', s0, s2, s00, s22, s02 FROM s
+        UNION ALL SELECT l_returnflag, n,
+          '{_MS_FIELDS[1]}', '{_MS_FIELDS[2]}', s1, s2, s11, s22, s12 FROM s))
+    SELECT l_returnflag, fx, fy, n,
+           ROUND(CAST(sxy AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6)
+             AS covariance,
+           ROUND((CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / sqrt((CAST(sxx AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                        * (CAST(syy AS DOUBLE) / n
+                           - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))),
+                 6) AS correlation
+    FROM pairs ORDER BY l_returnflag, fx, fy
+    """,
+)
+def q320_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = {f: F.col(f).cast("decimal(18,3)") for f in _MS_FIELDS}
+    q, p, disc = (d[f] for f in _MS_FIELDS)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).alias("s0"), F.sum(p).alias("s1"), F.sum(disc).alias("s2"),
+        F.sum(q * q).alias("s00"), F.sum(p * p).alias("s11"),
+        F.sum(disc * disc).alias("s22"),
+        F.sum(q * p).alias("s01"), F.sum(q * disc).alias("s02"),
+        F.sum(p * disc).alias("s12"),
+    )
+    # Unpivot the 3 field pairs ROW-LOCALLY (explode over a struct
+    # array) — a 3-branch union would re-execute the aggregate per
+    # branch (3 full scans + shuffles at 100 TB); this is one.
+    pair_specs = [
+        (_MS_FIELDS[0], _MS_FIELDS[1], "s0", "s1", "s00", "s11", "s01"),
+        (_MS_FIELDS[0], _MS_FIELDS[2], "s0", "s2", "s00", "s22", "s02"),
+        (_MS_FIELDS[1], _MS_FIELDS[2], "s1", "s2", "s11", "s22", "s12"),
+    ]
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(fx).alias("fx"), F.lit(fy).alias("fy"),
+                F.col(sx).alias("sx"), F.col(sy).alias("sy"),
+                F.col(sxx).alias("sxx"), F.col(syy).alias("syy"),
+                F.col(sxy).alias("sxy"),
+            )
+            for fx, fy, sx, sy, sxx, syy, sxy in pair_specs
+        ]
+    )
+    pairs = s.select(
+        "l_returnflag", "n", F.explode(pair_structs).alias("p")
+    ).select("l_returnflag", "n", "p.*")
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = sxy / n - (sx / n) * (sy / n)
+    varx = sxx / n - (sx / n) * (sx / n)
+    vary = syy / n - (sy / n) * (sy / n)
+    return pairs.select(
+        "l_returnflag", "fx", "fy", "n",
+        F.round(cov, 6).alias("covariance"),
+        F.round(cov / F.sqrt(varx * vary), 6).alias("correlation"),
+    ).orderBy("l_returnflag", "fx", "fy")
+
+
+# ---------------------------------------------------------------------------
+# q321 — binary (1-bit sign) embedding-quantization audit: hamming
+# distance between sign patterns vs exact cosine, probe vec_id=0
+# against the corpus. The readiness check before serving sign-quantized
+# vectors: if hamming rank order tracks cosine rank order, a 64x
+# smaller index (1 bit/dim) can serve first-stage retrieval.
+#
+# Determinism: hamming is an exact integer fold over sign mismatches;
+# cosine is the shared left-to-right double fold (operators.similarity
+# ↔ _cos_sql) rounded to 6.
+#
+# Shape (100 TB): 1-row broadcast probe (never a shuffled join) +
+# scan-local folds + TakeOrdered(20) — the q37 brute-force shape; the
+# LSH/IVF entries (q38/q82) are the sub-linear path.
+# ---------------------------------------------------------------------------
+_SQ_PROBE = 0
+
+
+def _hamming_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1),"
+        f" i -> CASE WHEN ({a}[i] >= 0) != ({b}[i] >= 0) THEN 1 ELSE 0 END),"
+        f" (x, y) -> x + y)"
+    )
+
+
+@register(
+    "q321_sign_quantization",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_SQ_PROBE})
+    SELECT vec_id,
+           CAST({_hamming_sql("v", "qv")} AS BIGINT) AS hamming,
+           ROUND({_dot_sql_ext4("v", "qv")}
+                 / (sqrt({_dot_sql_ext4("v", "v")}) * sqrt({_dot_sql_ext4("qv", "qv")})),
+                 6) AS cos
+    FROM e CROSS JOIN q
+    WHERE vec_id != {_SQ_PROBE}
+    ORDER BY hamming, vec_id LIMIT 20
+    """,
+)
+def q321_sign_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == _SQ_PROBE).select(F.col("v").alias("qv"))
+    )
+    mism = F.zip_with(
+        "v", "qv",
+        lambda x, y: ((x >= 0) != (y >= 0)).cast("int"),
+    )
+    hamming = F.aggregate(mism, F.lit(0), lambda acc, x: acc + x).cast("bigint")
+    return (
+        e.filter(F.col("vec_id") != _SQ_PROBE)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            hamming.alias("hamming"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(20)
     )

@@ -228,3 +228,90 @@ def test_q317_energy_monotone_and_matches_numpy(spark):
         vals = grp.sort_values("d")["avg_energy_frac"].to_numpy()
         assert (np.diff(vals) >= -1e-12).all()
         assert vals[-1] == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# batch 6 (q318-q321): intervals / distance_feature / matrix_stats / sign-quant
+# ---------------------------------------------------------------------------
+
+
+def test_q318_intervals_matches_bruteforce(spark):
+    docs = _docs()
+    want = {}
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        pa = [i for i, t in enumerate(tk) if t == "scan"]
+        pb = [i for i, t in enumerate(tk) if t == "filter"]
+        pc = [i for i, t in enumerate(tk) if t == "merge"]
+        best = None
+        for a in pa:  # exhaustive over ALL ordered triples, not greedy
+            for b in pb:
+                if b <= a:
+                    continue
+                for c in pc:
+                    if c <= b:
+                        continue
+                    g = c - a - 2
+                    best = g if best is None else min(best, g)
+        if best is not None and best <= 4:
+            want[r["doc_id"]] = best
+    got = _pdf("q318_intervals_query", spark)
+    assert {int(r.doc_id): int(r.min_gaps) for r in got.itertuples()} == want
+    assert want, "fixture should contain interval matches"
+
+
+def test_q319_distance_feature_matches_pandas(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    o = orders[orders.o_orderstatus == "O"].copy()
+    dist = (o["o_orderdate"].dt.normalize() - pd.Timestamp("1998-01-01")).dt.days.abs()
+    score = (2.0 * 30.0 / (30 + dist)).round(6)
+    want = sorted(
+        zip(o["o_orderkey"], dist, score), key=lambda x: (-x[2], x[0])
+    )[:20]
+    got = _pdf("q319_distance_feature", spark)
+    assert [
+        (int(r.o_orderkey), int(r.dist_days), float(r.score))
+        for r in got.itertuples()
+    ] == [(int(k), int(d), float(s)) for k, d, s in want]
+
+
+def test_q320_matrix_stats_matches_numpy(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = _pdf("q320_matrix_stats", spark)
+    fields = ("l_quantity", "l_extendedprice", "l_discount")
+    for flag, grp in li.groupby("l_returnflag"):
+        x = grp[list(fields)].to_numpy(np.float64)
+        cov = np.cov(x, rowvar=False, bias=True)
+        sd = np.sqrt(np.diag(cov))
+        for i, j in ((0, 1), (0, 2), (1, 2)):
+            row = got[
+                (got.l_returnflag == flag)
+                & (got.fx == fields[i])
+                & (got.fy == fields[j])
+            ].iloc[0]
+            assert row["n"] == len(grp)
+            assert row["covariance"] == pytest.approx(cov[i, j], rel=1e-6, abs=1e-5)
+            assert row["correlation"] == pytest.approx(
+                cov[i, j] / (sd[i] * sd[j]), abs=1e-6
+            )
+
+
+def test_q321_sign_quantization_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").set_index("vec_id")
+    vecs = {i: np.asarray(v, np.float64) for i, v in emb["embedding"].items()}
+    qv = vecs[0]
+    rows = []
+    for i, v in vecs.items():
+        if i == 0:
+            continue
+        ham = int(((v >= 0) != (qv >= 0)).sum())
+        cos = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        rows.append((i, ham, cos))
+    rows.sort(key=lambda x: (x[1], x[0]))
+    want = rows[:20]
+    got = _pdf("q321_sign_quantization", spark)
+    assert [(int(r.vec_id), int(r.hamming)) for r in got.itertuples()] == [
+        (i, h) for i, h, _ in want
+    ]
+    for g, (_, _, c) in zip(got.itertuples(), want):
+        assert g.cos == pytest.approx(c, abs=1e-6)
