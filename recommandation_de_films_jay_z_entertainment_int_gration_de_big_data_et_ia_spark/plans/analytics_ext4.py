@@ -612,3 +612,295 @@ def q321_sign_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q322 — ES `t_test` aggregation (heteroscedastic / Welch form): the
+# two-sample t statistic between open ('O') and fulfilled ('F') orders
+# on o_totalprice, per o_orderpriority bucket.
+#   t = (m1 - m2) / sqrt(v1/n1 + v2/n2),  v = (ss - s*s/n) / (n - 1)
+#
+# Determinism: per-group sums and sums-of-squares are exact DECIMAL
+# folds (price has 2 fraction digits, its square 4); ONE cast to double
+# per accumulator and the identical expression tree on both engines.
+#
+# Shape (100 TB): a single map-side-combinable groupBy with six
+# conditional accumulators — one shuffle of |priorities| rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q322_t_test",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n2,
+             SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+               FILTER (o_orderstatus = 'O') AS s1,
+             SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+               FILTER (o_orderstatus = 'F') AS s2,
+             SUM(CAST(o_totalprice AS DECIMAL(38,4))
+                 * CAST(o_totalprice AS DECIMAL(38,4)))
+               FILTER (o_orderstatus = 'O') AS ss1,
+             SUM(CAST(o_totalprice AS DECIMAL(38,4))
+                 * CAST(o_totalprice AS DECIMAL(38,4)))
+               FILTER (o_orderstatus = 'F') AS ss2
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n1, n2,
+           ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(ss1 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                         / (n1 - 1)) / n1
+                        + ((CAST(ss2 AS DOUBLE)
+                            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                           / (n2 - 1)) / n2),
+                 6) AS t_stat
+    FROM s WHERE n1 >= 2 AND n2 >= 2
+    ORDER BY o_orderpriority
+    """,
+)
+def q322_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(38,4)")
+
+    def flt(status: str, expr: F.Column) -> F.Column:
+        return F.sum(F.when(F.col("o_orderstatus") == status, expr))
+
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).cast("bigint").alias("n2"),
+        flt("O", dec).alias("s1"),
+        flt("F", dec).alias("s2"),
+        flt("O", dec * dec).alias("ss1"),
+        flt("F", dec * dec).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    ss1, ss2 = F.col("ss1").cast("double"), F.col("ss2").cast("double")
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+    t = (s1 / n1 - s2 / n2) / F.sqrt(v1 / n1 + v2 / n2)
+    return (
+        s.filter((n1 >= 2) & (n2 >= 2))
+        .select("o_orderpriority", "n1", "n2", F.round(t, 6).alias("t_stat"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q323 — ES sibling pipeline aggregations `stats_bucket` +
+# `percentiles_bucket` over a month date_histogram of order revenue:
+# the cross-bucket count/min/max/sum/avg plus exact linear-interpolated
+# p25/p50/p75 of the monthly revenue values, emitted long-form
+# (metric, value).
+#
+# Determinism: monthly revenue is an exact DECIMAL(18,2) sum; the
+# percentile interpolation uses integer lo/fnum arithmetic ((n-1)*q
+# DIV/MOD 4 — the q295 idiom, never float-derived ranks) over the
+# sorted bucket array.
+#
+# Shape (100 TB): one shuffle to the month grain; every sibling agg
+# then runs over the BUCKET FRAME (one row per month — calendar-bounded,
+# ~80 values), exactly like the ES agg response the pipeline walks.
+# ---------------------------------------------------------------------------
+@register(
+    "q323_sibling_bucket_aggs",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY m),
+    arr AS (
+      SELECT list(rev ORDER BY rev) AS a, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM monthly),
+    pct AS (
+      SELECT CAST(q AS BIGINT) AS q,
+             a[CAST((n - 1) * q // 4 AS BIGINT) + 1] AS vlo,
+             COALESCE(a[CAST((n - 1) * q // 4 AS BIGINT) + 2],
+                      a[CAST((n - 1) * q // 4 AS BIGINT) + 1]) AS vhi,
+             (n - 1) * q % 4 AS fnum
+      FROM arr, (SELECT UNNEST([1, 2, 3]) AS q))
+    SELECT metric, ROUND(value, 6) AS value FROM (
+      SELECT 'count' AS metric, CAST(n AS DOUBLE) AS value FROM arr
+      UNION ALL SELECT 'min', a[1] FROM arr
+      UNION ALL SELECT 'max', a[n] FROM arr
+      UNION ALL SELECT 'sum', total FROM arr
+      UNION ALL SELECT 'avg', total / n FROM arr
+      UNION ALL SELECT 'p' || CAST(q * 25 AS VARCHAR),
+                       vlo + (vhi - vlo) * (CAST(fnum AS DOUBLE) / 4.0)
+                FROM pct)
+    ORDER BY metric
+    """,
+)
+def q323_sibling_bucket_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    arr = monthly.agg(
+        F.sort_array(F.collect_list("rev")).alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    # ALL eight sibling metrics come out of ONE row-local explode over
+    # the single 1-row `arr` frame — a stats/pct branch union would
+    # re-execute the monthly + global aggregates per branch (two full
+    # scans at 100 TB).
+    def pctl(q: int) -> F.Column:
+        vlo = F.expr(f"a[CAST((n - 1) * {q} DIV 4 AS INT)]")
+        vhi = F.coalesce(F.expr(f"a[CAST((n - 1) * {q} DIV 4 AS INT) + 1]"), vlo)
+        fnum = F.expr(f"(n - 1) * {q} % 4")
+        return vlo + (vhi - vlo) * (fnum.cast("double") / F.lit(4.0))
+
+    metrics = arr.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("count").alias("metric"), F.col("n").cast("double").alias("value")),
+                F.struct(F.lit("min").alias("metric"), F.element_at("a", 1).alias("value")),
+                F.struct(F.lit("max").alias("metric"), F.element_at("a", F.col("n").cast("int")).alias("value")),
+                F.struct(F.lit("sum").alias("metric"), F.col("total").alias("value")),
+                F.struct(F.lit("avg").alias("metric"), (F.col("total") / F.col("n")).alias("value")),
+                F.struct(F.lit("p25").alias("metric"), pctl(1).alias("value")),
+                F.struct(F.lit("p50").alias("metric"), pctl(2).alias("value")),
+                F.struct(F.lit("p75").alias("metric"), pctl(3).alias("value")),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return metrics.select(
+        "metric", F.round("value", 6).alias("value")
+    ).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# q324 — ES `combined_fields` query: term-centric matching across
+# several fields analyzed as one virtual field — per term the combined
+# frequency is the sum of its per-field frequencies, and with
+# operator=AND every term must appear in at least one field. Fields
+# here: text (free text) and lang (keyword). Score: sum of combined
+# term frequencies (the same naive-tf discipline as q314/q315).
+#
+# Shape (100 TB): scan-local scoring + TakeOrdered(20).
+# ---------------------------------------------------------------------------
+_CF_TERMS = ("fast", "en")
+
+
+def _cf_combined_sql(term: str) -> str:
+    return f"({_tf_sql(term)} + CASE WHEN lang = '{term}' THEN 1 ELSE 0 END)"
+
+
+@register(
+    "q324_combined_fields",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_cf_combined_sql(_CF_TERMS[0])} AS ctf0,
+             {_cf_combined_sql(_CF_TERMS[1])} AS ctf1
+      FROM documents)
+    SELECT doc_id, ctf0, ctf1,
+           CAST(ctf0 + ctf1 AS BIGINT) AS score
+    FROM t WHERE ctf0 > 0 AND ctf1 > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q324_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def combined(term: str) -> F.Column:
+        return _tf_col(term) + F.when(F.col("lang") == term, 1).otherwise(0)
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        combined(_CF_TERMS[0]).alias("ctf0"),
+        combined(_CF_TERMS[1]).alias("ctf1"),
+    )
+    return (
+        t.filter((F.col("ctf0") > 0) & (F.col("ctf1") > 0))
+        .select(
+            "doc_id", "ctf0", "ctf1",
+            (F.col("ctf0") + F.col("ctf1")).cast("bigint").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q325 — ES `span_not` query: occurrences of the include term ("hash")
+# that are NOT within `pre`/`post` positions of any occurrence of the
+# exclude term ("join"). Surfaces the surviving-occurrence count and
+# the first surviving position (1-based) per matching document.
+#
+# Determinism: pure integer position arithmetic; positions are
+# explicitly 1-based on BOTH engines (Spark's 0-based lambda index is
+# shifted by +1 to match DuckDB's 1-based one).
+#
+# Shape (100 TB): scan-local — position arrays and the exclusion
+# filter are one projection per document; no shuffle except the
+# display sort. Completes the span family (q299 span_near, q278
+# span_first, q263 cross-doc spans).
+# ---------------------------------------------------------------------------
+_SN_INCLUDE = "hash"
+_SN_EXCLUDE = "join"
+_SN_WINDOW = 2  # pre = post = 2
+
+
+@register(
+    "q325_span_not",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT doc_id,
+             list_filter(list_transform(toks, (x, i) ->
+               CASE WHEN x = '{_SN_INCLUDE}' THEN i ELSE -1 END), p -> p >= 0) AS pa,
+             list_filter(list_transform(toks, (x, i) ->
+               CASE WHEN x = '{_SN_EXCLUDE}' THEN i ELSE -1 END), p -> p >= 0) AS pb
+      FROM t),
+    kept AS (
+      SELECT doc_id,
+             list_filter(pa, a ->
+               len(list_filter(pb, b -> abs(a - b) <= {_SN_WINDOW})) = 0) AS ka
+      FROM p WHERE len(pa) > 0)
+    SELECT doc_id,
+           CAST(len(ka) AS BIGINT) AS n_kept,
+           CAST(ka[1] AS BIGINT) AS first_kept
+    FROM kept WHERE len(ka) > 0
+    ORDER BY doc_id
+    """,
+)
+def q325_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    # 1-based positions (i + 1) so absolute positions match DuckDB's
+    # 1-based lambda index.
+    p = docs.select(
+        "doc_id",
+        F.expr(
+            f"filter(transform(toks, (x, i) -> IF(x = '{_SN_INCLUDE}', i + 1, -1)),"
+            f" p -> p >= 0)"
+        ).alias("pa"),
+        F.expr(
+            f"filter(transform(toks, (x, i) -> IF(x = '{_SN_EXCLUDE}', i + 1, -1)),"
+            f" p -> p >= 0)"
+        ).alias("pb"),
+    ).filter(F.size("pa") > 0)
+    kept = p.select(
+        "doc_id",
+        F.filter(
+            "pa",
+            lambda a: F.size(
+                F.filter("pb", lambda b: F.abs(a - b) <= _SN_WINDOW)
+            )
+            == 0,
+        ).alias("ka"),
+    )
+    return (
+        kept.filter(F.size("ka") > 0)
+        .select(
+            "doc_id",
+            F.size("ka").cast("bigint").alias("n_kept"),
+            F.element_at("ka", 1).cast("bigint").alias("first_kept"),
+        )
+        .orderBy("doc_id")
+    )

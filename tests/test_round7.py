@@ -315,3 +315,91 @@ def test_q321_sign_quantization_matches_numpy(spark):
     ]
     for g, (_, _, c) in zip(got.itertuples(), want):
         assert g.cos == pytest.approx(c, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# batch 7 (q322-q325): t_test / sibling bucket aggs / combined_fields / span_not
+# ---------------------------------------------------------------------------
+
+
+def test_q322_t_test_matches_scipy_formula(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    got = _pdf("q322_t_test", spark).set_index("o_orderpriority")
+    for prio, grp in orders.groupby("o_orderpriority"):
+        a = grp[grp.o_orderstatus == "O"]["o_totalprice"].to_numpy(np.float64)
+        b = grp[grp.o_orderstatus == "F"]["o_totalprice"].to_numpy(np.float64)
+        if len(a) < 2 or len(b) < 2:
+            assert prio not in got.index
+            continue
+        t = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        assert got.loc[prio, "t_stat"] == pytest.approx(t, abs=1e-5)
+        assert got.loc[prio, "n1"] == len(a) and got.loc[prio, "n2"] == len(b)
+
+
+def test_q323_sibling_aggs_match_numpy(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    rev = (
+        orders.groupby(orders["o_orderdate"].dt.to_period("M"))["o_totalprice"]
+        .apply(lambda s: float(round(s.round(2).sum(), 2)))
+        .to_numpy()
+    )
+    got = dict(zip(_pdf("q323_sibling_bucket_aggs", spark)["metric"],
+                   _pdf("q323_sibling_bucket_aggs", spark)["value"]))
+    assert got["count"] == len(rev)
+    assert got["min"] == pytest.approx(rev.min(), abs=1e-4)
+    assert got["max"] == pytest.approx(rev.max(), abs=1e-4)
+    assert got["sum"] == pytest.approx(rev.sum(), abs=1e-2)
+    assert got["avg"] == pytest.approx(rev.mean(), abs=1e-4)
+    for q, name in ((25, "p25"), (50, "p50"), (75, "p75")):
+        want = np.percentile(rev, q, method="linear")
+        assert got[name] == pytest.approx(want, abs=1e-4)
+
+
+def test_q324_combined_fields_matches_bruteforce(spark):
+    docs = _docs()
+    rows = []
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        c0 = tk.count("fast") + (1 if r["lang"] == "fast" else 0)
+        c1 = tk.count("en") + (1 if r["lang"] == "en" else 0)
+        if c0 > 0 and c1 > 0:
+            rows.append((r["doc_id"], c0, c1, c0 + c1))
+    rows.sort(key=lambda x: (-x[3], x[0]))
+    want = rows[:20]
+    got = _pdf("q324_combined_fields", spark)
+    assert [
+        (int(r.doc_id), int(r.ctf0), int(r.ctf1), int(r.score))
+        for r in got.itertuples()
+    ] == want
+    # the lang keyword field must actually contribute (term 'en' absent
+    # from some matched docs' text)
+    assert any(
+        "en" not in _toks(docs.set_index("doc_id").loc[d, "text"]) for d, *_ in want
+    )
+
+
+def test_q325_span_not_matches_bruteforce(spark):
+    docs = _docs()
+    want = {}
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        pa = [i + 1 for i, t in enumerate(tk) if t == "hash"]
+        pb = [i + 1 for i, t in enumerate(tk) if t == "join"]
+        kept = [a for a in pa if all(abs(a - b) > 2 for b in pb)]
+        if kept:
+            want[r["doc_id"]] = (len(kept), kept[0])
+    got = _pdf("q325_span_not", spark)
+    assert {
+        int(r.doc_id): (int(r.n_kept), int(r.first_kept)) for r in got.itertuples()
+    } == want
+    # exclusion must bite somewhere: some doc has hash occurrences dropped
+    dropped = False
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        pa = [i + 1 for i, t in enumerate(tk) if t == "hash"]
+        pb = [i + 1 for i, t in enumerate(tk) if t == "join"]
+        if any(any(abs(a - b) <= 2 for b in pb) for a in pa):
+            dropped = True
+    assert dropped
