@@ -17,7 +17,7 @@ round→DECIMAL before any cross-row average.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -903,4 +903,302 @@ def q325_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("ka", 1).cast("bigint").alias("first_kept"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q326 — ES `geo_bounds` aggregation: the tightest bounding box
+# (min/max of both axes) of each nation's customer points on the
+# deterministic [0, 3000)^2 integer lattice (the q235/q293 spatial
+# fixture — lat/lon analog without trans-engine trig).
+#
+# Shape (100 TB): scan-local coordinate derivation + one
+# map-combinable shuffle of |nations| rows. Completes the geo agg
+# family (q293 geotile_grid, q306 geo_centroid, q310 distance sort,
+# q256 gauss decay).
+# ---------------------------------------------------------------------------
+@register(
+    "q326_geo_bounds",
+    oracle="""
+    WITH pts AS (
+      SELECT c_nationkey,
+             (c_custkey * 104729) % 3000 AS x,
+             (c_custkey * 7919) % 3000 AS y
+      FROM customer)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+    FROM pts GROUP BY c_nationkey ORDER BY nationkey
+    """,
+)
+def q326_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        "c_nationkey",
+        ((k * 104729) % 3000).alias("x"),
+        ((k * 7919) % 3000).alias("y"),
+    )
+    return (
+        pts.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            "n_points", "min_x", "max_x", "min_y", "max_y",
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q327 — ES `moving_percentiles` pipeline aggregation: exact p25/p50/
+# p75 of the trailing 7 daily-event-count buckets, emitted for every
+# day with a full 7-bucket window (ES skips partial windows the same
+# way q296's moving_fn does).
+#
+# Determinism: the window is a FIXED 7 values, so the linear-
+# interpolation ranks are Python-precomputed integers (lo = 6q DIV 4,
+# fnum = 6q MOD 4 — the q295 idiom); counts are exact integers and the
+# only float op is one multiply by fnum/4.
+#
+# Shape (100 TB): one shuffle to the daily grid (map-combinable),
+# then a single-partition window over calendar-bounded rows — the
+# bucket frame, not the event volume.
+# ---------------------------------------------------------------------------
+_MP_RANKS = {q: ((7 - 1) * q // 4, (7 - 1) * q % 4) for q in (1, 2, 3)}
+
+
+def _mp_sql(q: int) -> str:
+    lo, fnum = _MP_RANKS[q]
+    expr = f"CAST(a[{lo + 1}] AS DOUBLE)"
+    if fnum:
+        expr = (
+            f"(CAST(a[{lo + 1}] AS DOUBLE) + (CAST(a[{lo + 2}] AS DOUBLE)"
+            f" - CAST(a[{lo + 1}] AS DOUBLE)) * {fnum / 4.0})"
+        )
+    return f"ROUND({expr}, 6)"
+
+
+@register(
+    "q327_moving_percentiles",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY d),
+    w AS (
+      SELECT d,
+             list_sort(list(c) OVER (ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS a,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM daily)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           {_mp_sql(1)} AS p25, {_mp_sql(2)} AS p50, {_mp_sql(3)} AS p75
+    FROM w WHERE rn >= 7 ORDER BY day
+    """,
+)
+def q327_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("d")
+    win = daily.select(
+        "d",
+        F.sort_array(F.collect_list("c").over(w.rowsBetween(-6, 0))).alias("a"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+    def mp(q: int) -> F.Column:
+        lo, fnum = _MP_RANKS[q]
+        base = F.element_at("a", lo + 1).cast("double")
+        if fnum:
+            hi = F.element_at("a", lo + 2).cast("double")
+            base = base + (hi - base) * F.lit(fnum / 4.0)
+        return F.round(base, 6)
+
+    return (
+        win.filter(F.col("rn") >= 7)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            mp(1).alias("p25"), mp(2).alias("p50"), mp(3).alias("p75"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q328 — ES `rank_eval` API: precision@10 and MRR@10 for a panel of
+# probe terms, each ranked by term frequency (tf desc, doc_id
+# tiebreak) with binary relevance = document language is English.
+# ES's precision metric divides by the RETRIEVED count (<= k), and
+# MRR is 1/rank of the first relevant hit within the cutoff (0 when
+# none) — both mirrored exactly.
+#
+# Shape (100 TB): a 3x row-local term explode, one shuffle to rank
+# per term (WindowGroupLimit caps each partition's sort at k), then a
+# 3-row aggregate. Scales with the corpus scan, not with k.
+# ---------------------------------------------------------------------------
+_RE_TERMS = ("merge", "sort", "scan")
+_RE_K = 10
+
+
+@register(
+    "q328_rank_eval",
+    oracle=f"""
+    WITH hits AS (
+      SELECT term, doc_id, lang = 'en' AS rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+               ORDER BY len(list_filter({_TOKS_SQL}, x -> x = term)) DESC,
+                        doc_id) AS rank
+      FROM documents, (SELECT UNNEST({list(_RE_TERMS)!r}) AS term)
+      WHERE len(list_filter({_TOKS_SQL}, x -> x = term)) > 0)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_ret,
+           ROUND(CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS precision_at_k,
+           ROUND(COALESCE(1.0 / MIN(CASE WHEN rel THEN rank END), 0.0), 6)
+             AS mrr
+    FROM hits WHERE rank <= {_RE_K}
+    GROUP BY term ORDER BY term
+    """,
+)
+def q328_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    )
+    hits = (
+        docs.withColumn(
+            "term", F.explode(F.array(*[F.lit(t) for t in _RE_TERMS]))
+        )
+        .withColumn(
+            "tf", F.size(F.filter("toks", lambda x: x == F.col("term")))
+        )
+        .filter(F.col("tf") > 0)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+            ),
+        )
+        .filter(F.col("rank") <= _RE_K)
+        .select("term", (F.col("lang") == "en").alias("rel"), "rank")
+    )
+    return (
+        hits.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ret"),
+            F.round(
+                F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("precision_at_k"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.min(F.when(F.col("rel"), F.col("rank"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+        )
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q329 — KV-cache prefix-hit audit (LLM serving): when prompts are
+# served in doc_id order within a source shard, how many leading
+# tokens does each prompt share with its predecessor? Surfaces, per
+# source: prompts with any shared prefix, total shared-prefix tokens
+# (the KV-cache-reusable volume), and the mean shared fraction.
+#
+# Determinism: the shared-prefix length is pure integer arithmetic —
+# first-mismatch position over the element-wise comparison of the two
+# MATERIALIZED token arrays (post-window columns, so no projection-
+# collapse re-evaluation); per-row fractions ROUND(.,6) → DECIMAL
+# before the cross-row average.
+#
+# Shape (100 TB): one shuffle to co-locate each source shard, then a
+# per-source window (lag) and scan-local integer folds — exactly the
+# layout a sharded serving queue already has.
+# ---------------------------------------------------------------------------
+@register(
+    "q329_prefix_cache_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, {_TOKS_SQL} AS toks FROM documents),
+    lagged AS (
+      SELECT source, doc_id, toks,
+             lag(toks) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+      FROM t),
+    cp AS (
+      SELECT source, doc_id,
+             CAST(len(toks) AS BIGINT) AS m_self,
+             COALESCE(list_min(list_filter(list_transform(
+               range(1, least(len(toks), len(prev)) + 1),
+               i -> CASE WHEN toks[i] != prev[i] THEN i END),
+               x -> x IS NOT NULL)), least(len(toks), len(prev)) + 1) - 1
+               AS cp_len
+      FROM lagged WHERE prev IS NOT NULL)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_prompts,
+           CAST(SUM(CASE WHEN cp_len > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(SUM(cp_len) AS BIGINT) AS cached_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(cp_len AS DOUBLE) / m_self, 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_shared_frac
+    FROM cp GROUP BY source ORDER BY source
+    """,
+)
+def q329_prefix_cache_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", tokens("text").alias("toks")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    lagged = t.withColumn("prev", F.lag("toks").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    m = F.least(F.size("toks"), F.size("prev"))
+    first_mismatch = F.coalesce(
+        F.array_min(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.when(
+                        F.element_at("toks", i.cast("int"))
+                        != F.element_at("prev", i.cast("int")),
+                        i,
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        m + 1,
+    )
+    cp = lagged.select(
+        "source",
+        "doc_id",
+        F.size("toks").cast("bigint").alias("m_self"),
+        (first_mismatch - 1).cast("bigint").alias("cp_len"),
+    )
+    frac = F.round(F.col("cp_len").cast("double") / F.col("m_self"), 6)
+    return (
+        cp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_prompts"),
+            F.sum(F.when(F.col("cp_len") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.sum("cp_len").cast("bigint").alias("cached_tokens"),
+            F.round(
+                F.sum(frac.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_shared_frac"),
+        )
+        .orderBy("source")
     )

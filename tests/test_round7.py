@@ -403,3 +403,84 @@ def test_q325_span_not_matches_bruteforce(spark):
         if any(any(abs(a - b) <= 2 for b in pb) for a in pa):
             dropped = True
     assert dropped
+
+
+# ---------------------------------------------------------------------------
+# batch 8 (q326-q329): geo_bounds / moving_percentiles / rank_eval / prefix-cache
+# ---------------------------------------------------------------------------
+
+
+def test_q326_geo_bounds_matches_pandas(spark):
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    cust["x"] = (cust.c_custkey * 104729) % 3000
+    cust["y"] = (cust.c_custkey * 7919) % 3000
+    got = _pdf("q326_geo_bounds", spark).set_index("nationkey")
+    for nk, grp in cust.groupby("c_nationkey"):
+        row = got.loc[nk]
+        assert (
+            row["n_points"], row["min_x"], row["max_x"], row["min_y"], row["max_y"]
+        ) == (len(grp), grp.x.min(), grp.x.max(), grp.y.min(), grp.y.max())
+    assert len(got) == cust.c_nationkey.nunique()
+
+
+def test_q327_moving_percentiles_match_numpy(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.date).size().sort_index()
+    got = _pdf("q327_moving_percentiles", spark).set_index("day")
+    assert len(got) == max(0, len(daily) - 6)
+    vals = daily.to_numpy()
+    for i in range(6, len(daily)):
+        day = str(daily.index[i])
+        win = vals[i - 6 : i + 1]
+        for q, name in ((25, "p25"), (50, "p50"), (75, "p75")):
+            want = np.percentile(win, q, method="linear")
+            assert got.loc[day, name] == pytest.approx(want, abs=1e-9), (day, name)
+
+
+def test_q328_rank_eval_matches_bruteforce(spark):
+    docs = _docs()
+    got = _pdf("q328_rank_eval", spark).set_index("term")
+    for term in ("merge", "sort", "scan"):
+        scored = []
+        for _, r in docs.iterrows():
+            tf = _toks(r["text"]).count(term)
+            if tf > 0:
+                scored.append((-tf, r["doc_id"], r["lang"] == "en"))
+        scored.sort()
+        top = scored[:10]
+        rels = [rel for _, _, rel in top]
+        prec = sum(rels) / len(top)
+        mrr = 0.0
+        for rank, rel in enumerate(rels, start=1):
+            if rel:
+                mrr = 1.0 / rank
+                break
+        assert got.loc[term, "n_ret"] == len(top)
+        assert got.loc[term, "precision_at_k"] == pytest.approx(prec, abs=1e-6)
+        assert got.loc[term, "mrr"] == pytest.approx(mrr, abs=1e-6)
+
+
+def test_q329_prefix_cache_matches_bruteforce(spark):
+    docs = _docs().sort_values(["source", "doc_id"])
+    want = {}
+    for src, grp in docs.groupby("source"):
+        toks = [(_toks(t)) for t in grp["text"]]
+        n_prompts = n_hit = cached = 0
+        fracs = []
+        for prev, cur in zip(toks, toks[1:]):
+            cp = 0
+            for a, b in zip(prev, cur):
+                if a != b:
+                    break
+                cp += 1
+            n_prompts += 1
+            n_hit += cp > 0
+            cached += cp
+            fracs.append(round(cp / len(cur), 6))
+        want[src] = (n_prompts, n_hit, cached, round(sum(fracs) / len(fracs), 6))
+    got = _pdf("q329_prefix_cache_audit", spark)
+    for r in got.itertuples():
+        w = want[r.source]
+        assert (int(r.n_prompts), int(r.n_hit), int(r.cached_tokens)) == w[:3]
+        assert r.avg_shared_frac == pytest.approx(w[3], abs=1e-6)
+    assert set(got["source"]) == set(want)
