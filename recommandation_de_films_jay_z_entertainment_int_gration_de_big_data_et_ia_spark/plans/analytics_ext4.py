@@ -1202,3 +1202,239 @@ def q329_prefix_cache_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q330 — multi-level totals in ONE pass: ROLLUP(source, lang) over the
+# document corpus — per (source, lang), per source, and grand total,
+# with doc count and exact token sum at every level. The dataset-card
+# manifest shape every corpus release ships, and the Spark surface
+# (df.rollup / GROUPING SETS) that computes N aggregation levels in a
+# single shuffle instead of N scans.
+#
+# Determinism: counts/sums are exact integers; NULL grouping slots are
+# COALESCEd to the explicit '(all)' label on both engines, and the
+# grouping level is surfaced as an integer.
+#
+# Shape (100 TB): ONE map-combinable shuffle — Spark expands the
+# rollup row-locally before the partial agg, so the three levels cost
+# one pass, not three scans.
+# ---------------------------------------------------------------------------
+@register(
+    "q330_rollup_totals",
+    oracle=f"""
+    SELECT COALESCE(source, '(all)') AS source,
+           COALESCE(lang, '(all)') AS lang,
+           CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS tokens
+    FROM documents GROUP BY ROLLUP(source, lang)
+    ORDER BY lvl, source, lang
+    """,
+)
+def q330_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(tokens("text")).alias("n_toks")
+    )
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            # grouping() is only resolvable inside the Aggregate node
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("bigint")
+            .alias("lvl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "lvl",
+            "n_docs",
+            "tokens",
+        )
+        .orderBy("lvl", "source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q331 — ES `range` aggregation: custom [from, to) buckets over
+# o_totalprice with ES's "lo-hi" bucket keys, doc count and exact
+# decimal average per bucket. Buckets with no matching docs are
+# omitted (ES keyed-response behavior for empty custom ranges differs
+# by version; the engine surfaces populated buckets).
+#
+# Shape (100 TB): scan-local integer bucket assignment + one
+# map-combinable shuffle of <= 4 rows per partition.
+# ---------------------------------------------------------------------------
+_RANGE_BOUNDS = (0, 125_000, 250_000, 375_000)  # last bucket open-ended
+
+
+def _range_key_sql() -> str:
+    cases = []
+    for i, lo in enumerate(_RANGE_BOUNDS):
+        hi = _RANGE_BOUNDS[i + 1] if i + 1 < len(_RANGE_BOUNDS) else None
+        label = f"{lo}-{hi}" if hi is not None else f"{lo}-*"
+        cond = (
+            f"o_totalprice >= {lo} AND o_totalprice < {hi}"
+            if hi is not None
+            else f"o_totalprice >= {lo}"
+        )
+        cases.append(f"WHEN {cond} THEN '{label}'")
+    return "CASE " + " ".join(cases) + " END"
+
+
+@register(
+    "q331_range_agg",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_range_key_sql()} AS bucket,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM b WHERE bucket IS NOT NULL
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q331_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    key = None
+    for i, lo in enumerate(_RANGE_BOUNDS):
+        hi = _RANGE_BOUNDS[i + 1] if i + 1 < len(_RANGE_BOUNDS) else None
+        label = f"{lo}-{hi}" if hi is not None else f"{lo}-*"
+        cond = (
+            (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+            if hi is not None
+            else F.col("o_totalprice") >= lo
+        )
+        key = F.when(cond, label) if key is None else key.when(cond, label)
+    b = o.select(
+        key.alias("bucket"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).filter(F.col("bucket").isNotNull())
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.round(
+                F.sum("price").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q332 — ES `simple_query_string` with the fixed grammar query
+# `+fast -slow "hash join"`: documents must contain "fast", must NOT
+# contain "slow", and must contain the exact adjacent phrase
+# "hash join". Score: tf(fast) + phrase occurrence count (the naive-tf
+# discipline of q314/q324). The grammar parse happens at plan-build
+# time (the query string is a constant); execution is one scan-local
+# predicate + TakeOrdered.
+#
+# Determinism: integer tf and adjacency counts; adjacency is the
+# (x, i) single-pass idiom on the materialized token array (phrase
+# hit at i when toks[i]='hash' and toks[i+1]='join').
+# ---------------------------------------------------------------------------
+_SQS_PLUS = "fast"
+_SQS_MINUS = "slow"
+_SQS_PHRASE = ("hash", "join")
+
+
+@register(
+    "q332_simple_query_string",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x = '{_SQS_PLUS}')) AS BIGINT) AS plus_tf,
+             len(list_filter(toks, x -> x = '{_SQS_MINUS}')) > 0 AS has_minus,
+             CAST(len(list_filter(list_transform(toks, (x, i) ->
+               CASE WHEN x = '{_SQS_PHRASE[0]}'
+                         AND i < len(toks)
+                         AND toks[i + 1] = '{_SQS_PHRASE[1]}'
+                    THEN 1 END), h -> h IS NOT NULL)) AS BIGINT) AS phrase_tf
+      FROM t)
+    SELECT doc_id, plus_tf, phrase_tf,
+           CAST(plus_tf + phrase_tf AS BIGINT) AS score
+    FROM s WHERE plus_tf > 0 AND NOT has_minus AND phrase_tf > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q332_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    # NB: Spark's transform index i is 0-based (element i+1 in SQL
+    # element_at terms), so the "next token" probe is element_at(i+2);
+    # DuckDB's 1-based lambda index probes toks[i+1] — same neighbor.
+    phrase_tf = F.expr(
+        f"size(filter(transform(toks, (x, i) ->"
+        f" IF(x = '{_SQS_PHRASE[0]}' AND i + 1 < size(toks)"
+        f"    AND element_at(toks, i + 2) = '{_SQS_PHRASE[1]}', 1, NULL)),"
+        f" h -> h IS NOT NULL))"
+    ).cast("bigint")
+    s = t.select(
+        "doc_id",
+        F.size(F.filter("toks", lambda x: x == F.lit(_SQS_PLUS)))
+        .cast("bigint")
+        .alias("plus_tf"),
+        (F.size(F.filter("toks", lambda x: x == F.lit(_SQS_MINUS))) > 0).alias(
+            "has_minus"
+        ),
+        phrase_tf.alias("phrase_tf"),
+    )
+    return (
+        s.filter((F.col("plus_tf") > 0) & (~F.col("has_minus")) & (F.col("phrase_tf") > 0))
+        .select(
+            "doc_id", "plus_tf", "phrase_tf",
+            (F.col("plus_tf") + F.col("phrase_tf")).cast("bigint").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q333 — ES `children` aggregation: under each parent bucket
+# (o_orderpriority), aggregate over the parents' CHILD documents
+# (lineitems): child count and exact decimal average extendedprice.
+# Completes the parent-child family (q264 has_child, q265 has_parent,
+# q266 nested) with the aggregation side.
+#
+# Shape (100 TB): the parent attribute projects to (orderkey,
+# priority) before the join, so the shuffle carries two columns; the
+# join is key-partitioned (co-partitioned with the agg that follows —
+# AQE plans one exchange per side) and the final agg is 5 rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q333_children_agg",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_children,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_child_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q333_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_children"),
+            F.round(
+                F.sum("price").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_child_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

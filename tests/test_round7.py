@@ -484,3 +484,90 @@ def test_q329_prefix_cache_matches_bruteforce(spark):
         assert (int(r.n_prompts), int(r.n_hit), int(r.cached_tokens)) == w[:3]
         assert r.avg_shared_frac == pytest.approx(w[3], abs=1e-6)
     assert set(got["source"]) == set(want)
+
+
+# ---------------------------------------------------------------------------
+# batch 9 (q330-q333): rollup / range agg / simple_query_string / children agg
+# ---------------------------------------------------------------------------
+
+
+def test_q330_rollup_levels_consistent(spark):
+    docs = _docs()
+    got = _pdf("q330_rollup_totals", spark)
+    toks_per_doc = docs["text"].map(lambda t: len(_toks(t)))
+    # level 0: per (source, lang); level 1: per source; level 3: grand total
+    lvl0 = got[got.lvl == 0]
+    assert len(lvl0) == docs.groupby(["source", "lang"]).ngroups
+    for r in lvl0.itertuples():
+        sub = docs[(docs.source == r.source) & (docs.lang == r.lang)]
+        assert r.n_docs == len(sub)
+        assert r.tokens == toks_per_doc[sub.index].sum()
+    lvl1 = got[got.lvl == 1]
+    assert len(lvl1) == docs["source"].nunique()
+    assert (lvl1["lang"] == "(all)").all()
+    assert lvl1["n_docs"].sum() == len(docs)
+    lvl3 = got[got.lvl == 3]
+    assert len(lvl3) == 1
+    assert lvl3.iloc[0]["n_docs"] == len(docs)
+    assert lvl3.iloc[0]["tokens"] == toks_per_doc.sum()
+    # rollup never emits lang-only buckets (that's CUBE)
+    assert set(got["lvl"]) == {0, 1, 3}
+
+
+def test_q331_range_buckets_match_pandas(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    got = _pdf("q331_range_agg", spark).set_index("bucket")
+    bounds = [(0, 125_000), (125_000, 250_000), (250_000, 375_000),
+              (375_000, None)]
+    seen = 0
+    for lo, hi in bounds:
+        sub = orders[
+            (orders.o_totalprice >= lo)
+            & ((orders.o_totalprice < hi) if hi else True)
+        ]
+        key = f"{lo}-{hi}" if hi else f"{lo}-*"
+        if len(sub) == 0:
+            assert key not in got.index
+            continue
+        seen += len(sub)
+        assert got.loc[key, "doc_count"] == len(sub)
+        assert got.loc[key, "avg_price"] == pytest.approx(
+            sub.o_totalprice.round(2).mean(), abs=1e-4
+        )
+    assert seen == len(orders)
+
+
+def test_q332_sqs_matches_bruteforce(spark):
+    docs = _docs()
+    rows = []
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        plus = tk.count("fast")
+        if plus == 0 or "slow" in tk:
+            continue
+        phrase = sum(
+            1 for i in range(len(tk) - 1) if tk[i] == "hash" and tk[i + 1] == "join"
+        )
+        if phrase == 0:
+            continue
+        rows.append((r["doc_id"], plus, phrase, plus + phrase))
+    rows.sort(key=lambda x: (-x[3], x[0]))
+    want = rows[:20]
+    got = _pdf("q332_simple_query_string", spark)
+    assert [
+        (int(r.doc_id), int(r.plus_tf), int(r.phrase_tf), int(r.score))
+        for r in got.itertuples()
+    ] == want
+    assert want, "fixture should contain sqs matches"
+
+
+def test_q333_children_agg_matches_pandas(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    got = _pdf("q333_children_agg", spark).set_index("o_orderpriority")
+    for prio, grp in j.groupby("o_orderpriority"):
+        assert got.loc[prio, "n_children"] == len(grp)
+        assert got.loc[prio, "avg_child_price"] == pytest.approx(
+            grp.l_extendedprice.round(2).mean(), abs=1e-4
+        )
