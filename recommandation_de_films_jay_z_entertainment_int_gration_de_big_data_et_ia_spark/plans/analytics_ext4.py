@@ -1438,3 +1438,273 @@ def q333_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q334 — ES `span_or` inside `span_near`: either of two include terms
+# ("hash" | "merge") within slop 3 of the anchor ("join"), per
+# document: the minimal gap certificate and the number of qualifying
+# pairs. Completes the span family: q299 span_near, q278 span_first,
+# q325 span_not.
+#
+# Determinism: pure integer position differences (the q299 idiom —
+# base-index offset cancels).
+#
+# Shape (100 TB): scan-local position arrays + row-local pair
+# flatten; no shuffle except the display sort.
+# ---------------------------------------------------------------------------
+_SO_TERMS = ("hash", "merge")
+_SO_ANCHOR = "join"
+_SO_SLOP = 3
+
+
+@register(
+    "q334_span_or_near",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT doc_id,
+             list_concat(
+               list_filter(list_transform(toks, (x, i) ->
+                 CASE WHEN x = '{_SO_TERMS[0]}' THEN i ELSE -1 END), v -> v >= 0),
+               list_filter(list_transform(toks, (x, i) ->
+                 CASE WHEN x = '{_SO_TERMS[1]}' THEN i ELSE -1 END), v -> v >= 0))
+               AS pu,
+             list_filter(list_transform(toks, (x, i) ->
+               CASE WHEN x = '{_SO_ANCHOR}' THEN i ELSE -1 END), v -> v >= 0) AS pj
+      FROM t),
+    pairs AS (
+      SELECT doc_id,
+             flatten(list_transform(pu, u ->
+               list_transform(pj, j -> abs(u - j) - 1))) AS gaps
+      FROM p WHERE len(pu) > 0 AND len(pj) > 0)
+    SELECT doc_id,
+           CAST(list_min(gaps) AS BIGINT) AS best_gap,
+           CAST(len(list_filter(gaps, g -> g <= {_SO_SLOP})) AS BIGINT)
+             AS n_pairs_within
+    FROM pairs WHERE list_min(gaps) <= {_SO_SLOP}
+    ORDER BY doc_id
+    """,
+)
+def q334_span_or_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+
+    def pos(term: str) -> str:
+        return (
+            f"filter(transform(toks, (x, i) -> IF(x = '{term}', i, -1)),"
+            f" v -> v >= 0)"
+        )
+
+    p = docs.select(
+        "doc_id",
+        F.expr(f"concat({pos(_SO_TERMS[0])}, {pos(_SO_TERMS[1])})").alias("pu"),
+        F.expr(pos(_SO_ANCHOR)).alias("pj"),
+    ).filter((F.size("pu") > 0) & (F.size("pj") > 0))
+    gaps = F.expr("flatten(transform(pu, u -> transform(pj, j -> abs(u - j) - 1)))")
+    g = p.select("doc_id", gaps.alias("gaps"))
+    return (
+        g.select(
+            "doc_id",
+            F.array_min("gaps").cast("bigint").alias("best_gap"),
+            F.size(F.filter("gaps", lambda x: x <= F.lit(_SO_SLOP)))
+            .cast("bigint")
+            .alias("n_pairs_within"),
+        )
+        .filter(F.col("best_gap") <= _SO_SLOP)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q335 — ColBERT-style late-interaction scoring (MaxSim): a probe SET
+# of vectors (vec_ids 0-2, the "query tokens") against each label's
+# vector set (the "document"): score(label) = Σ_q max_v cos(q, v).
+# The standard multi-vector retrieval operator RAG rerankers use.
+#
+# Determinism: per-pair cosines are the shared left-to-right double
+# fold ROUND(.,6); max is order-free; the 3-probe sum goes through
+# DECIMAL(18,6). Probe vectors participate in their own label's set
+# (documented; they contribute cos=1 to their own max).
+#
+# Shape (100 TB): the probe set is a 3-row broadcast (never a
+# shuffled join); per-pair scoring is scan-local; two map-combinable
+# shuffles (max per (label, probe), sum per label). Candidate
+# generation at real scale plugs into the IVF/LSH entries (q82/q38).
+# ---------------------------------------------------------------------------
+_MX_PROBES = (0, 1, 2)
+
+
+@register(
+    "q335_colbert_maxsim",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN {_MX_PROBES!r}),
+    pair AS (
+      SELECT e.label, q.qid,
+             MAX(ROUND({_dot_sql_ext4("e.embedding", "q.qv")}
+                 / (sqrt({_dot_sql_ext4("e.embedding", "e.embedding")})
+                    * sqrt({_dot_sql_ext4("q.qv", "q.qv")})), 6)) AS best
+      FROM embeddings e CROSS JOIN q
+      GROUP BY e.label, q.qid)
+    SELECT label,
+           ROUND(CAST(SUM(CAST(best AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS maxsim_score,
+           CAST(COUNT(*) AS BIGINT) AS n_probes
+    FROM pair GROUP BY label ORDER BY maxsim_score DESC, label LIMIT 10
+    """,
+)
+def q335_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*_MX_PROBES)).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    pair = (
+        emb.crossJoin(probes)
+        .select(
+            "label", "qid",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+        .groupBy("label", "qid")
+        .agg(F.max("cos").alias("best"))
+    )
+    return (
+        pair.groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("best").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("maxsim_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        )
+        .orderBy(F.desc("maxsim_score"), "label")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q336 — ES `filters` aggregation with `other_bucket`: named,
+# independently-evaluated filter buckets (a doc may land in several)
+# plus the bucket of docs matching NONE. Filters mix a JSON-extracted
+# numeric predicate with keyword predicates — the ES shape where each
+# named bucket is an arbitrary query.
+#
+# Shape (100 TB): ONE pass — every named bucket is a conditional
+# accumulator in a single map-combinable aggregate (never one scan
+# per filter), unpivoted row-locally from the 1-row result.
+# ---------------------------------------------------------------------------
+_FLT_BUCKETS = (
+    ("big_k", "CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50"),
+    ("purchase", "event_type = 'purchase'"),
+    ("errors", "event_type = 'error'"),
+)
+
+
+@register(
+    "q336_filters_agg",
+    oracle=f"""
+    WITH t AS (
+      SELECT *,
+             {_FLT_BUCKETS[0][1]} AS f0,
+             {_FLT_BUCKETS[1][1]} AS f1,
+             {_FLT_BUCKETS[2][1]} AS f2
+      FROM events),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN NOT (f0 OR f1 OR f2) THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_other
+      FROM t)
+    SELECT bucket, doc_count FROM (
+      SELECT '{_FLT_BUCKETS[0][0]}' AS bucket, c0 AS doc_count FROM s
+      UNION ALL SELECT '{_FLT_BUCKETS[1][0]}', c1 FROM s
+      UNION ALL SELECT '{_FLT_BUCKETS[2][0]}', c2 FROM s
+      UNION ALL SELECT '_other_', c_other FROM s)
+    ORDER BY bucket
+    """,
+)
+def q336_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f0 = F.get_json_object("props", "$.k").cast("bigint") >= 50
+    f1 = F.col("event_type") == "purchase"
+    f2 = F.col("event_type") == "error"
+    t = ev.select(f0.alias("f0"), f1.alias("f1"), f2.alias("f2"))
+
+    def cnt(c: F.Column) -> F.Column:
+        return F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+
+    s = t.agg(
+        cnt(F.col("f0")).alias("c0"),
+        cnt(F.col("f1")).alias("c1"),
+        cnt(F.col("f2")).alias("c2"),
+        cnt(~(F.col("f0") | F.col("f1") | F.col("f2"))).alias("c_other"),
+    )
+    out = s.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(_FLT_BUCKETS[0][0]).alias("bucket"), F.col("c0").alias("doc_count")),
+                F.struct(F.lit(_FLT_BUCKETS[1][0]).alias("bucket"), F.col("c1").alias("doc_count")),
+                F.struct(F.lit(_FLT_BUCKETS[2][0]).alias("bucket"), F.col("c2").alias("doc_count")),
+                F.struct(F.lit("_other_").alias("bucket"), F.col("c_other").alias("doc_count")),
+            )
+        ).alias("b")
+    ).select("b.*")
+    return out.orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q337 — edit-distance near-duplicate audit over the part-name
+# VOCABULARY: distinct p_name values whose Levenshtein distance is
+# <= 2 (Spark's levenshtein == DuckDB's — unit-cost ops). Pairing runs
+# over DISTINCT names, not rows — the name vocabulary is bounded
+# (adjective x noun), so the pair stage is scale-CONSTANT while the
+# dedup signal still covers every row; a |length difference| <= 1
+# filter prunes before the quadratic distance.
+#
+# Shape (100 TB): one distinct shuffle collapses rows to the bounded
+# vocabulary; the vocabulary self-join is broadcast (tiny by
+# construction). This is the ES fuzzy-dedup analog of q251's
+# term-dictionary expansion.
+# ---------------------------------------------------------------------------
+_ED_MAX = 2
+
+
+@register(
+    "q337_name_edit_pairs",
+    oracle=f"""
+    WITH v AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM v a JOIN v b
+      ON a.p_name < b.p_name
+     AND abs(len(a.p_name) - len(b.p_name)) <= 1
+    WHERE levenshtein(a.p_name, b.p_name) <= {_ED_MAX}
+    ORDER BY name_a, name_b
+    """,
+)
+def q337_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = v.select(F.col("p_name").alias("name_a"))
+    b = v.select(F.col("p_name").alias("name_b"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 1
+        ),
+    )
+    return (
+        pairs.select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= _ED_MAX)
+        .orderBy("name_a", "name_b")
+    )

@@ -571,3 +571,94 @@ def test_q333_children_agg_matches_pandas(spark):
         assert got.loc[prio, "avg_child_price"] == pytest.approx(
             grp.l_extendedprice.round(2).mean(), abs=1e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# batch 10 (q334-q337): span_or / maxsim / filters agg / edit-distance pairs
+# ---------------------------------------------------------------------------
+
+
+def test_q334_span_or_matches_bruteforce(spark):
+    docs = _docs()
+    want = {}
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        pu = [i for i, t in enumerate(tk) if t in ("hash", "merge")]
+        pj = [i for i, t in enumerate(tk) if t == "join"]
+        if not pu or not pj:
+            continue
+        gaps = [abs(u - j) - 1 for u in pu for j in pj]
+        if min(gaps) <= 3:
+            want[r["doc_id"]] = (min(gaps), sum(g <= 3 for g in gaps))
+    got = _pdf("q334_span_or_near", spark)
+    assert {
+        int(r.doc_id): (int(r.best_gap), int(r.n_pairs_within))
+        for r in got.itertuples()
+    } == want
+    assert want
+
+
+def test_q335_maxsim_matches_numpy(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    probe_idx = emb.index[emb.vec_id.isin([0, 1, 2])].to_numpy()
+    got = _pdf("q335_colbert_maxsim", spark)
+    labels = emb["label"].to_numpy()
+    want = {}
+    for lab in np.unique(labels):
+        mask = labels == lab
+        score = 0.0
+        for q in probe_idx:
+            cos = vecs[mask] @ vecs[q] / (norms[mask] * norms[q])
+            score += np.round(cos, 6).max()
+        want[lab] = round(score, 6)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(int(r.label), float(r.maxsim_score)) for r in got.itertuples()] == [
+        (int(l), pytest.approx(s, abs=2e-6)) for l, s in ranked
+    ]
+    assert (got["n_probes"] == 3).all()
+
+
+def test_q336_filters_agg_matches_pandas(spark):
+    import json as _json
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    k = ev["props"].map(lambda p: _json.loads(p)["k"])
+    f0 = k >= 50
+    f1 = ev.event_type == "purchase"
+    f2 = ev.event_type == "error"
+    got = dict(
+        zip(*(lambda d: (d["bucket"], d["doc_count"]))(_pdf("q336_filters_agg", spark)))
+    )
+    assert got == {
+        "big_k": f0.sum(),
+        "purchase": f1.sum(),
+        "errors": f2.sum(),
+        "_other_": (~(f0 | f1 | f2)).sum(),
+    }
+    # buckets overlap (a purchase with big k) and other_bucket is non-empty
+    assert (f0 & (f1 | f2)).any() and got["_other_"] > 0
+
+
+def test_q337_edit_pairs_match_python(spark):
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    names = sorted(set(part["p_name"]))
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if abs(len(a) - len(b)) <= 1 and lev(a, b) <= 2:
+                want.append((a, b, lev(a, b)))
+    want.sort()
+    got = _pdf("q337_name_edit_pairs", spark)
+    assert [(r.name_a, r.name_b, int(r.dist)) for r in got.itertuples()] == want
+    assert want, "fixture should contain close name pairs"
