@@ -1708,3 +1708,145 @@ def q337_name_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _ED_MAX)
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q338 — degenerate-repetition filter (LLM corpus quality): the longest
+# run of consecutive IDENTICAL tokens per document plus the repeated
+# token — the standard "the the the" loop-output detector (complements
+# the q267 Gopher rules, which count duplicate n-grams without
+# adjacency). Run boundaries come from change-point positions, so the
+# whole computation is integer list arithmetic over the materialized
+# token array.
+#
+# Shape (100 TB): fully scan-local (one projection per doc, display
+# sort aside).
+# ---------------------------------------------------------------------------
+@register(
+    "q338_max_repeat_run",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             list_filter(list_transform(toks, (x, i) ->
+               CASE WHEN i = 1 OR toks[i - 1] != x THEN i END),
+               v -> v IS NOT NULL) AS starts
+      FROM t),
+    b AS (
+      SELECT doc_id, toks, starts,
+             list_transform(range(1, len(starts) + 1), k ->
+               COALESCE(starts[k + 1], len(toks) + 1) - starts[k]) AS lens
+      FROM s),
+    m AS (
+      SELECT doc_id, toks, starts, lens,
+             list_max(lens) AS max_run,
+             list_min(list_filter(list_transform(range(1, len(lens) + 1), k ->
+               CASE WHEN lens[k] = list_max(lens) THEN k END),
+               v -> v IS NOT NULL)) AS kstar
+      FROM b)
+    SELECT doc_id,
+           CAST(max_run AS BIGINT) AS max_run,
+           toks[starts[kstar]] AS rep_token
+    FROM m WHERE max_run >= 2
+    ORDER BY doc_id
+    """,
+)
+def q338_max_repeat_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE linear fold with struct state (prev, cur, mx, best) instead of
+    # the change-point/run-length array pipeline the oracle uses: the
+    # array formulation self-references intermediate arrays, and after
+    # Catalyst's projection collapse each reference re-inlines its whole
+    # subtree — exponential expression blowup (~80 s of analysis/codegen
+    # regardless of data size). The fold references `toks` exactly once.
+    # Semantics: a run's token is recorded when its length first EXCEEDS
+    # the running max, so ties keep the FIRST maximal run — identical to
+    # the oracle's min-index choice.
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          toks,
+          struct(CAST('' AS STRING) AS prev, 0 AS cur, 0 AS mx,
+                 CAST('' AS STRING) AS best),
+          (acc, x) -> struct(
+            x AS prev,
+            IF(x = acc.prev, acc.cur + 1, 1) AS cur,
+            IF(IF(x = acc.prev, acc.cur + 1, 1) > acc.mx,
+               IF(x = acc.prev, acc.cur + 1, 1), acc.mx) AS mx,
+            IF(IF(x = acc.prev, acc.cur + 1, 1) > acc.mx, x, acc.best) AS best))
+        """
+    )
+    m = t.select("doc_id", fold.alias("r"))
+    return (
+        m.filter(F.col("r.mx") >= 2)
+        .select(
+            "doc_id",
+            F.col("r.mx").cast("bigint").alias("max_run"),
+            F.col("r.best").alias("rep_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q339 — ES `histogram` aggregation with `min_doc_count: 0`: fixed
+# interval-10 buckets over signup events' value, EMITTING EMPTY
+# BUCKETS across the populated extent (the grid-fill contract ES
+# clients rely on for gap-free charts).
+#
+# Determinism: bucket assignment is integer-cents arithmetic
+# (ROUND(value*100) -> BIGINT // 1000), never float floor-division;
+# the grid is an integer sequence between the observed min/max bucket.
+#
+# Shape (100 TB): one map-combinable shuffle to the (tiny) populated
+# bucket set, then the grid explode + join run on the BUCKET frame —
+# bounded by the value range, not the event volume.
+# ---------------------------------------------------------------------------
+_H_INTERVAL = 10  # value units; cents // 1000
+
+
+@register(
+    "q339_histogram_empty_buckets",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(round(value * 100) AS BIGINT) // {_H_INTERVAL * 100} AS bk
+      FROM events WHERE event_type = 'signup'),
+    cnt AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bk),
+    grid AS (
+      SELECT UNNEST(range((SELECT MIN(bk) FROM cnt),
+                          (SELECT MAX(bk) FROM cnt) + 1)) AS bk)
+    SELECT CAST(g.bk * {_H_INTERVAL} AS BIGINT) AS bucket_key,
+           COALESCE(c.c, 0) AS doc_count
+    FROM grid g LEFT JOIN cnt c ON c.bk = g.bk
+    ORDER BY bucket_key
+    """,
+)
+def q339_histogram_empty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    bk = (
+        F.round(F.col("value") * 100).cast("bigint") / (_H_INTERVAL * 100)
+    ).cast("bigint")  # non-negative values: cast == floor-div
+    cnt = ev.select(bk.alias("bk")).groupBy("bk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # the grid derives from the SAME tiny aggregated frame (one row
+    # after the min/max agg) — no second scan of events
+    bounds = cnt.agg(
+        F.min("bk").alias("lo"), F.max("bk").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bk")
+    )
+    return (
+        grid.join(cnt, "bk", "left")
+        .select(
+            (F.col("bk") * _H_INTERVAL).cast("bigint").alias("bucket_key"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("doc_count"),
+        )
+        .orderBy("bucket_key")
+    )

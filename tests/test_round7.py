@@ -662,3 +662,45 @@ def test_q337_edit_pairs_match_python(spark):
     got = _pdf("q337_name_edit_pairs", spark)
     assert [(r.name_a, r.name_b, int(r.dist)) for r in got.itertuples()] == want
     assert want, "fixture should contain close name pairs"
+
+
+# ---------------------------------------------------------------------------
+# batch 11 (q338-q339): max repeat run / histogram with empty buckets
+# ---------------------------------------------------------------------------
+
+
+def test_q338_max_repeat_run_matches_bruteforce(spark):
+    docs = _docs()
+    want = {}
+    for _, r in docs.iterrows():
+        tk = _toks(r["text"])
+        best_len, best_tok, cur = 0, None, 0
+        prev = None
+        for t in tk:
+            cur = cur + 1 if t == prev else 1
+            if cur > best_len:
+                best_len, best_tok = cur, t
+            prev = t
+        if best_len >= 2:
+            want[r["doc_id"]] = (best_len, best_tok)
+    got = _pdf("q338_max_repeat_run", spark)
+    assert {
+        int(r.doc_id): (int(r.max_run), r.rep_token) for r in got.itertuples()
+    } == want
+    assert want, "fixture should contain adjacent repeats"
+
+
+def test_q339_histogram_grid_is_gapfree(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    sub = ev[ev.event_type == "signup"]
+    bk = ((sub["value"] * 100).round().astype("int64") // 1000)
+    counts = bk.value_counts()
+    got = _pdf("q339_histogram_empty_buckets", spark)
+    # gap-free integer grid over the populated extent
+    keys = got["bucket_key"].to_numpy()
+    assert (np.diff(keys) == 10).all()
+    assert keys[0] == bk.min() * 10 and keys[-1] == bk.max() * 10
+    assert got["doc_count"].sum() == len(sub)
+    for r in got.itertuples():
+        assert r.doc_count == counts.get(r.bucket_key // 10, 0)
+    assert (got["doc_count"] == 0).any(), "fixture should contain empty buckets"
