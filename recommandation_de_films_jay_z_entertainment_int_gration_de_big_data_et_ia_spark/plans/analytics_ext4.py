@@ -1850,3 +1850,165 @@ def q339_histogram_empty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# q340 — ES `geohash_grid` aggregation with REAL geohash cell keys:
+# normalize each lattice coordinate to 15 bits, interleave (lon-first,
+# exactly the geohash bit order), truncate to precision 5 (25 bits)
+# and render in the standard base32 alphabet. All bit surgery is
+# integer div/mod arithmetic GENERATED as literals (no engine bitwise
+# builtins), so both engines compute the identical code.
+#
+# Shape (100 TB): scan-local key derivation (a constant-depth integer
+# expression) + one tiny-cardinality map-combinable shuffle.
+# Complements q293 (geotile z/x/y) with the base32 geohash surface.
+# ---------------------------------------------------------------------------
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 15  # per-axis resolution before truncation
+_GH_PRECISION = 2  # chars (5 bits each) -- 1,024 cells: real bucket counts at every SF
+
+
+def _gh_interleave_sql(gx: str, gy: str) -> str:
+    # code30 = sum_i bit_i(gx)*2^(2i+1) + bit_i(gy)*2^(2i)   (lon = even
+    # bit slots from the MSB side = the *higher* of each pair)
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"(({gx} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({gy} // {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh_chars_sql(code25: str) -> str:
+    parts = []
+    for k in range(_GH_PRECISION):
+        shift = 32 ** (_GH_PRECISION - 1 - k)
+        parts.append(f"substr('{_GH_ALPHA}', CAST(({code25} // {shift}) % 32 AS INT) + 1, 1)")
+    return " || ".join(parts)
+
+
+@register(
+    "q340_geohash_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ((c_custkey * 104729) % 3000) * {1 << _GH_BITS} // 3000 AS gx,
+             ((c_custkey * 7919) % 3000) * {1 << _GH_BITS} // 3000 AS gy
+      FROM customer),
+    coded AS (
+      SELECT {_gh_interleave_sql("gx", "gy")} // {1 << (2 * _GH_BITS - 5 * _GH_PRECISION)}
+               AS code25
+      FROM pts)
+    SELECT {_gh_chars_sql("code25")} AS geohash,
+           CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM coded GROUP BY code25
+    ORDER BY doc_count DESC, geohash LIMIT 20
+    """,
+)
+def q340_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    gx = F.floor(((k * 104729) % 3000) * (1 << _GH_BITS) / 3000).cast("bigint")
+    gy = F.floor(((k * 7919) % 3000) * (1 << _GH_BITS) / 3000).cast("bigint")
+    pts = cust.select(gx.alias("gx"), gy.alias("gy"))
+
+    code30 = None
+    for i in range(_GH_BITS):
+        tx = (F.col("gx") / (1 << i)).cast("bigint") % 2 * (1 << (2 * i + 1))
+        ty = (F.col("gy") / (1 << i)).cast("bigint") % 2 * (1 << (2 * i))
+        code30 = tx + ty if code30 is None else code30 + tx + ty
+    code25 = (code30 / (1 << (2 * _GH_BITS - 5 * _GH_PRECISION))).cast("bigint")
+    coded = pts.select(code25.alias("code25"))
+
+    agg = coded.groupBy("code25").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count")
+    )
+    chars = [
+        F.substring(
+            F.lit(_GH_ALPHA),
+            ((F.col("code25") / (32 ** (_GH_PRECISION - 1 - kk))).cast("bigint") % 32)
+            .cast("int")
+            + 1,
+            1,
+        )
+        for kk in range(_GH_PRECISION)
+    ]
+    return (
+        agg.select(F.concat(*chars).alias("geohash"), "doc_count")
+        .orderBy(F.desc("doc_count"), "geohash")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q341 — ES `significant_text` aggregation: tokens over-represented in
+# a FOREGROUND document set (lang = 'en') relative to the whole corpus,
+# scored with ES's JLH: (fgp - bgp) * (fgp / bgp), document-frequency
+# based (each doc counts a token once), requiring fgp > bgp. Completes
+# q254 (significant_terms over keyword fields) with the free-text
+# surface.
+#
+# Determinism: fg/bg document frequencies are exact integers; the two
+# totals are exact; the score is one shared double expression, rounded
+# to 6 with (df, token) tiebreaks.
+#
+# Shape (100 TB): one distinct-token explode + map-combinable shuffle
+# keyed by token; the fg/bg doc totals come from a second 1-column
+# scan that aggregates to ONE broadcast row (never a per-token join).
+# ---------------------------------------------------------------------------
+_ST_FG_LANG = "en"
+
+
+@register(
+    "q341_significant_text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang = '{_ST_FG_LANG}' AS fg, UNNEST(list_distinct({_TOKS_SQL})) AS token
+      FROM documents),
+    df AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+             CAST(COUNT(*) AS BIGINT) AS bg_df
+      FROM tok GROUP BY token),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN lang = '{_ST_FG_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS fg_total,
+             CAST(COUNT(*) AS BIGINT) AS bg_total
+      FROM documents)
+    SELECT token, fg_df, bg_df,
+           ROUND((CAST(fg_df AS DOUBLE) / fg_total - CAST(bg_df AS DOUBLE) / bg_total)
+                 * (CAST(fg_df AS DOUBLE) / fg_total)
+                 / (CAST(bg_df AS DOUBLE) / bg_total), 6) AS jlh
+    FROM df CROSS JOIN tot
+    WHERE CAST(fg_df AS DOUBLE) / fg_total > CAST(bg_df AS DOUBLE) / bg_total
+    ORDER BY jlh DESC, bg_df DESC, token LIMIT 20
+    """,
+)
+def q341_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("lang") == _ST_FG_LANG).alias("fg"),
+        F.explode(F.array_distinct(tokens("text"))).alias("token"),
+    )
+    df = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).cast("bigint").alias("fg_df"),
+        F.count(F.lit(1)).cast("bigint").alias("bg_df"),
+    )
+    tot = F.broadcast(
+        docs.agg(
+            F.sum(F.when(F.col("lang") == _ST_FG_LANG, 1).otherwise(0))
+            .cast("bigint")
+            .alias("fg_total"),
+            F.count(F.lit(1)).cast("bigint").alias("bg_total"),
+        )
+    )
+    fgp = F.col("fg_df").cast("double") / F.col("fg_total")
+    bgp = F.col("bg_df").cast("double") / F.col("bg_total")
+    return (
+        df.crossJoin(tot)
+        .filter(fgp > bgp)
+        .select(
+            "token", "fg_df", "bg_df",
+            F.round((fgp - bgp) * fgp / bgp, 6).alias("jlh"),
+        )
+        .orderBy(F.desc("jlh"), F.desc("bg_df"), "token")
+        .limit(20)
+    )

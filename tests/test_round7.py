@@ -704,3 +704,53 @@ def test_q339_histogram_grid_is_gapfree(spark):
     for r in got.itertuples():
         assert r.doc_count == counts.get(r.bucket_key // 10, 0)
     assert (got["doc_count"] == 0).any(), "fixture should contain empty buckets"
+
+
+# ---------------------------------------------------------------------------
+# batch 12 (q340-q341, post-sweep): geohash grid / significant_text
+# ---------------------------------------------------------------------------
+
+
+def test_q340_geohash_matches_python_bit_interleave(spark):
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    counts = {}
+    for key in cust["c_custkey"]:
+        gx = ((key * 104729) % 3000) * (1 << 15) // 3000
+        gy = ((key * 7919) % 3000) * (1 << 15) // 3000
+        code = 0
+        for i in range(15):
+            code |= ((gx >> i) & 1) << (2 * i + 1)
+            code |= ((gy >> i) & 1) << (2 * i)
+        code10 = code >> 20
+        gh = "".join(alpha[(code10 >> (5 * (1 - k))) & 31] for k in range(2))
+        counts[gh] = counts.get(gh, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _pdf("q340_geohash_grid", spark)
+    assert [(r.geohash, int(r.doc_count)) for r in got.itertuples()] == want
+    assert all(len(g) == 2 and all(c in alpha for c in g) for g, _ in want)
+
+
+def test_q341_significant_text_matches_bruteforce(spark):
+    docs = _docs()
+    fg_total = (docs.lang == "en").sum()
+    bg_total = len(docs)
+    df: dict[str, list[int]] = {}
+    for _, r in docs.iterrows():
+        for t in set(_toks(r["text"])):
+            e = df.setdefault(t, [0, 0])
+            e[0] += r["lang"] == "en"
+            e[1] += 1
+    rows = []
+    for t, (fg, bg) in df.items():
+        fgp, bgp = fg / fg_total, bg / bg_total
+        if fgp > bgp:
+            rows.append((t, fg, bg, round((fgp - bgp) * fgp / bgp, 6)))
+    rows.sort(key=lambda x: (-x[3], -x[2], x[0]))
+    want = rows[:20]
+    got = _pdf("q341_significant_text", spark)
+    assert [(r.token, int(r.fg_df), int(r.bg_df)) for r in got.itertuples()] == [
+        (t, fg, bg) for t, fg, bg, _ in want
+    ]
+    for g, (_, _, _, j) in zip(got.itertuples(), want):
+        assert g.jlh == pytest.approx(j, abs=1e-6)
