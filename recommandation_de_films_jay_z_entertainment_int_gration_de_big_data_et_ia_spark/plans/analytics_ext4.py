@@ -2012,3 +2012,110 @@ def q341_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jlh"), F.desc("bg_df"), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q342 — ES 8 filtered kNN (`knn` clause with `filter`): exact cosine
+# top-k against the probe vector, restricted by a METADATA predicate
+# evaluated BEFORE scoring (ES semantics: the filter narrows the
+# candidate set, it does not post-filter the top-k — a post-filter
+# could return fewer than k). Filter here: label != the probe's label
+# (the cross-class retrieval shape hard-negative mining uses).
+#
+# Shape (100 TB): the filter prunes at the scan (predicate pushdown),
+# the probe is a 1-row broadcast, scoring is scan-local, and the top-k
+# is TakeOrdered — the q37 brute-force shape with the candidate-set
+# contract made explicit. q38/q82 remain the sub-linear path.
+# ---------------------------------------------------------------------------
+_KF_PROBE = 0
+
+
+@register(
+    "q342_filtered_knn",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qv, label AS qlabel FROM embeddings
+      WHERE vec_id = {_KF_PROBE})
+    SELECT e.vec_id, e.label,
+           ROUND({_dot_sql_ext4("e.embedding", "q.qv")}
+                 / (sqrt({_dot_sql_ext4("e.embedding", "e.embedding")})
+                    * sqrt({_dot_sql_ext4("q.qv", "q.qv")})), 6) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label != q.qlabel
+    ORDER BY score DESC, e.vec_id LIMIT 10
+    """,
+)
+def q342_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == _KF_PROBE).select(
+            F.col("embedding").alias("qv"), F.col("label").alias("qlabel")
+        )
+    )
+    return (
+        emb.crossJoin(probe)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "vec_id", "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q343 — ES `function_score` with MULTIPLE functions:
+#   functions: [ {field_value_factor: sqrt(n_chars)},
+#                {filter: lang='en', weight: 2.0} ]
+#   score_mode: sum   (function values add)
+#   boost_mode: multiply  (query score x combined function value)
+# Query score is tf('query') — the naive-tf discipline. Completes the
+# function_score family: q256 covers the decay function, q312 the
+# script/rank_feature form.
+#
+# Determinism: sqrt of an exact integer and one shared 2.0 literal;
+# one multiply; ROUND(.,6).
+#
+# Shape (100 TB): scan-local scoring + TakeOrdered(20).
+# ---------------------------------------------------------------------------
+_FS_TERM = "query"
+_FS_WEIGHT = 2.0
+
+
+@register(
+    "q343_function_score_multi",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_tf_sql(_FS_TERM)} AS tf,
+             sqrt(CAST(n_chars AS DOUBLE))
+               + (CASE WHEN lang = 'en' THEN {_FS_WEIGHT} ELSE 0.0 END) AS fval
+      FROM documents)
+    SELECT doc_id, tf, ROUND(fval, 6) AS fval,
+           ROUND(tf * fval, 6) AS score
+    FROM t WHERE tf > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q343_function_score_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _tf_col(_FS_TERM).alias("tf"),
+        (
+            F.sqrt(F.col("n_chars").cast("double"))
+            + F.when(F.col("lang") == "en", F.lit(_FS_WEIGHT)).otherwise(F.lit(0.0))
+        ).alias("fval"),
+    )
+    return (
+        t.filter(F.col("tf") > 0)
+        .select(
+            "doc_id", "tf",
+            F.round("fval", 6).alias("fval"),
+            F.round(F.col("tf") * F.col("fval"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

@@ -754,3 +754,51 @@ def test_q341_significant_text_matches_bruteforce(spark):
     ]
     for g, (_, _, _, j) in zip(got.itertuples(), want):
         assert g.jlh == pytest.approx(j, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# batch 13 (q342-q343, post-sweep): filtered kNN / multi-function score
+# ---------------------------------------------------------------------------
+
+
+def test_q342_filtered_knn_excludes_probe_label(spark):
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, np.float64) for r in emb.itertuples()}
+    labels = dict(zip(emb.vec_id.astype(int), emb.label.astype(int)))
+    qv, qlabel = vecs[0], labels[0]
+    rows = []
+    for i, v in vecs.items():
+        if labels[i] == qlabel:
+            continue
+        rows.append((i, labels[i],
+                     round(float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6)))
+    rows.sort(key=lambda x: (-x[2], x[0]))
+    want = rows[:10]
+    got = _pdf("q342_filtered_knn", spark)
+    assert [(int(r.vec_id), int(r.label)) for r in got.itertuples()] == [
+        (i, l) for i, l, _ in want
+    ]
+    assert (got["label"] != qlabel).all()
+    for g, (_, _, s) in zip(got.itertuples(), want):
+        assert g.score == pytest.approx(s, abs=2e-6)
+
+
+def test_q343_function_score_matches_bruteforce(spark):
+    import math
+
+    docs = _docs()
+    rows = []
+    for _, r in docs.iterrows():
+        tf = _toks(r["text"]).count("query")
+        if tf == 0:
+            continue
+        fval = math.sqrt(r["n_chars"]) + (2.0 if r["lang"] == "en" else 0.0)
+        rows.append((r["doc_id"], tf, round(tf * fval, 6)))
+    rows.sort(key=lambda x: (-x[2], x[0]))
+    want = rows[:20]
+    got = _pdf("q343_function_score_multi", spark)
+    assert [(int(r.doc_id), int(r.tf)) for r in got.itertuples()] == [
+        (d, t) for d, t, _ in want
+    ]
+    for g, (_, _, s) in zip(got.itertuples(), want):
+        assert g.score == pytest.approx(s, abs=1e-6)
