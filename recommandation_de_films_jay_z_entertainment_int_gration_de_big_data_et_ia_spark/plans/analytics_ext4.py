@@ -2119,3 +2119,116 @@ def q343_function_score_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q344 — pretraining packing manifest: documents are concatenated in
+# (source, doc_id) order into fixed 128-token context windows (docs
+# split across boundaries, GPT-style packing); the manifest emits each
+# document's token offset, starting context id, and whether it spans a
+# context boundary — the index a dataloader needs to seek any context
+# without re-tokenizing. Distinct from q302 (length-BUCKETED batching:
+# no splits); this is the sequential-fill layout.
+#
+# Determinism: pure integer running sums and floor-divisions.
+#
+# Shape (100 TB): one shuffle to co-locate each source shard, then a
+# per-shard running-sum window — exactly the per-shard packing pass a
+# real pipeline runs; offsets are shard-local by design.
+# ---------------------------------------------------------------------------
+_PK_CTX = 128
+
+
+@register(
+    "q344_packing_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_toks
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_toks,
+             SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_toks AS off
+      FROM t)
+    SELECT source, doc_id, n_toks, CAST(off AS BIGINT) AS offset,
+           CAST(off // {_PK_CTX} AS BIGINT) AS context_id,
+           (off // {_PK_CTX}) != ((off + n_toks - 1) // {_PK_CTX})
+             AS spans_boundary
+    FROM c ORDER BY source, doc_id
+    """,
+)
+def q344_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).cast("bigint").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("off", F.sum("n_toks").over(w) - F.col("n_toks"))
+    start = F.floor(F.col("off") / _PK_CTX).cast("bigint")
+    end = F.floor((F.col("off") + F.col("n_toks") - 1) / _PK_CTX).cast("bigint")
+    return c.select(
+        "source", "doc_id", "n_toks",
+        F.col("off").cast("bigint").alias("offset"),
+        start.alias("context_id"),
+        (start != end).alias("spans_boundary"),
+    ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q345 — deterministic epoch shuffling: the per-epoch document order is
+# the rank of md5(epoch || ':' || doc_id) — reproducible on any worker
+# without coordination or RNG state (the standard seeded-shuffle trick
+# for multi-epoch pretraining). Emits the first 5 documents of each of
+# 3 epochs; different epochs produce different orders from the same
+# corpus.
+#
+# Shape (100 TB): a 3x row-local epoch explode, one rank shuffle per
+# epoch partition (WindowGroupLimit caps the per-partition sort at 5).
+# ---------------------------------------------------------------------------
+_EP_EPOCHS = 3
+_EP_TAKE = 5
+
+
+@register(
+    "q345_epoch_shuffle",
+    oracle=f"""
+    WITH r AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch
+               ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+                            || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      FROM documents,
+           (SELECT UNNEST(range(0, {_EP_EPOCHS})) AS epoch))
+    SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank, doc_id
+    FROM r WHERE rank <= {_EP_TAKE}
+    ORDER BY epoch, rank
+    """,
+)
+def q345_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = docs.withColumn(
+        "epoch",
+        F.explode(F.array(*[F.lit(i) for i in range(_EP_EPOCHS)])),
+    )
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    r = e.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("epoch").orderBy(key, "doc_id")),
+    )
+    return (
+        r.filter(F.col("rank") <= _EP_TAKE)
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+        )
+        .orderBy("epoch", "rank")
+    )

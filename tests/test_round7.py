@@ -802,3 +802,44 @@ def test_q343_function_score_matches_bruteforce(spark):
     ]
     for g, (_, _, s) in zip(got.itertuples(), want):
         assert g.score == pytest.approx(s, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# batch 14 (q344-q345, post-sweep): packing manifest / epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_q344_packing_manifest_invariants(spark):
+    docs = _docs().sort_values(["source", "doc_id"])
+    got = _pdf("q344_packing_manifest", spark)
+    assert len(got) == len(docs)
+    for src, grp in got.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        # offsets are the exact running sum of preceding token counts
+        run = 0
+        sub = docs[docs.source == src]
+        for (_, d), (_, g) in zip(sub.iterrows(), grp.iterrows()):
+            n = len(_toks(d["text"]))
+            assert g["n_toks"] == n and g["offset"] == run
+            assert g["context_id"] == run // 128
+            assert g["spans_boundary"] == (run // 128 != (run + n - 1) // 128)
+            run += n
+    assert got["spans_boundary"].any(), "fixture should contain boundary spans"
+
+
+def test_q345_epoch_shuffle_reproducible_and_distinct(spark):
+    import hashlib
+
+    docs = _docs()
+    got = _pdf("q345_epoch_shuffle", spark)
+    orders = {}
+    for epoch in range(3):
+        ranked = sorted(
+            docs["doc_id"],
+            key=lambda d: (hashlib.md5(f"{epoch}:{d}".encode()).hexdigest(), d),
+        )[:5]
+        sub = got[got.epoch == epoch].sort_values("rank")
+        assert list(sub["doc_id"]) == ranked
+        orders[epoch] = tuple(ranked)
+    # different epochs give different orders
+    assert len(set(orders.values())) == 3
