@@ -544,6 +544,13 @@ def has_child(
     at most ``max_children``) children matching ``child_pred`` — the ES
     knobs of the same names. Returns parent rows unchanged.
 
+    NULL-key parents count as having ZERO matching children (round-7
+    ADVICE): with ``min_children >= 1`` the left-semi join drops them
+    (NULL never matches), and with ``min_children <= 0`` the anti-join
+    retains them (0 children satisfies min=0 and any max) — both paths
+    agree with that reading; it is a semantic invariant, not an
+    accident of join type.
+
     Shape: the child side filters (pushdown-eligible), aggregates to one
     row per parent key (map-side partial combine), and the qualifying key
     set LEFT-SEMI joins the parents — the parent table is never widened

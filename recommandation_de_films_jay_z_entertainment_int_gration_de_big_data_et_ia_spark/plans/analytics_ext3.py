@@ -864,10 +864,14 @@ def q302_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
     )
     w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    # integer DIV (not float-divide-then-cast) — the file's integer-
+    # boundary discipline; matches the oracle's //
     r = t.select(
+        "lang", "n_tok", (F.row_number().over(w) - 1).alias("rn0")
+    ).select(
         "lang",
         "n_tok",
-        ((F.row_number().over(w) - 1) / _BATCH_ROWS).cast("bigint").alias("batch"),
+        F.expr(f"CAST(rn0 DIV {_BATCH_ROWS} AS BIGINT)").alias("batch"),
     )
     g = r.groupBy("lang", "batch").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1072,9 +1076,11 @@ def q305_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     span = days.agg(F.min("ed").alias("lo"), F.max("ed").alias("hi"))
     ladder = F.array(*[F.lit(i) for i in _ADH_LADDER])
+    # (hi-lo) // iv + 1 <= T  ⟺  hi-lo < iv*T  for ints with iv>0 —
+    # multiplication-only, so no divide-then-cast (integer discipline)
     choice = span.select(
         F.array_min(
-            F.filter(ladder, lambda iv: ((F.col("hi") - F.col("lo")) / iv).cast("bigint") + 1 <= _ADH_TARGET)
+            F.filter(ladder, lambda iv: (F.col("hi") - F.col("lo")) < iv * _ADH_TARGET)
         ).alias("interval_days")
     )
     j = days.crossJoin(F.broadcast(choice))

@@ -253,7 +253,7 @@ def _ssq_sql(v: str, d: str) -> str:
     oracle=f"""
     WITH x AS (
       SELECT label, CAST(d AS BIGINT) AS d,
-             ROUND({_ssq_sql("embedding", "d")}
+             ROUND({_ssq_sql("embedding", "least(d, len(embedding))")}
                    / {_ssq_sql("embedding", "len(embedding)")}, 6) AS frac
       FROM embeddings, (SELECT UNNEST({list(_MRL_DIMS)!r}) AS d))
     SELECT label, d,
@@ -279,8 +279,17 @@ def q317_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "d",
+            # least() guard: for vectors shorter than d both engines now
+            # agree on frac = 1.0 (without it Spark's slice clamps while
+            # the oracle's out-of-range index yields NULL — see ADVICE r7)
             F.round(
-                ssq(F.slice("embedding", F.lit(1), F.col("d").cast("int")))
+                ssq(
+                    F.slice(
+                        "embedding",
+                        F.lit(1),
+                        F.least(F.col("d"), F.size("embedding")).cast("int"),
+                    )
+                )
                 / ssq(F.slice("embedding", F.lit(1), F.size("embedding"))),
                 6,
             ).alias("frac"),
@@ -1855,8 +1864,9 @@ def q339_histogram_empty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q340 — ES `geohash_grid` aggregation with REAL geohash cell keys:
 # normalize each lattice coordinate to 15 bits, interleave (lon-first,
-# exactly the geohash bit order), truncate to precision 5 (25 bits)
-# and render in the standard base32 alphabet. All bit surgery is
+# exactly the geohash bit order), truncate to _GH_PRECISION chars
+# (5 bits each; precision 2 = 10 bits = 1,024 cells here) and render
+# in the standard base32 alphabet. All bit surgery is
 # integer div/mod arithmetic GENERATED as literals (no engine bitwise
 # builtins), so both engines compute the identical code.
 #
@@ -1879,11 +1889,11 @@ def _gh_interleave_sql(gx: str, gy: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _gh_chars_sql(code25: str) -> str:
+def _gh_chars_sql(code_trunc: str) -> str:
     parts = []
     for k in range(_GH_PRECISION):
         shift = 32 ** (_GH_PRECISION - 1 - k)
-        parts.append(f"substr('{_GH_ALPHA}', CAST(({code25} // {shift}) % 32 AS INT) + 1, 1)")
+        parts.append(f"substr('{_GH_ALPHA}', CAST(({code_trunc} // {shift}) % 32 AS INT) + 1, 1)")
     return " || ".join(parts)
 
 
@@ -1896,11 +1906,11 @@ def _gh_chars_sql(code25: str) -> str:
       FROM customer),
     coded AS (
       SELECT {_gh_interleave_sql("gx", "gy")} // {1 << (2 * _GH_BITS - 5 * _GH_PRECISION)}
-               AS code25
+               AS code_trunc
       FROM pts)
-    SELECT {_gh_chars_sql("code25")} AS geohash,
+    SELECT {_gh_chars_sql("code_trunc")} AS geohash,
            CAST(COUNT(*) AS BIGINT) AS doc_count
-    FROM coded GROUP BY code25
+    FROM coded GROUP BY code_trunc
     ORDER BY doc_count DESC, geohash LIMIT 20
     """,
 )
@@ -1916,16 +1926,16 @@ def q340_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx = (F.col("gx") / (1 << i)).cast("bigint") % 2 * (1 << (2 * i + 1))
         ty = (F.col("gy") / (1 << i)).cast("bigint") % 2 * (1 << (2 * i))
         code30 = tx + ty if code30 is None else code30 + tx + ty
-    code25 = (code30 / (1 << (2 * _GH_BITS - 5 * _GH_PRECISION))).cast("bigint")
-    coded = pts.select(code25.alias("code25"))
+    code_trunc = (code30 / (1 << (2 * _GH_BITS - 5 * _GH_PRECISION))).cast("bigint")
+    coded = pts.select(code_trunc.alias("code_trunc"))
 
-    agg = coded.groupBy("code25").agg(
+    agg = coded.groupBy("code_trunc").agg(
         F.count(F.lit(1)).cast("bigint").alias("doc_count")
     )
     chars = [
         F.substring(
             F.lit(_GH_ALPHA),
-            ((F.col("code25") / (32 ** (_GH_PRECISION - 1 - kk))).cast("bigint") % 32)
+            ((F.col("code_trunc") / (32 ** (_GH_PRECISION - 1 - kk))).cast("bigint") % 32)
             .cast("int")
             + 1,
             1,
