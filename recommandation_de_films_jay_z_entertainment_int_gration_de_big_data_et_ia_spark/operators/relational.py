@@ -457,3 +457,89 @@ def merge_cdc(
         .otherwise("kept")
         .alias("merge_action"),
     )
+
+
+def top_hits(
+    df: DataFrame,
+    bucket_by: list[str],
+    order: list[Column],
+    k: int,
+    hit_cols: Sequence[str],
+    rank_col: str = "hit_rank",
+    count_col: str = "doc_count",
+) -> DataFrame:
+    """ES ``top_hits`` aggregation: per bucket, the bucket's document
+    count plus its top-``k`` full documents under ``order`` (ES's
+    group-by-with-examples; the reference's ES stack exposes it to any
+    user, docker-compose.yml:32, and the reference API itself returns
+    size-bounded hit lists per query, src/api.py:93,149).
+
+    Shape: the rank window filters to ``rank <= k`` so Spark's
+    WindowGroupLimit prunes each partition's sort to the top-k BEFORE
+    the exchange; bucket counts come from a separate map-combinable
+    aggregation (|buckets| rows) broadcast back onto the k·|buckets|
+    surviving hits. Two column-pruned scans beat one window that would
+    have to keep every row alive for a COUNT over the full partition
+    (that formulation defeats the group-limit pushdown).
+    """
+    w = Window.partitionBy(*bucket_by).orderBy(*order)
+    hits = (
+        df.select(*bucket_by, *hit_cols)
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+    counts = df.groupBy(*bucket_by).agg(
+        F.count(F.lit(1)).cast("bigint").alias(count_col)
+    )
+    return hits.join(F.broadcast(counts), bucket_by)
+
+
+def scripted_metric(
+    df: DataFrame,
+    bucket_by: list[str],
+    order_by: list[str],
+    map_cols: Sequence[str],
+    init: Column,
+    fold,
+    cap: int = 10_000,
+    metric_col: str = "metric",
+    count_col: str = "doc_count",
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation analog: an arbitrary per-bucket
+    fold (the map/combine/reduce escape hatch) made DETERMINISTIC by
+    fixing the fold order. ``fold(state, row_struct) -> state`` is applied
+    over the bucket's rows in ``order_by`` order; ``map_cols`` is the
+    map-script projection (everything the script may read — Catalyst
+    prunes the scan to exactly these plus the keys).
+
+    Determinism: ES's scripted_metric is order-dependent across shards;
+    this analog sorts each bucket on ``order_by`` before folding, so the
+    result is independent of partitioning and identical to a single-
+    threaded left-to-right fold (the engine's decimal/double-fold
+    discipline, catalog.py).
+
+    Shape: a rank window caps each bucket at ``cap`` rows BEFORE
+    collect_list (WindowGroupLimit prunes the per-partition sort), so
+    per-bucket state is bounded by spec — the same shard-memory bound ES
+    imposes on the real scripted_metric — and the only shuffle is the
+    bucket key. The uncapped bucket size is surfaced in ``count_col``.
+    """
+    w = Window.partitionBy(*bucket_by).orderBy(*order_by)
+    capped = (
+        df.select(*bucket_by, *dict.fromkeys([*order_by, *map_cols]))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+    )
+    row = F.struct(*[F.col(c) for c in (*order_by, *map_cols)])
+    agg = capped.groupBy(*bucket_by).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(row)),
+            init,
+            fold,
+        ).alias(metric_col),
+        F.count(F.lit(1)).cast("bigint").alias("__capped_n"),
+    )
+    counts = df.groupBy(*bucket_by).agg(
+        F.count(F.lit(1)).cast("bigint").alias(count_col)
+    )
+    return agg.join(F.broadcast(counts), bucket_by).drop("__capped_n")

@@ -43,6 +43,7 @@ def load_all() -> None:
         analytics_ext2,
         analytics_ext3,
         analytics_ext4,
+        analytics_ext5,
         core,
         core_ext,
         corpus,
