@@ -266,3 +266,408 @@ def q349_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("returnflag", "nested_hits", "parent_count", "avg_parent_price")
         .orderBy("returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q350 — ES `variable_width_histogram` aggregation, made deterministic:
+# instead of ES's order-dependent online clustering, bucket boundaries
+# are the N-1 LARGEST GAPS between consecutive distinct values (the
+# classical 1-D max-gap clustering, which is the exact optimum for the
+# "minimize within-bucket spread" objective ES approximates). Buckets
+# then aggregate min/max/count/avg of the raw rows.
+#
+# Determinism: the value domain is 2-decimal quantized (events.value),
+# so distinct values, gaps, and the (gap DESC, value ASC) boundary
+# ranking are exact; avg via DECIMAL(18,2) sum then one divide+round.
+#
+# Shape (100 TB): the distinct collapse is map-combinable and the gap
+# ranking runs over the DISTINCT domain (bounded by the metric's
+# quantization, ~1e5 values — the same "domain, not rows" bound ES's
+# clustering keys on), so the single-partition gap sort is a tiny
+# frame, never the raw rows. Boundaries collapse to ONE array row
+# broadcast back onto the raw scan; final agg is map-combinable with
+# N=6 groups.
+# ---------------------------------------------------------------------------
+_VW_BUCKETS = 6
+
+
+@register(
+    "q350_variable_width_histogram",
+    oracle=f"""
+    WITH vals AS (SELECT DISTINCT value AS v FROM events),
+    gaps AS (
+      SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM vals),
+    bnd AS (
+      SELECT list(v ORDER BY v) AS bs FROM (
+        SELECT v FROM gaps WHERE gap IS NOT NULL
+        ORDER BY gap DESC, v ASC LIMIT {_VW_BUCKETS - 1})),
+    assigned AS (
+      SELECT e.value,
+             len(list_filter(b.bs, x -> x <= e.value)) AS bucket
+      FROM events e, bnd b)
+    SELECT CAST(bucket AS INT) AS bucket,
+           MIN(value) AS lo, MAX(value) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM assigned GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q350_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("value")
+    vals = ev.distinct().withColumnRenamed("value", "v")
+    w = Window.orderBy("v")
+    gaps = vals.select("v", (F.col("v") - F.lag("v").over(w)).alias("gap"))
+    bnd = (
+        gaps.filter(F.col("gap").isNotNull())
+        .orderBy(F.desc("gap"), F.asc("v"))
+        .limit(_VW_BUCKETS - 1)
+        .agg(F.sort_array(F.collect_list("v")).alias("bs"))
+    )
+    assigned = ev.crossJoin(F.broadcast(bnd)).select(
+        "value",
+        F.size(F.filter(F.col("bs"), lambda x: x <= F.col("value")))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q351 — ES `missing` + `global` aggregations in one request: the query
+# context filters customers (acctbal > 0); inside it a terms agg
+# buckets by market segment, a `missing` agg counts query hits lacking
+# a field, and a `global` agg escapes the query filter entirely (ES's
+# scope-reset bucket). With no NULLs in the fixtures, missingness is
+# modeled RELATIONALLY, the way ES join-fields surface it: customers
+# with no orders are "missing" their order history.
+#
+# Shape (100 TB): one left-semi-shaped flag join (distinct custkeys
+# collapse map-side first), then ONE pass computes per-segment counts
+# WITH the conditional missing count fused in (no per-branch rescan —
+# PERF.md #9.3); the missing row re-aggregates the 5-row segment frame,
+# and only the `global` row needs its second (column-pruned, count-only)
+# scan — exactly the extra pass a real ES global agg costs.
+# ---------------------------------------------------------------------------
+@register(
+    "q351_missing_global_aggs",
+    oracle="""
+    WITH flagged AS (
+      SELECT c.c_mktsegment AS seg, c.c_acctbal,
+             (o.o_custkey IS NOT NULL) AS has_orders
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON c.c_custkey = o.o_custkey),
+    hits AS (SELECT * FROM flagged WHERE c_acctbal > 0),
+    per_seg AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE NOT has_orders) AS BIGINT) AS n_missing
+      FROM hits GROUP BY seg)
+    SELECT 'query' AS scope, seg AS bucket, n AS doc_count FROM per_seg
+    UNION ALL
+    SELECT 'query_missing', '__missing_orders__', CAST(SUM(n_missing) AS BIGINT)
+    FROM per_seg
+    UNION ALL
+    SELECT 'global', '__all__', CAST(COUNT(*) AS BIGINT) FROM customer
+    ORDER BY scope, bucket
+    """,
+)
+def q351_missing_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orderers = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    flagged = cust.select("c_custkey", "c_mktsegment", "c_acctbal").join(
+        orderers.withColumn("has_orders", F.lit(True)),
+        cust["c_custkey"] == orderers["o_custkey"],
+        "left",
+    )
+    hits = flagged.filter(F.col("c_acctbal") > 0)
+    per_seg = hits.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("has_orders").isNull()).cast("bigint").alias("n_missing"),
+    )
+    query_rows = per_seg.select(
+        F.lit("query").alias("scope"),
+        F.col("seg").alias("bucket"),
+        F.col("n").alias("doc_count"),
+    )
+    missing_row = per_seg.agg(
+        F.sum("n_missing").cast("bigint").alias("doc_count")
+    ).select(
+        F.lit("query_missing").alias("scope"),
+        F.lit("__missing_orders__").alias("bucket"),
+        "doc_count",
+    )
+    global_row = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count")
+    ).select(
+        F.lit("global").alias("scope"), F.lit("__all__").alias("bucket"), "doc_count"
+    )
+    return query_rows.unionByName(missing_row).unionByName(global_row).orderBy(
+        "scope", "bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q352 — ES `rescore`: retrieve by a cheap primary score (tf of
+# "data"), then re-rank only the top `window_size` hits with an
+# expensive secondary query (phrase "hash join" occurrences) blended as
+# query_weight * primary + rescore_query_weight * phrase_hits — ES's
+# two-phase ranking exactly (hits OUTSIDE the window keep their primary
+# order and never pay the phrase scan... here the phrase columns are
+# simply not computed for them).
+#
+# Determinism: both scores are integer counts; the blend uses integer-
+# valued doubles (weights 1 and 2), so ordering is exact; (score,
+# doc_id) tiebreak.
+#
+# Shape (100 TB): primary tf is scan-local; the window cut is one
+# TakeOrdered(50) (never a global sort); the phrase rescorer — the
+# nested-array adjacency probe — runs on 50 rows only. This is the
+# plan-level point of ES rescore, preserved: expensive scoring cost is
+# O(window), not O(corpus).
+# ---------------------------------------------------------------------------
+_RS_WINDOW = 50
+_RS_TOPK = 10
+_RS_QW, _RS_RQW = 1.0, 2.0
+
+
+@register(
+    "q352_rescore",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS tk
+      FROM documents),
+    scored AS (
+      SELECT doc_id, tk,
+             CAST(len(list_filter(tk, x -> x = 'data')) AS BIGINT) AS primary_tf
+      FROM t),
+    win AS (
+      SELECT doc_id, tk, primary_tf
+      FROM scored WHERE primary_tf > 0
+      ORDER BY primary_tf DESC, doc_id LIMIT {_RS_WINDOW}),
+    re AS (
+      SELECT doc_id, primary_tf,
+             CAST(len(list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = 'hash' AND tk[i + 1] = 'join' THEN 1 ELSE 0 END),
+               v -> v = 1)) AS BIGINT) AS phrase_hits
+      FROM win)
+    SELECT doc_id, primary_tf, phrase_hits,
+           ROUND(primary_tf * {_RS_QW} + phrase_hits * {_RS_RQW}, 4) AS score
+    FROM re ORDER BY score DESC, doc_id LIMIT {_RS_TOPK}
+    """,
+)
+def q352_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    scored = docs.select(
+        "doc_id",
+        "tk",
+        F.size(F.filter(F.col("tk"), lambda x: x == F.lit("data")))
+        .cast("bigint")
+        .alias("primary_tf"),
+    )
+    win = (
+        scored.filter(F.col("primary_tf") > 0)
+        .orderBy(F.desc("primary_tf"), F.asc("doc_id"))
+        .limit(_RS_WINDOW)
+    )
+    # Spark transform index is 0-based; try_element_at is 1-based, so the
+    # token AFTER position i is element i+2 (PERF.md #9.5); ANSI-safe via
+    # try_element_at (out-of-range -> NULL, same as DuckDB's tk[i+1]).
+    phrase = F.expr(
+        "CAST(size(filter(transform(tk, (x, i) -> "
+        "IF(x = 'hash' AND try_element_at(tk, i + 2) = 'join', 1, 0)), "
+        "v -> v = 1)) AS BIGINT)"
+    )
+    return (
+        win.select("doc_id", "primary_tf", phrase.alias("phrase_hits"))
+        .select(
+            "doc_id",
+            "primary_tf",
+            "phrase_hits",
+            F.round(
+                F.col("primary_tf") * _RS_QW + F.col("phrase_hits") * _RS_RQW, 4
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RS_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q353 — ES `span_containing`: match big spans that CONTAIN a little
+# span. Big = ordered span_near("data" .. "table", internal gap <= 3);
+# little = term "key". A document matches when some big span [pa, pb]
+# has a 'key' position p with pa <= p <= pb; surfaces the number of
+# containing spans and the tightest containing width. Completes the
+# span family (q278 first, q299 near, q325 not, q334 or) with the
+# containment direction (span_within is the same test from the little
+# side).
+#
+# Determinism: pure integer position arithmetic on both engines; only
+# position DIFFERENCES are compared, so the 0/1-based transform-index
+# offset cancels (PERF.md #9.5).
+#
+# Shape (100 TB): scan-local — position arrays and the nested
+# pair-filter fold all live in one projection; |pa|·|pb| is tf-bounded
+# per document; one final display sort.
+# ---------------------------------------------------------------------------
+_SC_BIG_A, _SC_BIG_B, _SC_LITTLE = "data", "table", "key"
+_SC_GAP = 3
+
+
+@register(
+    "q353_span_containing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = '{_SC_BIG_A}' THEN i ELSE -1 END), p -> p >= 0) AS pa,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = '{_SC_BIG_B}' THEN i ELSE -1 END), p -> p >= 0) AS pb,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = '{_SC_LITTLE}' THEN i ELSE -1 END), p -> p >= 0) AS pl
+      FROM t),
+    spans AS (
+      SELECT doc_id,
+             flatten(list_transform(pa, a -> list_filter(
+               list_transform(pb, b ->
+                 CASE WHEN b > a AND b - a - 1 <= {_SC_GAP}
+                      AND len(list_filter(pl, p -> p >= a AND p <= b)) > 0
+                 THEN b - a ELSE -1 END), w -> w >= 0))) AS widths
+      FROM pos
+      WHERE len(pa) > 0 AND len(pb) > 0 AND len(pl) > 0)
+    SELECT doc_id,
+           CAST(len(widths) AS BIGINT) AS n_containing,
+           CAST(list_min(widths) AS BIGINT) AS min_width
+    FROM spans WHERE len(widths) > 0
+    ORDER BY doc_id
+    """,
+)
+def q353_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+
+    def _positions(term: str):
+        return F.expr(
+            f"filter(transform(tk, (x, i) -> IF(x = '{term}', i, -1)), p -> p >= 0)"
+        )
+
+    pos = docs.select(
+        "doc_id",
+        _positions(_SC_BIG_A).alias("pa"),
+        _positions(_SC_BIG_B).alias("pb"),
+        _positions(_SC_LITTLE).alias("pl"),
+    ).filter((F.size("pa") > 0) & (F.size("pb") > 0) & (F.size("pl") > 0))
+    widths = F.expr(
+        f"flatten(transform(pa, a -> filter(transform(pb, b -> "
+        f"IF(b > a AND b - a - 1 <= {_SC_GAP} "
+        f"AND size(filter(pl, p -> p >= a AND p <= b)) > 0, b - a, -1)), "
+        f"w -> w >= 0)))"
+    )
+    s = pos.select("doc_id", widths.alias("widths")).filter(F.size("widths") > 0)
+    return s.select(
+        "doc_id",
+        F.size("widths").cast("bigint").alias("n_containing"),
+        F.array_min("widths").cast("bigint").alias("min_width"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q354 — ES `geo_line` aggregation: per bucket (user), the track of
+# points ordered by timestamp, truncated to the first `size` points
+# (ES's geo_line size cap), surfaced as a "x:y|x:y|..." linestring plus
+# the bucket's total point count. Points derive from event_id on the
+# 0..999 integer lattice (q340/q348 convention — no float geometry).
+#
+# Shape (100 TB): the rank window filters to rank <= size so
+# WindowGroupLimit prunes each user's sort to 10 rows BEFORE the
+# exchange; the total counts come from a separate map-combinable agg
+# broadcast back (same two-scan rationale as top_hits,
+# operators/relational.py). Only users with >= 15 events are kept so
+# the result stays selective.
+# ---------------------------------------------------------------------------
+_GL_SIZE = 10
+_GL_MIN_EVENTS = 15
+
+
+@register(
+    "q354_geo_line",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST((event_id * 104729) % 1000 AS VARCHAR) || ':' ||
+             CAST((event_id * 7919) % 1000 AS VARCHAR) AS pt,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rk
+      FROM events),
+    lines AS (
+      SELECT user_id, string_agg(pt, '|' ORDER BY rk) AS line
+      FROM pts WHERE rk <= {_GL_SIZE} GROUP BY user_id),
+    totals AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT l.user_id, t.n_events, l.line
+    FROM lines l JOIN totals t ON l.user_id = t.user_id
+    WHERE t.n_events >= {_GL_MIN_EVENTS}
+    ORDER BY l.user_id
+    """,
+)
+def q354_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    pt = F.concat_ws(
+        ":",
+        ((F.col("event_id") * 104729) % 1000).cast("string"),
+        ((F.col("event_id") * 7919) % 1000).cast("string"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        ev.select("user_id", pt.alias("pt"), F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _GL_SIZE)
+    )
+    lines = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rk", "pt"))),
+                lambda s: s["pt"],
+            ),
+            "|",
+        ).alias("line")
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return (
+        lines.join(F.broadcast(totals.filter(F.col("n_events") >= _GL_MIN_EVENTS)),
+                   "user_id")
+        .select("user_id", "n_events", "line")
+        .orderBy("user_id")
+    )
