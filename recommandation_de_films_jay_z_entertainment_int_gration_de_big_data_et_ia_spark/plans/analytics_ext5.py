@@ -671,3 +671,539 @@ def q354_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "line")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q355 — T5-style span-corruption manifest (LLM pretraining prep): for
+# each document, mask ~15% of tokens as mean-3-token spans. n_spans =
+# (n*15//100)//3; the document is cut into n_spans equal strides and
+# span k starts at (k-1)*stride + (md5(doc_id:k) mod (stride-3)) —
+# deterministic, reproducible on any worker, and non-overlapping BY
+# CONSTRUCTION (stride >= 20 whenever n_spans >= 1, since n_spans <=
+# n/20). Emits the per-doc manifest fingerprint the masking job and the
+# sentinel-token writer both consume.
+#
+# Determinism: integer div/mod only (DIV discipline) + md5-derived
+# offsets (corpus.py's 16-bit md5 pattern) — no RNG, no floats.
+#
+# Shape (100 TB): entirely scan-local (one projection computes the
+# whole spans array row-locally); the only shuffle is the display sort.
+# ---------------------------------------------------------------------------
+from .analytics_ext2 import _md5_16bit_sql  # noqa: E402  (corpus md5 pattern)
+
+
+@register(
+    "q355_span_corruption",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +'))
+               AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, n, (n * 15 // 100) // 3 AS n_spans, 
+             n // (CASE WHEN (n * 15 // 100) // 3 > 0
+                        THEN (n * 15 // 100) // 3 ELSE 1 END) AS stride
+      FROM t WHERE (n * 15 // 100) // 3 > 0),
+    m AS (
+      SELECT doc_id, n, n_spans,
+             list_transform(range(1, n_spans + 1), k ->
+               (k - 1) * stride
+               + ({_md5_16bit_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")})
+                 % (stride - 3)) AS starts
+      FROM s)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_spans * 3 AS BIGINT) AS masked_tokens,
+           ROUND(CAST(n_spans * 3 AS DOUBLE) / n, 4) AS corruption_rate,
+           md5(list_aggregate(list_transform(starts,
+             x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS manifest_md5
+    FROM m ORDER BY doc_id
+    """,
+)
+def q355_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n")
+    )
+    s = t.select(
+        "doc_id",
+        "n",
+        F.expr("(n * 15 DIV 100) DIV 3").alias("n_spans"),
+    ).filter(F.col("n_spans") > 0).withColumn(
+        "stride", F.expr("n DIV n_spans")
+    )
+    starts = F.expr(
+        "transform(sequence(1, n_spans), k -> (k - 1) * stride "
+        "+ (conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(k AS STRING))), 1, 4), 16, 10) % (stride - 3)))"
+    )
+    m = s.select("doc_id", "n", "n_spans", starts.alias("starts"))
+    return m.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        (F.col("n_spans") * 3).cast("bigint").alias("masked_tokens"),
+        F.round((F.col("n_spans") * 3).cast("double") / F.col("n"), 4).alias(
+            "corruption_rate"
+        ),
+        F.md5(
+            F.array_join(F.transform(F.col("starts"), lambda x: x.cast("string")), ",")
+        ).alias("manifest_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q356 — instruction-tuning template audit (chat formatting + loss
+# masking): each document becomes a {prompt, response} sample under a
+# fixed template (8-token instruction head + 2 template-overhead tokens
+# + response + 1 EOS). Per source: sample count, total padded tokens,
+# the average LOSS FRACTION (response tokens / total — the share of
+# positions that actually train), and how many samples overflow a
+# 512-token context. The standard pre-flight audit before an SFT run.
+#
+# Determinism: integer token counts; per-sample loss fractions
+# ROUND(.,6) → DECIMAL(18,6) before the exact cross-row average.
+#
+# Shape (100 TB): scan-local arithmetic + one map-combinable shuffle
+# keyed by source.
+# ---------------------------------------------------------------------------
+_CT_HEAD, _CT_OVERHEAD, _CT_EOS, _CT_CTX = 8, 2, 1, 512
+
+
+@register(
+    "q356_chat_template_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +'))
+               AS n
+      FROM documents),
+    s AS (
+      SELECT source, n,
+             (CASE WHEN n < {_CT_HEAD} THEN n ELSE {_CT_HEAD} END)
+               + {_CT_OVERHEAD} + n + {_CT_EOS} AS total,
+             ROUND(CAST(n AS DOUBLE) /
+               ((CASE WHEN n < {_CT_HEAD} THEN n ELSE {_CT_HEAD} END)
+                + {_CT_OVERHEAD} + n + {_CT_EOS}), 6) AS loss_frac
+      FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(total) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(loss_frac AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_loss_frac,
+           CAST(COUNT(*) FILTER (WHERE total > {_CT_CTX}) AS BIGINT)
+             AS n_over_context
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def q356_chat_template_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).alias("n")
+    )
+    total = (
+        F.least(F.col("n"), F.lit(_CT_HEAD))
+        + F.lit(_CT_OVERHEAD)
+        + F.col("n")
+        + F.lit(_CT_EOS)
+    )
+    s = t.select(
+        "source",
+        total.alias("total"),
+        F.round(F.col("n").cast("double") / total, 6).alias("loss_frac"),
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum("total").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("loss_frac").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_loss_frac"),
+            F.count_if(F.col("total") > _CT_CTX).cast("bigint").alias("n_over_context"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q357 — domain mixture reweighting (DoReMi-style multiplicative
+# weights, LINEARIZED): each source's sampling weight starts at its
+# corpus share w0 and is updated by 1 + eta * excess, where excess is
+# the source's relative deviation of a per-doc signal (mean document
+# length as the loss proxy) from the corpus mean; weights are floored
+# at 0.2*w0 (no domain starves) and renormalized. The linear update
+# replaces DoReMi's exp(eta·excess) so the arithmetic stays a single
+# shared double expression on both engines (exp differs in the last
+# ulp across libm implementations — the engine's determinism contract
+# forbids it).
+#
+# Determinism: per-source raw weights ROUND(.,8) → DECIMAL(18,8)
+# before the exact normalization sum.
+#
+# Shape (100 TB): one map-combinable shuffle keyed by source (20
+# groups); the corpus totals and the normalizer are 1-row frames
+# broadcast back — three tiny joins, zero full-data rescans.
+# ---------------------------------------------------------------------------
+_DR_ETA = 0.5
+_DR_FLOOR = 0.2
+
+
+@register(
+    "q357_domain_reweight",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS proxy
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS n_total,
+             CAST(SUM(CAST(proxy * n AS DECIMAL(18,4))) AS DOUBLE) / SUM(n)
+               AS proxy_all
+      FROM per),
+    raw AS (
+      SELECT p.source, p.n,
+             CAST(ROUND(
+               CASE WHEN (p.n / t.n_total) * (1 + {_DR_ETA} * ((p.proxy - t.proxy_all) / t.proxy_all))
+                         > {_DR_FLOOR} * (p.n / t.n_total)
+                    THEN (p.n / t.n_total) * (1 + {_DR_ETA} * ((p.proxy - t.proxy_all) / t.proxy_all))
+                    ELSE {_DR_FLOOR} * (p.n / t.n_total) END, 8)
+               AS DECIMAL(18,8)) AS w_raw
+      FROM per p, tot t)
+    SELECT source, n AS n_docs,
+           ROUND(CAST(w_raw AS DOUBLE), 8) AS w_raw,
+           ROUND(CAST(w_raw AS DOUBLE)
+                 / CAST((SELECT SUM(w_raw) FROM raw) AS DOUBLE), 6) AS weight
+    FROM raw ORDER BY source
+    """,
+)
+def q357_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("proxy"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("n_total"),
+        (
+            F.sum((F.col("proxy") * F.col("n")).cast("decimal(18,4)")).cast("double")
+            / F.sum("n")
+        ).alias("proxy_all"),
+    )
+    w0 = F.col("n") / F.col("n_total")
+    upd = w0 * (
+        F.lit(1) + F.lit(_DR_ETA) * ((F.col("proxy") - F.col("proxy_all")) / F.col("proxy_all"))
+    )
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.round(F.greatest(upd, F.lit(_DR_FLOOR) * w0), 8)
+        .cast("decimal(18,8)")
+        .alias("w_raw"),
+    )
+    norm = raw.agg(F.sum("w_raw").alias("w_sum"))
+    return (
+        raw.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("w_raw").cast("double"), 8).alias("w_raw"),
+            F.round(
+                F.col("w_raw").cast("double") / F.col("w_sum").cast("double"), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q358 — MinHash LSH band-configuration audit (the S-curve tuning step
+# every LSH dedup deployment runs before picking b×r): for each
+# candidate config, the detection probability 1 - (1 - s^r)^b over the
+# OBSERVED 3-shingle Jaccard distribution of a deterministic pair
+# sample (adjacent doc_ids within a source). Reports, per config, the
+# mean detection probability and how many sampled pairs clear p >= 0.5
+# — the numbers that decide which (bands, rows) q32/q38 should run
+# with at the corpus's actual similarity profile.
+#
+# Determinism: s is an exact integer-ratio double; the S-curve is
+# GENERATED as an explicit multiplication chain (s*s*...*s), never
+# pow() (libm-dependent); per-pair p is ROUND(.,8) → DECIMAL(18,8)
+# before the exact cross-pair mean.
+#
+# Shape (100 TB): the pair sample joins on (source, doc_id+1) — key-
+# co-partitioned equi-join, one shuffle, |docs| pairs max (never
+# all-pairs); the 4-config explode is row-local; final agg is 4 rows.
+# ---------------------------------------------------------------------------
+_SC_CONFIGS = ((2, 8), (4, 4), (8, 2), (16, 1))  # (bands, rows_per_band)
+
+
+def _schain(base: str, k: int) -> str:
+    return "(" + " * ".join([base] * k) + ")" if k > 1 else base
+
+
+def _scurve_case(s_col: str, bands_col: str) -> str:
+    """CASE over configs: 1 - (1 - s^r)^b as explicit product chains."""
+    whens = []
+    for b_, r_ in _SC_CONFIGS:
+        sr = _schain(s_col, r_)
+        whens.append(
+            f"WHEN {bands_col} = {b_} THEN 1 - " + _schain(f"(1 - {sr})", b_)
+        )
+    return "CASE " + " ".join(whens) + " END"
+
+
+_SC_VALUES = ", ".join(f"({b_}, {r_})" for b_, r_ in _SC_CONFIGS)
+
+
+@register(
+    "q358_lsh_s_curve_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS tk
+      FROM documents),
+    g AS (
+      SELECT source, doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1), i ->
+               tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS gr
+      FROM t WHERE len(tk) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.gr, b.gr))) AS s
+      FROM g a JOIN g b ON a.source = b.source AND b.doc_id = a.doc_id + 1),
+    curves AS (
+      SELECT c.bands, c.rpb, p.s,
+             CAST(ROUND({_scurve_case("p.s", "c.bands")}, 8)
+                  AS DECIMAL(18,8)) AS detect_p
+      FROM pairs p, (VALUES {_SC_VALUES}) AS c(bands, rpb))
+    SELECT CAST(bands AS INT) AS bands, CAST(rpb AS INT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(detect_p) AS DOUBLE) / COUNT(*), 6) AS avg_detect_p,
+           CAST(COUNT(*) FILTER (WHERE CAST(detect_p AS DOUBLE) >= 0.5) AS BIGINT)
+             AS n_detectable
+    FROM curves GROUP BY bands, rpb ORDER BY bands
+    """,
+)
+def q358_lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", tokens("text").alias("tk")
+    )
+    g = t.filter(F.size("tk") >= 3).select(
+        "source",
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(tk) - 2), i -> "
+            "concat_ws(' ', element_at(tk, CAST(i AS INT)), "
+            "element_at(tk, CAST(i + 1 AS INT)), element_at(tk, CAST(i + 2 AS INT)))))"
+        ).alias("gr"),
+    )
+    a = g.select(
+        F.col("source").alias("src"), F.col("doc_id").alias("id_a"), F.col("gr").alias("ga")
+    )
+    b = g.select(
+        F.col("source").alias("src"), (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"), F.col("gr").alias("gb"),
+    )
+    pairs = a.join(b, ["src", "id_a"]).select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("ga", "gb")).cast("double")
+            / F.size(F.array_union("ga", "gb"))
+        ).alias("s"),
+    )
+    cfg = F.explode(
+        F.array(*[F.struct(F.lit(b_).alias("bands"), F.lit(r_).alias("rpb"))
+                  for b_, r_ in _SC_CONFIGS])
+    )
+    # per-config S-curve as an explicit multiplication chain (no pow)
+    curves = (
+        pairs.select("s", cfg.alias("c"))
+        .select(
+            F.col("c.bands").alias("bands"),
+            F.col("c.rpb").alias("rows_per_band"),
+            "s",
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            F.expr(
+                f"CAST(ROUND({_scurve_case('s', 'bands')}, 8) AS DECIMAL(18,8))"
+            ).alias("detect_p"),
+        )
+    )
+    return (
+        curves.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("detect_p").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_detect_p"),
+            F.count_if(F.col("detect_p").cast("double") >= 0.5)
+            .cast("bigint")
+            .alias("n_detectable"),
+        )
+        .orderBy("bands")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q359 — ES `sampler` aggregation: run sub-aggregations over a
+# deterministic top-`shard_size` sample of the matching documents
+# instead of all of them (ES's cost-capping bucket). The "random"
+# sample is the `shard_size` lowest md5(doc_id) values — a fixed,
+# coordination-free choice (the md5 order is uniform in doc_id), the
+# same trick q345's epoch shuffle uses. Sub-agg: terms by lang,
+# reported against the full-corpus counts so the sampling error is
+# visible.
+#
+# Shape (100 TB): the sample cut is one TakeOrdered(shard_size) —
+# never a global sort; the sub-agg runs on `shard_size` rows; the
+# full-corpus comparison is one map-combinable count keyed by lang
+# (|langs| rows, broadcast join).
+# ---------------------------------------------------------------------------
+_SA_SIZE = 100
+
+
+@register(
+    "q359_sampler_agg",
+    oracle=f"""
+    WITH sample AS (
+      SELECT lang FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_SA_SIZE}),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS sample_count
+      FROM sample GROUP BY lang),
+    f AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS full_count
+      FROM documents GROUP BY lang)
+    SELECT f.lang, COALESCE(s.sample_count, 0) AS sample_count, f.full_count,
+           ROUND(CAST(COALESCE(s.sample_count, 0) AS DOUBLE) / {_SA_SIZE}, 6)
+             AS sample_share,
+           ROUND(CAST(f.full_count AS DOUBLE)
+                 / (SELECT SUM(full_count) FROM f), 6) AS full_share
+    FROM f LEFT JOIN s ON f.lang = s.lang
+    ORDER BY f.lang
+    """,
+)
+def q359_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sample = (
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(_SA_SIZE)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sample_count"))
+    )
+    full = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("full_count")
+    )
+    tot = full.agg(F.sum("full_count").cast("double").alias("n_total"))
+    return (
+        full.join(F.broadcast(sample), "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.coalesce("sample_count", F.lit(0)).cast("bigint").alias("sample_count"),
+            "full_count",
+            F.round(
+                F.coalesce("sample_count", F.lit(0)).cast("double") / _SA_SIZE, 6
+            ).alias("sample_share"),
+            F.round(F.col("full_count").cast("double") / F.col("n_total"), 6).alias(
+                "full_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q360 — ES `_termvectors` API (term_statistics=true): for a requested
+# set of documents, each document's top-5 terms by term frequency,
+# with the corpus-wide document frequency attached per term. The
+# per-doc tf side is scan-local; the df side is the corpus statistic
+# the API returns when term_statistics is on.
+#
+# Shape (100 TB): the tf explode is restricted to the REQUESTED doc
+# ids by a pushed-down `doc_id IN (...)` filter (a parquet row-group
+# skip); the corpus df explode computes distinct (token, doc) once,
+# then a LEFT-SEMI join against the <=15 candidate terms (broadcast)
+# collapses it before the count shuffle — the full df table is never
+# materialized for terms nobody asked about.
+# ---------------------------------------------------------------------------
+_TV_DOCS = (0, 1, 2)
+_TV_K = 5
+
+
+@register(
+    "q360_term_vectors",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS tk
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM t
+            WHERE doc_id IN {_TV_DOCS})
+      GROUP BY doc_id, tok),
+    top AS (
+      SELECT doc_id, tok, tf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, tok) AS rk
+      FROM tf),
+    cand AS (SELECT DISTINCT tok FROM top WHERE rk <= {_TV_K}),
+    df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM t) u
+      WHERE tok IN (SELECT tok FROM cand)
+      GROUP BY tok)
+    SELECT p.doc_id, CAST(p.rk AS INT) AS rank, p.tok AS term, p.tf, d.df
+    FROM top p JOIN df d ON p.tok = d.tok
+    WHERE p.rk <= {_TV_K}
+    ORDER BY p.doc_id, p.rk
+    """,
+)
+def q360_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    req = docs.filter(F.col("doc_id").isin(*_TV_DOCS))
+    tf = (
+        req.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("tok"))
+    top = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TV_K)
+    cand = top.select("tok").distinct()
+    df = (
+        docs.select("doc_id", F.explode(F.array_distinct("tk")).alias("tok"))
+        .join(F.broadcast(cand), "tok", "leftsemi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    return (
+        top.join(F.broadcast(df), "tok")
+        .select("doc_id", F.col("rk").cast("int").alias("rank"),
+                F.col("tok").alias("term"), "tf", "df")
+        .orderBy("doc_id", "rank")
+    )
