@@ -1207,3 +1207,382 @@ def q360_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tok").alias("term"), "tf", "df")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q361 — Structured Streaming HOPPING window (1h size / 30m slide):
+# each event contributes to exactly two overlapping windows; counts per
+# (window, event_type) drained complete-mode from a real readStream →
+# memory-sink run (streaming/windows.py:hopping_counts). The oracle
+# reproduces the double assignment arithmetically: window starts are
+# (epoch DIV 1800)*1800 and the slot before it. Completes the
+# streaming-window family (q66 tumbling, q143 session, q44/q45 batch
+# forms) with the sliding/hopping shape.
+#
+# Shape (100 TB stream): state per key is bounded by the watermark
+# horizon × 2 live windows per slide; the memory sink is the test
+# harness — production writes the same frame to parquet/Kafka.
+# ---------------------------------------------------------------------------
+@register(
+    "q361_stream_hopping",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS s0 FROM events),
+    w AS (
+      SELECT event_type, s0 - off AS window_start_s
+      FROM e, (SELECT UNNEST([0, 1800]) AS off))
+    SELECT CAST(window_start_s AS BIGINT) AS window_start_s, event_type,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q361_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.windows import hopping_counts, run_stream_to_memory, stream_events
+
+    name = f"q361_sink_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(hopping_counts(stream_events(spark, sf_dir)), name)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q362 — training token-budget allocation: given the q357 mixture
+# weights and a fixed total token budget, each source's token quota,
+# how many epochs over its available tokens that quota implies
+# (the Muennighoff-style repetition factor), and whether it crosses
+# the 4-epoch "repeated data stops helping" line. The planning table a
+# pretraining run derives right after fixing its mixture.
+#
+# Determinism: quotas are integer DIV shares of the budget; the epoch
+# factor is one shared double division ROUND(.,4).
+#
+# Shape (100 TB): everything after the per-source token count (one
+# map-combinable shuffle, 20 groups) operates on the 20-row frame —
+# three tiny broadcast self-joins, zero rescans.
+# ---------------------------------------------------------------------------
+_TB_BUDGET = 10_000_000  # tokens to allocate across sources
+_TB_ETA = 0.5
+_TB_FLOOR = 0.2
+
+
+@register(
+    "q362_token_budget",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +')))
+               AS BIGINT) AS avail_tokens,
+             CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS proxy
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS n_total,
+             CAST(SUM(CAST(proxy * n AS DECIMAL(18,4))) AS DOUBLE) / SUM(n)
+               AS proxy_all
+      FROM per),
+    raw AS (
+      SELECT p.source, p.avail_tokens,
+             CAST(ROUND(
+               CASE WHEN (p.n / t.n_total) * (1 + {_TB_ETA} * ((p.proxy - t.proxy_all) / t.proxy_all))
+                         > {_TB_FLOOR} * (p.n / t.n_total)
+                    THEN (p.n / t.n_total) * (1 + {_TB_ETA} * ((p.proxy - t.proxy_all) / t.proxy_all))
+                    ELSE {_TB_FLOOR} * (p.n / t.n_total) END, 8)
+               AS DECIMAL(18,8)) AS w_raw
+      FROM per p, tot t),
+    quota AS (
+      SELECT source, avail_tokens,
+             CAST(floor({_TB_BUDGET} * CAST(w_raw AS DOUBLE)
+                  / CAST((SELECT SUM(w_raw) FROM raw) AS DOUBLE)) AS BIGINT)
+               AS q_exact
+      FROM raw)
+    SELECT source, avail_tokens,
+           CAST(q_exact AS BIGINT) AS token_quota,
+           ROUND(CAST(q_exact AS DOUBLE) / avail_tokens, 4) AS epochs,
+           CAST(q_exact AS DOUBLE) / avail_tokens > 4 AS over_repeat_line
+    FROM quota ORDER BY source
+    """,
+)
+def q362_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", F.size(tokens("text")).alias("n_tok")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_tok").cast("bigint").alias("avail_tokens"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("proxy"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("n_total"),
+        (
+            F.sum((F.col("proxy") * F.col("n")).cast("decimal(18,4)")).cast("double")
+            / F.sum("n")
+        ).alias("proxy_all"),
+    )
+    w0 = F.col("n") / F.col("n_total")
+    upd = w0 * (
+        F.lit(1)
+        + F.lit(_TB_ETA) * ((F.col("proxy") - F.col("proxy_all")) / F.col("proxy_all"))
+    )
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        F.round(F.greatest(upd, F.lit(_TB_FLOOR) * w0), 8)
+        .cast("decimal(18,8)")
+        .alias("w_raw"),
+    )
+    norm = raw.agg(F.sum("w_raw").alias("w_sum"))
+    quota = raw.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "avail_tokens",
+        # floor of one shared double expression (identical IEEE ops on
+        # both engines) — decimal // decimal differs between engines
+        # (DuckDB rounds the decimal quotient to scale before flooring)
+        F.floor(
+            F.lit(_TB_BUDGET) * F.col("w_raw").cast("double")
+            / F.col("w_sum").cast("double")
+        )
+        .cast("bigint")
+        .alias("q_exact"),
+    )
+    return quota.select(
+        "source",
+        "avail_tokens",
+        F.col("q_exact").cast("bigint").alias("token_quota"),
+        F.round(F.col("q_exact").cast("double") / F.col("avail_tokens"), 4).alias(
+            "epochs"
+        ),
+        (F.col("q_exact").cast("double") / F.col("avail_tokens") > 4).alias(
+            "over_repeat_line"
+        ),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q363 — chat-template leak audit: count documents containing any of a
+# set of template/control MARKER tokens ("assistant", "endoftext",
+# plus two corpus-present controls), with the earliest token position
+# and per-corpus share — the standard pre-training hygiene scan for
+# chat-markup and special-token leakage into raw text. Markers with
+# zero hits still surface (count 0) via a left join from the literal
+# marker frame, so the report always has one row per configured marker.
+#
+# Determinism: integer token positions (array_position, 1-based on
+# both engines); share = one shared double division ROUND(.,6).
+#
+# Shape (100 TB): the marker set is a 4-row literal exploded row-
+# locally against each document's token array (scan-local containment
+# probes fused into one projection); one map-combinable shuffle keyed
+# by marker; the corpus total is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+_TL_MARKERS = ("assistant", "endoftext", "spark", "stream")
+
+
+@register(
+    "q363_template_leak_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS tk
+      FROM documents),
+    hits AS (
+      SELECT m.marker,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(list_position(t.tk, m.marker)) AS BIGINT) AS min_first_pos
+      FROM t CROSS JOIN (SELECT UNNEST({list(_TL_MARKERS)!r}) AS marker) m
+      WHERE list_contains(t.tk, m.marker)
+      GROUP BY m.marker),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+    SELECT m.marker,
+           COALESCE(h.n_docs, 0) AS n_docs,
+           h.min_first_pos,
+           ROUND(COALESCE(h.n_docs, 0) / t.n, 6) AS doc_share
+    FROM (SELECT UNNEST({list(_TL_MARKERS)!r}) AS marker) m
+    LEFT JOIN hits h ON m.marker = h.marker CROSS JOIN tot t
+    ORDER BY m.marker
+    """,
+)
+def q363_template_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    m = F.explode(F.array(*[F.lit(x) for x in _TL_MARKERS])).alias("marker")
+    hits = (
+        docs.select("tk", m)
+        .filter(F.array_contains("tk", F.col("marker")))
+        .groupBy("marker")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(F.array_position("tk", F.col("marker"))).cast("bigint").alias(
+                "min_first_pos"
+            ),
+        )
+    )
+    markers = docs.sparkSession.createDataFrame(
+        [(x,) for x in _TL_MARKERS], ["marker"]
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        markers.join(F.broadcast(hits), "marker", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "marker",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            "min_first_pos",
+            F.round(F.coalesce("n_docs", F.lit(0)) / F.col("n"), 6).alias("doc_share"),
+        )
+        .orderBy("marker")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q364 — IVF index balance audit (summary statistics over q83's cell
+# histogram): cell-count mean/min/max, the imbalance factor
+# max·nlist/n (1.0 = perfectly balanced; the number that predicts
+# worst-case probe latency), and the coefficient of variation computed
+# from EXACT integer sums (sum n, sum n²) — the go/no-go check before
+# shipping an IVF index whose hot cells would serialize probes.
+#
+# Determinism: all moments derive from exact integers; sqrt is IEEE
+# correctly-rounded (unlike exp/pow) so the one sqrt is engine-stable
+# (same guarantee q37's cosine relies on).
+#
+# Shape (100 TB): everything past the q83 histogram (one broadcast-
+# centroid assignment + 8-group count shuffle) is an 8-row fold.
+# ---------------------------------------------------------------------------
+from .similarity import _IVF_ASSIGN_SQL  # noqa: E402
+
+
+@register(
+    "q364_ivf_balance_audit",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    h AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY cell)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vecs,
+           CAST(MIN(n) AS BIGINT) AS min_cell,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4)
+             AS imbalance_factor,
+           ROUND(sqrt((CAST(SUM(n * n) AS DOUBLE)
+                       - CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*)) / COUNT(*))
+                 / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS cv
+    FROM h
+    """,
+)
+def q364_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = (
+        SIM.ivf_index(emb, "vec_id", "embedding", nlist=8)
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    k = F.count(F.lit(1))
+    sum_n = F.sum("n")
+    sum_n2 = F.sum(F.col("n") * F.col("n"))
+    mean = sum_n.cast("double") / k
+    return h.agg(
+        k.cast("bigint").alias("n_cells"),
+        sum_n.cast("bigint").alias("n_vecs"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        F.max("n").cast("bigint").alias("max_cell"),
+        F.round(F.max("n").cast("double") * k / sum_n, 4).alias("imbalance_factor"),
+        F.round(
+            F.sqrt((sum_n2.cast("double") - sum_n.cast("double") * sum_n / k) / k)
+            / mean,
+            6,
+        ).alias("cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q365 — similarity-metric divergence audit: for one probe vector, the
+# top-10 neighbor sets under COSINE vs raw DOT-PRODUCT and how much
+# they disagree (overlap count, set Jaccard, whether rank-1 matches).
+# The metric-selection check run before building an ANN index: if the
+# sets diverge, vector norms carry signal and the index metric must
+# match the retrieval metric.
+#
+# Determinism: both scores are q37's left-to-right double folds; ROUND
+# before the top-k cut; (score, vec_id) tiebreaks.
+#
+# Shape (100 TB): ONE scan scores both metrics in the same projection
+# (broadcast 1-row probe), two TakeOrdered(10) cuts — never a global
+# sort — and the comparison joins two 10-row frames.
+# ---------------------------------------------------------------------------
+from .similarity import _cos_sql as _cos_sql5, _dot_sql as _dot_sql5  # noqa: E402
+
+
+@register(
+    "q365_metric_divergence",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             ROUND({_cos_sql5("v", "qv")}, 6) AS cos_s,
+             ROUND({_dot_sql5("v", "qv")}, 6) AS dot_s
+      FROM e CROSS JOIN q WHERE vec_id != 0),
+    tc AS (SELECT vec_id, cos_s FROM scored ORDER BY cos_s DESC, vec_id LIMIT 10),
+    td AS (SELECT vec_id, dot_s FROM scored ORDER BY dot_s DESC, vec_id LIMIT 10),
+    c1 AS (SELECT vec_id FROM tc ORDER BY cos_s DESC, vec_id LIMIT 1),
+    d1 AS (SELECT vec_id FROM td ORDER BY dot_s DESC, vec_id LIMIT 1)
+    SELECT CAST((SELECT COUNT(*) FROM tc JOIN td ON tc.vec_id = td.vec_id)
+                AS BIGINT) AS n_common,
+           ROUND(CAST((SELECT COUNT(*) FROM tc JOIN td ON tc.vec_id = td.vec_id)
+                      AS DOUBLE)
+                 / (20 - (SELECT COUNT(*) FROM tc JOIN td
+                          ON tc.vec_id = td.vec_id)), 4) AS jaccard,
+           (SELECT vec_id FROM c1) = (SELECT vec_id FROM d1) AS top1_same
+    """,
+)
+def q365_metric_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine, dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_s"),
+            F.round(dot(F.col("v"), F.col("qv")), 6).alias("dot_s"),
+        )
+    )
+    tc = scored.orderBy(F.desc("cos_s"), F.asc("vec_id")).limit(10)
+    td = scored.orderBy(F.desc("dot_s"), F.asc("vec_id")).limit(10)
+    common = tc.join(td, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    c1 = tc.orderBy(F.desc("cos_s"), F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("c1")
+    )
+    d1 = td.orderBy(F.desc("dot_s"), F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("d1")
+    )
+    return (
+        common.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(d1))
+        .select(
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / (20 - F.col("n_common")), 4
+            ).alias("jaccard"),
+            (F.col("c1") == F.col("d1")).alias("top1_same"),
+        )
+    )

@@ -340,3 +340,21 @@ def apply_upsert_batch(batch_df: DataFrame, state_dir: str) -> None:
         .localCheckpoint(eager=True)  # materialize BEFORE overwriting the dir we read
     )
     merged.write.mode("overwrite").parquet(state_dir)
+
+
+def hopping_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour HOPPING window sliding every 30 minutes — each event lands
+    in exactly two overlapping windows (Spark's F.window(size, slide)
+    streaming-native form). Complete-mode drain is bit-identical to the
+    batch double-assignment (q361's oracle). State is bounded by the
+    watermark horizon × 2 live windows per slide."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
