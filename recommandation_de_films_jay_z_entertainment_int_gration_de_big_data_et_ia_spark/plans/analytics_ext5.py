@@ -932,7 +932,8 @@ def q357_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every LSH dedup deployment runs before picking b×r): for each
 # candidate config, the detection probability 1 - (1 - s^r)^b over the
 # OBSERVED 3-shingle Jaccard distribution of a deterministic pair
-# sample (adjacent doc_ids within a source). Reports, per config, the
+# sample (adjacent doc_ids — an unbiased, coordination-free probe of
+# the corpus's similarity profile). Reports, per config, the
 # mean detection probability and how many sampled pairs clear p >= 0.5
 # — the numbers that decide which (bands, rows) q32/q38 should run
 # with at the corpus's actual similarity profile.
@@ -942,8 +943,8 @@ def q357_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pow() (libm-dependent); per-pair p is ROUND(.,8) → DECIMAL(18,8)
 # before the exact cross-pair mean.
 #
-# Shape (100 TB): the pair sample joins on (source, doc_id+1) — key-
-# co-partitioned equi-join, one shuffle, |docs| pairs max (never
+# Shape (100 TB): the pair sample joins on doc_id+1 — key-co-
+# partitioned equi-join, one shuffle, |docs| pairs max (never
 # all-pairs); the 4-config explode is row-local; final agg is 4 rows.
 # ---------------------------------------------------------------------------
 _SC_CONFIGS = ((2, 8), (4, 4), (8, 2), (16, 1))  # (bands, rows_per_band)
@@ -976,7 +977,7 @@ _SC_VALUES = ", ".join(f"({b_}, {r_})" for b_, r_ in _SC_CONFIGS)
                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +') AS tk
       FROM documents),
     g AS (
-      SELECT source, doc_id,
+      SELECT doc_id,
              list_distinct(list_transform(range(1, len(tk) - 1), i ->
                tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS gr
       FROM t WHERE len(tk) >= 3),
@@ -984,7 +985,7 @@ _SC_VALUES = ", ".join(f"({b_}, {r_})" for b_, r_ in _SC_CONFIGS)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
                / len(list_distinct(list_concat(a.gr, b.gr))) AS s
-      FROM g a JOIN g b ON a.source = b.source AND b.doc_id = a.doc_id + 1),
+      FROM g a JOIN g b ON b.doc_id = a.doc_id + 1),
     curves AS (
       SELECT c.bands, c.rpb, p.s,
              CAST(ROUND({_scurve_case("p.s", "c.bands")}, 8)
@@ -1002,10 +1003,9 @@ def q358_lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens
 
     t = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", tokens("text").alias("tk")
+        "doc_id", tokens("text").alias("tk")
     )
     g = t.filter(F.size("tk") >= 3).select(
-        "source",
         "doc_id",
         F.expr(
             "array_distinct(transform(sequence(1, size(tk) - 2), i -> "
@@ -1013,14 +1013,13 @@ def q358_lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "element_at(tk, CAST(i + 1 AS INT)), element_at(tk, CAST(i + 2 AS INT)))))"
         ).alias("gr"),
     )
-    a = g.select(
-        F.col("source").alias("src"), F.col("doc_id").alias("id_a"), F.col("gr").alias("ga")
-    )
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("gr").alias("ga"))
     b = g.select(
-        F.col("source").alias("src"), (F.col("doc_id") - 1).alias("id_a"),
-        F.col("doc_id").alias("id_b"), F.col("gr").alias("gb"),
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("gr").alias("gb"),
     )
-    pairs = a.join(b, ["src", "id_a"]).select(
+    pairs = a.join(b, ["id_a"]).select(
         "id_a",
         "id_b",
         (
