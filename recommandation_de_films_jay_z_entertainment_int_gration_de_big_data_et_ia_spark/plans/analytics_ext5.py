@@ -1585,3 +1585,343 @@ def q365_metric_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c1") == F.col("d1")).alias("top1_same"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q366 — dataset card (per-source corpus summary): the one-page table a
+# dataset release ships — documents, token totals, language spread,
+# EXACT-duplICATE rate (md5-of-text within source), and mean length.
+# A composition capstone over the engine's dedup + textstats families.
+#
+# Determinism: counts and md5 groupings are exact; mean length via
+# DECIMAL sum then one divide+round.
+#
+# Shape (100 TB): ONE pass computes tokens/langs/lengths (map-
+# combinable, keyed by source); the dup rate needs its own (source,
+# md5) collapse — a second map-combinable shuffle whose key includes
+# the fingerprint, joined back at |sources| rows. No rescans beyond
+# those two aggregations.
+# ---------------------------------------------------------------------------
+@register(
+    "q366_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang, n_chars, md5(text) AS fp,
+             len(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +'))
+               AS n_tok
+      FROM documents),
+    base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 4) AS avg_chars
+      FROM t GROUP BY source),
+    dup AS (
+      SELECT source,
+             CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+      FROM (SELECT source, fp, COUNT(*) AS c FROM t GROUP BY source, fp)
+      GROUP BY source)
+    SELECT b.source, b.n_docs, b.n_tokens, b.n_langs, b.avg_chars,
+           d.n_dup_docs,
+           ROUND(CAST(d.n_dup_docs AS DOUBLE) / b.n_docs, 6) AS dup_rate
+    FROM base b JOIN dup d ON b.source = d.source
+    ORDER BY b.source
+    """,
+)
+def q366_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        F.size(tokens("text")).alias("n_tok"),
+    )
+    base = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_chars"),
+    )
+    dup = (
+        t.groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).cast("bigint").alias("n_dup_docs"))
+    )
+    return (
+        base.join(F.broadcast(dup), "source")
+        .select(
+            "source", "n_docs", "n_tokens", "n_langs", "avg_chars", "n_dup_docs",
+            F.round(F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q367 — vocabulary coverage curve: what fraction of all token
+# OCCURRENCES the top-K most frequent types cover, for a K ladder —
+# the curve that sizes a tokenizer vocabulary (complement of q185's
+# per-document OOV view: this is corpus-level and cumulative).
+#
+# Determinism: occurrence counts are exact integers; the cumulative
+# rank ordering ties-breaks by token; coverage is one shared double
+# division ROUND(.,6).
+#
+# Shape (100 TB): one map-combinable (token → count) shuffle; the
+# ranking + cumulative sum then run over the TYPE table (vocabulary-
+# sized, not corpus-sized — the same domain-not-rows bound as q350);
+# the K ladder probes it with 4 rank lookups.
+# ---------------------------------------------------------------------------
+_VC_LADDER = (10, 50, 100, 500)
+
+
+@register(
+    "q367_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +')) AS tk
+      FROM documents),
+    cnt AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tk) AS r,
+             SUM(c) OVER (ORDER BY c DESC, tk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cnt),
+    tot AS (SELECT SUM(c) AS n, MAX(r) AS n_types FROM ranked CROSS JOIN (SELECT 1) x),
+    probe AS (SELECT UNNEST({list(_VC_LADDER)!r}) AS k)
+    SELECT CAST(p.k AS BIGINT) AS k,
+           CAST((SELECT MAX(cum) FROM ranked WHERE r <= p.k) AS BIGINT)
+             AS covered,
+           CAST(t.n_types AS BIGINT) AS n_types,
+           ROUND(CAST((SELECT MAX(cum) FROM ranked WHERE r <= p.k) AS DOUBLE)
+                 / t.n, 6) AS coverage
+    FROM probe p CROSS JOIN tot t
+    ORDER BY k
+    """,
+)
+def q367_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tk"))
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = ranked.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.max("r").cast("bigint").alias("n_types"),
+    )
+    probes = F.explode(F.array(*[F.lit(k) for k in _VC_LADDER])).alias("k")
+    # rank-ladder lookup: max(cum) over ranks <= k, via a broadcast of
+    # the (tiny) type table against the 4-row ladder
+    ladder = ranked.sparkSession.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _VC_LADDER], ["k"]
+    )
+    cov = (
+        ranked.join(F.broadcast(ladder), ranked["r"] <= ladder["k"])
+        .groupBy("k")
+        .agg(F.max("cum").cast("bigint").alias("covered"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "covered",
+            "n_types",
+            F.round(F.col("covered").cast("double") / F.col("n"), 6).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q368 — tokenizer-migration drift audit: re-tokenizing a corpus with a
+# new tokenizer changes every token budget downstream, so the
+# migration check compares per-source token counts under the OLD
+# (whitespace-split) and NEW (alnum-normalizing) tokenizers: count
+# ratio and how many documents drift by more than 10%. Run before any
+# tokenizer swap to re-plan budgets (q362) and packing (q344).
+#
+# Determinism: integer counts; ratios are shared double divisions
+# ROUND(.,6).
+#
+# Shape (100 TB): both tokenizations evaluate in ONE scan-local
+# projection (two split expressions fused by codegen), one
+# map-combinable shuffle keyed by source.
+# ---------------------------------------------------------------------------
+@register(
+    "q368_tokenizer_drift",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(string_split(trim(text), ' ')) AS n_old,
+             len(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +'))
+               AS n_new
+      FROM documents)
+    SELECT source,
+           CAST(SUM(n_old) AS BIGINT) AS old_tokens,
+           CAST(SUM(n_new) AS BIGINT) AS new_tokens,
+           ROUND(CAST(SUM(n_new) AS DOUBLE) / SUM(n_old), 6) AS ratio,
+           CAST(COUNT(*) FILTER (
+             WHERE ABS(CAST(n_new AS DOUBLE) / n_old - 1.0) > 0.1) AS BIGINT)
+             AS n_drifted
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def q368_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim("text"), " ")).alias("n_old"),
+        F.size(tokens("text")).alias("n_new"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.sum("n_old").cast("bigint").alias("old_tokens"),
+            F.sum("n_new").cast("bigint").alias("new_tokens"),
+            F.round(
+                F.sum("n_new").cast("double") / F.sum("n_old"), 6
+            ).alias("ratio"),
+            F.count_if(
+                F.abs(F.col("n_new").cast("double") / F.col("n_old") - 1.0) > 0.1
+            )
+            .cast("bigint")
+            .alias("n_drifted"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q369 — BM25 parameter-grid audit: rank the same query ("data merge")
+# under a (k1, b) grid — ES's similarity-module tuning knobs — and
+# surface each config's top-3 with scores, so a relevance engineer can
+# see exactly how saturation (k1) and length-normalization (b) reshape
+# the ranking before changing the index similarity. The single-config
+# operator is operators/search.py:bm25_score (q26/q68); this entry is
+# the grid form.
+#
+# Determinism: q26's discipline — ln on identical doubles (both
+# engines' ln agrees on these inputs, pinned by the q26 oracle since
+# round 1), shared config literals, ROUND(.,4) before the rank cut.
+#
+# Shape (100 TB): ONE scan computes tf/dl; the corpus stats aggregate
+# is a 1-row broadcast; the 4-config explode is row-local (never 4
+# rescans — the multi-branch-union anti-pattern, PERF.md #9.3); the
+# per-config top-3 is WindowGroupLimit-pruned.
+# ---------------------------------------------------------------------------
+_BG_TERMS = ("data", "merge")
+_BG_GRID = ((1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0))
+
+
+def _bg_term_sql(t: str, i: int, spark_dialect: bool = False) -> str:
+    if spark_dialect:
+        tf = f"CAST(size(filter(toks, t -> t = '{t}')) AS DOUBLE)"
+    else:
+        tf = f"CAST(len(list_filter(toks, t -> t = '{t}')) AS DOUBLE)"
+    idf = (
+        f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+    )
+    denom = (
+        f"({tf} + k1 * ((1.0 - b) + b * "
+        f"(CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+    )
+    return f"{idf} * (({tf} * (k1 + 1.0)) / {denom})"
+
+
+@register(
+    "q369_bm25_param_grid",
+    oracle=f"""
+    WITH dd AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +')
+               AS toks
+      FROM documents),
+    dl AS (SELECT doc_id, toks, len(toks) AS dl FROM dd),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {', '.join(f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}" for i, t in enumerate(_BG_TERMS))}
+      FROM dl),
+    scored AS (
+      SELECT g.k1, g.b, d.doc_id,
+             ROUND({' + '.join(_bg_term_sql(t, i) for i, t in enumerate(_BG_TERMS))}, 4)
+               AS score
+      FROM dl d CROSS JOIN stats
+      CROSS JOIN (VALUES {', '.join(f'({k1}, {b})' for k1, b in _BG_GRID)}) AS g(k1, b)),
+    ranked AS (
+      SELECT k1, b, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY k1, b
+               ORDER BY score DESC, doc_id) AS rk
+      FROM scored WHERE score > 0)
+    SELECT k1, b, CAST(rk AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rk <= 3
+    ORDER BY k1, b, rank
+    """,
+)
+def q369_bm25_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("bigint")).alias(f"df{i}")
+            for i, t in enumerate(_BG_TERMS)
+        ],
+    )
+    grid = F.explode(
+        F.array(*[
+            F.struct(F.lit(k1).alias("k1"), F.lit(b).alias("b"))
+            for k1, b in _BG_GRID
+        ])
+    )
+    score_sql = " + ".join(
+        _bg_term_sql(t, i, spark_dialect=True) for i, t in enumerate(_BG_TERMS)
+    )
+    scored = (
+        docs.crossJoin(F.broadcast(stats))
+        .select("doc_id", "toks", "dl", "n", "sumdl",
+                *[f"df{i}" for i in range(len(_BG_TERMS))], grid.alias("g"))
+        .select(
+            F.col("g.k1").alias("k1"),
+            F.col("g.b").alias("b"),
+            "doc_id",
+            F.expr(f"ROUND({score_sql}, 4)").alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("k1", "b").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("k1", "b", F.col("rk").cast("int").alias("rank"), "doc_id", "score")
+        .orderBy("k1", "b", "rank")
+    )
