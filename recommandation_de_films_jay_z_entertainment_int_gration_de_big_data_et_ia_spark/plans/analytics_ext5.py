@@ -1925,3 +1925,41 @@ def q369_bm25_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k1", "b", F.col("rk").cast("int").alias("rank"), "doc_id", "score")
         .orderBy("k1", "b", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q370 — ES `ids` query + `exists` query: retrieve documents by
+# explicit _id list (pushed down to the scan as an IN filter — parquet
+# row-group skipping at scale) and flag, per hit, whether optional
+# JSON fields EXIST (ES `exists` = field has a non-null value; here
+# props.k is always present and props.m never is, so both branches of
+# the semantics are exercised).
+#
+# Shape (100 TB): the IN(3 ids) predicate reaches PushedFilters; the
+# JSON probes are scan-local; no shuffle beyond the 3-row display sort.
+# ---------------------------------------------------------------------------
+_IDS_SET = (10, 20, 30)
+
+
+@register(
+    "q370_ids_exists_query",
+    oracle=f"""
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+           json_extract_string(props, '$.m') IS NOT NULL AS has_m
+    FROM events WHERE event_id IN {_IDS_SET}
+    ORDER BY event_id
+    """,
+)
+def q370_ids_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id").isin(*_IDS_SET))
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+            F.get_json_object("props", "$.m").isNotNull().alias("has_m"),
+        )
+        .orderBy("event_id")
+    )
