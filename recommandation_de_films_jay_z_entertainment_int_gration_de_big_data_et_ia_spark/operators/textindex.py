@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -374,6 +374,7 @@ def cross_doc_span_excise(
     broadcast_threshold: int | None = None,
     materialize: bool = False,
     keep_first: bool = False,
+    max_excised_per_gram: int | None = None,
 ) -> DataFrame:
     """CROSS-document duplicated-span removal (RefinedWeb/Gopher-style
     boilerplate excision, the cross-doc complement of the intra-doc q253
@@ -390,66 +391,97 @@ def cross_doc_span_excise(
     disjoint merged intervals and a token survives iff outside every
     interval.
 
+    ``max_excised_per_gram`` is the adversarial-corpus work cap (the
+    LSH-bucket-cap analog, part of the operator SPEC, not an
+    approximation knob hidden from the result): per duplicated gram,
+    only its ``k`` lexicographically-earliest ``(doc, position)``
+    occurrences (after the ``keep_first`` drop, if any) are excised —
+    later occurrences survive. On a natural corpus where no gram
+    repeats ``k`` times the result is identical to the uncapped run;
+    on a fully templated corpus (every doc a copy — the replicated-sf1
+    stress) it bounds the per-gram fan-out into the coverage stage the
+    same way LSH bucket caps bound candidate pairs. The cap is
+    deterministic (total order on ``(doc, position)``) so an oracle can
+    reproduce it with ``ROW_NUMBER() OVER (PARTITION BY gram ORDER BY
+    doc, pos) <= k``. Enforcement is skew-shaped, not global: the
+    boilerplate aggregate already knows each gram's occurrence count,
+    so occurrences of within-cap grams pass through untouched and only
+    the rows of OVER-cap grams (on any real corpus a tiny hot set —
+    the AQE-skew-split analog) pay the per-gram rank.
+
     Returns one row per input document:
     ``(id_col, n_tokens, n_removed, clean_tokens)`` with ``clean_tokens``
     the surviving tokens in original order.
 
-    Shape (100 TB): the n-gram explode is scan-local; the boilerplate set
-    needs ONE shuffle on the shingle (distinct-doc count); by
-    construction it is tiny relative to the corpus (only cross-doc-
-    repeated n-grams survive ``>= min_docs``) so it broadcast-joins back
-    onto the occurrence frame — the corpus itself is never shuffled until
-    the per-doc start-set groupBy, the one unavoidable exchange, keyed by
-    doc so skew-free. Shuffle volume is one row per MATCHED OCCURRENCE
-    (not ×n per-position rows, and no extra distinct exchange): on a
-    boilerplate-saturated corpus (every doc fully templated — the sf1
-    replicated-corpus stress) the interval fold keeps per-doc work
-    O(len + occurrences), where the naive per-position covered-set
-    reconstruction is O(len²). Set ``broadcast_threshold=0`` to force a shuffle
-    join for a pathological corpus whose boilerplate set outgrows the
-    broadcast limit (the plan stays one extra shuffle, still never
-    all-pairs). The positional n-gram frame feeds BOTH the boilerplate
-    aggregate and the coverage join — Catalyst evaluates the explode
-    twice (the branches prune differently, so the exchanges are not
-    reuse-equal); ``materialize=True`` localCheckpoints it once (the
-    q237 pattern — same lifetime note as ``dedup.with_shingles``: drop
-    the reference or unpersist after the consuming query runs).
+    Shape (100 TB): the n-gram explode is scan-local; grams are keyed
+    internally by ``xxhash64`` (an 8-byte shuffle/broadcast key instead
+    of an ~n-word string; the key never reaches the result, so a
+    collision could only matter by merging two grams' doc sets across
+    the ``min_docs`` threshold — probability < m²/2⁶⁵ for m distinct
+    grams, and `tests/` asserts collision-freeness on the test corpora).
+    The boilerplate set needs ONE shuffle on the gram key
+    (distinct-doc count); by construction it is small relative to the
+    corpus (only cross-doc-repeated n-grams survive ``>= min_docs``) so
+    it broadcast-joins back onto the occurrence frame — the corpus
+    itself is never shuffled until the per-doc start-set groupBy, the
+    one unavoidable exchange, keyed by doc so skew-free. Shuffle volume
+    is one row per MATCHED OCCURRENCE (not ×n per-position rows, and no
+    extra distinct exchange): on a boilerplate-saturated corpus (every
+    doc fully templated — the sf1 replicated-corpus stress) the
+    interval fold keeps per-doc work O(len + occurrences), where the
+    naive per-position covered-set reconstruction is O(len²). Set
+    ``broadcast_threshold=0`` to force a shuffle join for a
+    pathological corpus whose boilerplate set outgrows the broadcast
+    limit (the plan stays one extra shuffle, still never all-pairs).
+    The positional n-gram frame feeds BOTH the boilerplate aggregate
+    and the coverage join — Catalyst evaluates the explode twice (the
+    branches prune differently, so the exchanges are not reuse-equal);
+    ``materialize=True`` localCheckpoints it once (the q237 pattern —
+    same lifetime note as ``dedup.with_shingles``: drop the reference
+    or unpersist after the consuming query runs).
     Reference scope: beyond the reference's surface
     (`/root/reference/src/preprocessing.py` stops at column ETL); this is
     the standard pre-training cleanup pass (Penedo et al., RefinedWeb
     §3.2; Lee et al. 2022).
     """
     t = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("tk"))
-    # positional n-grams: (doc, start i, gram); docs shorter than n emit
-    # nothing (sequence(1, 0) DESCENDS in Spark — guard explicitly).
+    # positional n-grams: (doc, start i, gram hash); docs shorter than n
+    # emit nothing (sequence(1, 0) DESCENDS in Spark — guard explicitly).
     g = t.select(
         "__id",
         F.explode(
             F.expr(
                 f"if(size(tk) >= {n},"
                 f" transform(sequence(1, size(tk) - {n - 1}),"
-                f"   i -> struct(i AS i, concat_ws(' ', slice(tk, i, {n})) AS gram)),"
+                f"   i -> struct(i AS i,"
+                f"        xxhash64(concat_ws(' ', slice(tk, i, {n}))) AS gh)),"
                 " array())"
             )
         ).alias("e"),
-    ).select("__id", F.col("e.i").alias("i"), F.col("e.gram").alias("gram"))
+    ).select("__id", F.col("e.i").alias("i"), F.col("e.gh").alias("gh"))
     if materialize:
         g = g.localCheckpoint(eager=True)
     boiler = (
-        g.groupBy("gram")
+        g.groupBy("gh")
         .agg(
             F.countDistinct("__id").alias("nd"),
+            F.count(F.lit(1)).alias("__cnt"),
             # the canonical surviving occurrence under keep_first: the
             # globally smallest (doc, position) — struct min is
             # lexicographic, so deterministic under any shuffle order
             F.min(F.struct("__id", "i")).alias("__keep"),
         )
         .filter(F.col("nd") >= int(min_docs))
-        .select("gram", "__keep")
+        .select("gh", "__cnt", "__keep")
     )
+    if max_excised_per_gram is not None and materialize:
+        # the cap's skew split probes the boilerplate set twice (easy +
+        # hot branches) — materialize it once; it is small by
+        # construction (only cross-doc-repeated grams survive)
+        boiler = boiler.localCheckpoint(eager=True)
     if broadcast_threshold != 0:
         boiler = F.broadcast(boiler)
-    hits = g.join(boiler, "gram")
+    hits = g.join(boiler, "gh")
     if keep_first:
         hits = hits.filter(
             ~(
@@ -457,6 +489,28 @@ def cross_doc_span_excise(
                 & (F.col("i") == F.col("__keep.i"))
             )
         )
+    if max_excised_per_gram is not None:
+        cap = int(max_excised_per_gram)
+        # excisable occurrences per gram after the keep-first drop
+        eff = F.col("__cnt") - (F.lit(1) if keep_first else F.lit(0))
+        # skew split: within-cap grams (the overwhelming majority on any
+        # real corpus) bypass the rank entirely; only over-cap grams'
+        # rows pay a per-gram window, and that hot slice is tiny
+        easy = hits.filter(eff <= cap).select("__id", "i")
+        hot = (
+            hits.filter(eff > cap)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("gh").orderBy("__id", "i")
+                ),
+            )
+            .filter(F.col("__rn") <= cap)
+            .select("__id", "i")
+        )
+        hits = easy.unionAll(hot)
+    else:
+        hits = hits.select("__id", "i")
     c = hits.groupBy("__id").agg(F.sort_array(F.collect_set("i")).alias("__ss"))
     # sorted starts -> disjoint merged intervals [lo, hi]: starts ascend,
     # so each new span's hi = s + n - 1 always >= the running hi, and a

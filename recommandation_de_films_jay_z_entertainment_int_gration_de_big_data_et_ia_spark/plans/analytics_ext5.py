@@ -1963,3 +1963,132 @@ def q370_ids_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q371 — role-aware multi-turn SFT packing manifest (round-7 VERDICT
+# #7 — the conversation-shaped extension of q344's GPT-style packing):
+# each document becomes a deterministic multi-turn conversation — a
+# system turn (first min(6, n) tokens) then alternating user/assistant
+# body turns of width 12 (last one partial) — and conversations are
+# concatenated per source in doc_id order, each turn serialized with a
+# 2-token role header. The manifest emits one row PER TURN: its global
+# token offset, serialized length, starting context id (256-token
+# contexts, split across boundaries GPT-style with masks carried —
+# the TRL-packing layout), whether it spans a context boundary, and
+# the LOSS MASK (only assistant-turn content trains; headers, system
+# and user spans are masked) — exactly the index an SFT dataloader
+# needs to seek any context and build its loss mask without
+# re-tokenizing.
+#
+# Determinism: pure integer running sums and closed-form per-turn
+# offsets (2k + sys + 12(k-1) — no iterative fold), integer DIV.
+#
+# Shape (100 TB): one shuffle to co-locate each source shard for the
+# running-sum window (q344's layout pass), then a scan-local per-doc
+# turn explode — nbt+1 rows per doc, offsets closed-form so no
+# secondary window. Offsets are shard-local by design.
+# ---------------------------------------------------------------------------
+_CP_SYS, _CP_TURN, _CP_HDR, _CP_CTX = 6, 12, 2, 256
+
+
+@register(
+    "q371_chat_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               ' +')) AS BIGINT) AS n
+      FROM documents),
+    d AS (
+      SELECT source, doc_id, n,
+             LEAST(n, {_CP_SYS}) AS sys_len,
+             n - LEAST(n, {_CP_SYS}) AS rest,
+             (n - LEAST(n, {_CP_SYS}) + {_CP_TURN - 1}) // {_CP_TURN} AS nbt,
+             n + {_CP_HDR} * ((n - LEAST(n, {_CP_SYS}) + {_CP_TURN - 1})
+                              // {_CP_TURN} + 1) AS conv_len
+      FROM t),
+    c AS (
+      SELECT *, SUM(conv_len) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - conv_len AS conv_off
+      FROM d),
+    turns AS (
+      SELECT source, doc_id, u.k AS turn_idx,
+             CASE WHEN u.k = 0 THEN 'system'
+                  WHEN (u.k - 1) % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             CASE WHEN u.k = 0 THEN sys_len
+                  WHEN u.k < nbt THEN {_CP_TURN}
+                  ELSE rest - {_CP_TURN} * (nbt - 1) END AS width,
+             conv_off + {_CP_HDR} * u.k
+               + CASE WHEN u.k = 0 THEN 0
+                      ELSE sys_len + {_CP_TURN} * (u.k - 1) END AS toff
+      FROM c, UNNEST(range(0, nbt + 1)) AS u(k))
+    SELECT source, doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+           CAST(toff AS BIGINT) AS start,
+           CAST(width + {_CP_HDR} AS BIGINT) AS n_toks,
+           CAST(toff // {_CP_CTX} AS BIGINT) AS context_id,
+           (toff // {_CP_CTX})
+             != ((toff + width + {_CP_HDR} - 1) // {_CP_CTX})
+             AS spans_boundary,
+           role = 'assistant' AS loss_mask
+    FROM turns ORDER BY source, doc_id, turn_idx
+    """,
+)
+def q371_chat_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).cast("bigint").alias("n")
+    )
+    d = t.select(
+        "source", "doc_id", "n",
+        F.least(F.col("n"), F.lit(_CP_SYS)).alias("sys_len"),
+        (F.col("n") - F.least(F.col("n"), F.lit(_CP_SYS))).alias("rest"),
+    ).withColumn(
+        "nbt", F.expr(f"(rest + {_CP_TURN - 1}) DIV {_CP_TURN}")
+    ).withColumn(
+        "conv_len", F.col("n") + _CP_HDR * (F.col("nbt") + 1)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("conv_off", F.sum("conv_len").over(w) - F.col("conv_len"))
+    turns = c.select(
+        "source", "doc_id", "sys_len", "rest", "nbt", "conv_off",
+        F.explode(F.expr("sequence(0, nbt)")).alias("turn_idx"),
+    )
+    width = F.expr(
+        f"CASE WHEN turn_idx = 0 THEN sys_len"
+        f" WHEN turn_idx < nbt THEN {_CP_TURN}"
+        f" ELSE rest - {_CP_TURN} * (nbt - 1) END"
+    )
+    toff = F.col("conv_off") + _CP_HDR * F.col("turn_idx") + F.expr(
+        f"CASE WHEN turn_idx = 0 THEN 0"
+        f" ELSE sys_len + {_CP_TURN} * (turn_idx - 1) END"
+    )
+    role = F.expr(
+        "CASE WHEN turn_idx = 0 THEN 'system'"
+        " WHEN (turn_idx - 1) % 2 = 0 THEN 'user'"
+        " ELSE 'assistant' END"
+    )
+    out = turns.select(
+        "source", "doc_id",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        role.alias("role"),
+        toff.cast("bigint").alias("start"),
+        (width + _CP_HDR).cast("bigint").alias("n_toks"),
+        toff.cast("bigint").alias("__toff"),
+        width.alias("__w"),
+    )
+    ctx = F.expr(f"__toff DIV {_CP_CTX}")
+    last_ctx = F.expr(f"(__toff + __w + {_CP_HDR - 1}) DIV {_CP_CTX}")
+    return out.select(
+        "source", "doc_id", "turn_idx", "role", "start", "n_toks",
+        ctx.cast("bigint").alias("context_id"),
+        (ctx != last_ctx).alias("spans_boundary"),
+        (F.col("role") == "assistant").alias("loss_mask"),
+    ).orderBy("source", "doc_id", "turn_idx")

@@ -909,15 +909,32 @@ def q261_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # population, q263 *removes* it. Coverage is per token position, so
 # overlapping boilerplate windows merge into excised intervals for free.
 #
-# Shape (100 TB): scan-local n-gram explode, ONE shuffle to build the
-# boilerplate set (tiny by construction -> broadcast back), coverage
-# distinct + per-doc groupBy on doc_id (skew-free), array math for the
-# reconstruction. The corpus is never shuffled whole; nothing all-pairs.
-# Output carries an md5 of the cleaned text so the oracle hash-checks
-# the reconstruction exactly (the q253 protocol).
+# Shape (100 TB): scan-local n-gram explode keyed by xxhash64 (8-byte
+# shuffle/broadcast keys — the gram string never leaves the mapper),
+# ONE shuffle to build the boilerplate set (small by construction ->
+# broadcast back), coverage + per-doc groupBy on doc_id (skew-free),
+# array math for the reconstruction. The corpus is never shuffled
+# whole; nothing all-pairs. Output carries an md5 of the cleaned text
+# so the oracle hash-checks the reconstruction exactly (the q253
+# protocol).
+#
+# _XDOC_CAP is the adversarial-corpus work cap (operator SPEC, round-7
+# VERDICT #6): per boilerplate gram only the 20 earliest (doc, pos)
+# occurrences are excised — deterministic (lexicographic), mirrored in
+# the oracle as ROW_NUMBER() <= 20, enforced skew-shaped (within-cap
+# grams bypass the rank; only over-cap grams' rows pay a window — the
+# AQE-skew-split analog, see operators/textindex.py). Measured honesty
+# note (round 8): on the replicated-sf1 corpus the super-linear ratio
+# comes from the gram POPULATION crossing min_docs (550 -> 237,849
+# grams), not per-gram occurrence skew (p50 = p90 = 10 occurrences,
+# max 40), so the cap binds on only 0.25% of occurrences there — its
+# job is the corpus the sweep can't build (one template repeated
+# millions of times), while the population-driven sf1 tail is true
+# output growth.
 # ---------------------------------------------------------------------------
 _XDOC_N = 5
 _XDOC_K = 3
+_XDOC_CAP = 20
 
 
 @register(
@@ -928,9 +945,13 @@ _XDOC_K = 3
           FROM t, UNNEST(range(1, len(tk) - {_XDOC_N - 2})) AS u(i)),
     boiler AS (SELECT gram FROM g GROUP BY gram
                HAVING COUNT(DISTINCT doc_id) >= {_XDOC_K}),
-    cov AS (SELECT DISTINCT g.doc_id, u.p
-            FROM g JOIN boiler USING (gram),
-                 UNNEST(range(g.i, g.i + {_XDOC_N})) AS u(p)),
+    hits AS (SELECT g.doc_id, g.i,
+                    ROW_NUMBER() OVER (PARTITION BY g.gram
+                                       ORDER BY g.doc_id, g.i) AS rn
+             FROM g JOIN boiler USING (gram)),
+    cov AS (SELECT DISTINCT hits.doc_id, u.p
+            FROM hits, UNNEST(range(hits.i, hits.i + {_XDOC_N})) AS u(p)
+            WHERE hits.rn <= {_XDOC_CAP}),
     c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed, list(p) AS ps
           FROM cov GROUP BY doc_id)
     SELECT t.doc_id,
@@ -953,11 +974,9 @@ def q263_crossdoc_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textindex import cross_doc_span_excise
 
     docs = load_table(spark, sf_dir, "documents")
-    # materialize=True: the positional n-gram frame feeds both the
-    # boilerplate aggregate and the coverage join — one localCheckpoint
-    # beats re-running the explode (the q237 pattern; ~25% at sf1).
     out = cross_doc_span_excise(
-        docs, "doc_id", "text", n=_XDOC_N, min_docs=_XDOC_K, materialize=True
+        docs, "doc_id", "text", n=_XDOC_N, min_docs=_XDOC_K,
+        materialize=True, max_excised_per_gram=_XDOC_CAP,
     )
     return out.select(
         "doc_id",

@@ -547,8 +547,11 @@ _XDOC_BOILER = ["b", "a", "d", "c"]  # the planted template span
     n=st.integers(min_value=2, max_value=3),
     k=st.integers(min_value=2, max_value=3),
     keep_first=st.booleans(),
+    cap=st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
 )
-def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k, keep_first):
+def test_crossdoc_span_excise_equals_bruteforce(
+    spark, docs, plant, n, k, keep_first, cap
+):
     from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.operators.textindex import (
         cross_doc_span_excise,
     )
@@ -565,7 +568,8 @@ def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k, keep_f
     got = {
         r["doc_id"]: (r["n_tokens"], r["n_removed"], list(r["clean_tokens"]))
         for r in cross_doc_span_excise(
-            df, "doc_id", "text", n=n, min_docs=k, keep_first=keep_first
+            df, "doc_id", "text", n=n, min_docs=k, keep_first=keep_first,
+            max_excised_per_gram=cap,
         ).collect()
     }
 
@@ -574,19 +578,28 @@ def test_crossdoc_span_excise_equals_bruteforce(spark, docs, plant, n, k, keep_f
     from collections import defaultdict
 
     gram_docs: dict[tuple, set] = defaultdict(set)
-    gram_keeper: dict[tuple, tuple] = {}
+    gram_occ: dict[tuple, list] = defaultdict(list)
     for i, toks in enumerate(toked):
         for s in range(len(toks) - n + 1):
             g = tuple(toks[s:s + n])
             gram_docs[g].add(i)
-            if g not in gram_keeper or (i, s) < gram_keeper[g]:
-                gram_keeper[g] = (i, s)
+            gram_occ[g].append((i, s))
     boiler = {g for g, ds in gram_docs.items() if len(ds) >= k}
+    # the excision set per the operator spec: sorted occurrences, minus
+    # the keep-first head, sliced to the cap
+    excised: set[tuple] = set()
+    for g in boiler:
+        occ = sorted(gram_occ[g])
+        if keep_first:
+            occ = occ[1:]
+        if cap is not None:
+            occ = occ[:cap]
+        excised.update(occ)
     for i, toks in enumerate(toked):
         covered: set[int] = set()
         for s in range(len(toks) - n + 1):
             g = tuple(toks[s:s + n])
-            if g in boiler and not (keep_first and gram_keeper[g] == (i, s)):
+            if g in boiler and (i, s) in excised:
                 covered.update(range(s, s + n))
         want = (
             len(toks),

@@ -319,3 +319,91 @@ def test_q360_df_at_least_tf_docs(spark, sf_dir):
     per_term = out.groupby("term").size()
     for term, cnt in per_term.items():
         assert (out[out["term"] == term]["df"] >= cnt).all()
+
+
+# ---------------------------------------------------------------------------
+# q263/q269 internal gram keys are xxhash64 — assert the test corpus is
+# collision-free (the docstring's stated invariant: a collision could
+# only matter by merging two grams' doc sets across min_docs)
+# ---------------------------------------------------------------------------
+def test_crossdoc_gram_hash_collision_free(spark, sf_dir):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.functions.text import (
+        tokens,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = docs.select(tokens("text").alias("tk")).select(
+        F.explode(
+            F.expr(
+                "if(size(tk) >= 5, transform(sequence(1, size(tk) - 4),"
+                " i -> concat_ws(' ', slice(tk, i, 5))), array())"
+            )
+        ).alias("gram")
+    )
+    row = g.agg(
+        F.countDistinct("gram").alias("n_grams"),
+        F.countDistinct(F.xxhash64("gram")).alias("n_hashes"),
+    ).first()
+    assert row.n_grams == row.n_hashes
+
+
+# ---------------------------------------------------------------------------
+# q371 — planted-conversation differential: a hand-built corpus with
+# token counts chosen to hit every turn shape (system-only, partial
+# last turn, exact multiple, context-boundary span) recomputed by an
+# independent pure-Python packer
+# ---------------------------------------------------------------------------
+def test_q371_chat_packing_planted(spark, tmp_path):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.analytics_ext5 import (
+        _CP_CTX,
+        _CP_HDR,
+        _CP_SYS,
+        _CP_TURN,
+    )
+
+    # token counts: 3 (system-only, shorter than the head), 6 (exact
+    # head), 18 (head + one full body turn), 20 (partial last turn),
+    # 300 (long enough that turns cross the 256-token context boundary)
+    plant = [("a", 0, 3), ("a", 1, 18), ("a", 2, 300), ("b", 3, 6), ("b", 4, 20)]
+    rows = [(src, did, " ".join(f"w{i}" for i in range(n))) for src, did, n in plant]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    path = str(tmp_path / "docs")
+    df.write.parquet(path + "/documents.parquet")
+
+    got = [
+        tuple(r)
+        for r in entrymod.queries()["q371_chat_packing"](spark, path)
+        .collect()
+    ]
+
+    # independent packer
+    want = []
+    by_source: dict = {}
+    for src, did, n in sorted(plant):
+        by_source.setdefault(src, []).append((did, n))
+    for src, docs in sorted(by_source.items()):
+        off = 0
+        for did, n in docs:
+            sys_len = min(n, _CP_SYS)
+            rest = n - sys_len
+            nbt = (rest + _CP_TURN - 1) // _CP_TURN
+            widths = [sys_len] + [
+                _CP_TURN if k < nbt else rest - _CP_TURN * (nbt - 1)
+                for k in range(1, nbt + 1)
+            ]
+            toff = off
+            for k, wd in enumerate(widths):
+                role = (
+                    "system" if k == 0
+                    else ("user" if (k - 1) % 2 == 0 else "assistant")
+                )
+                total = wd + _CP_HDR
+                want.append((
+                    src, did, k, role, toff, total,
+                    toff // _CP_CTX,
+                    toff // _CP_CTX != (toff + total - 1) // _CP_CTX,
+                    role == "assistant",
+                ))
+                toff += total
+            off = toff
+    assert got == want
