@@ -2092,3 +2092,410 @@ def q371_chat_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ctx != last_ctx).alias("spans_boundary"),
         (F.col("role") == "assistant").alias("loss_mask"),
     ).orderBy("source", "doc_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# q372 — ES `percolate`: the REVERSE search — queries are stored
+# documents and each incoming document is matched against the whole
+# registered-query set (alerting / saved-search fan-out). Five stored
+# queries (term, term-on-source, range, bool, terms) are evaluated per
+# document; output is one row per stored query with its match count
+# and matched-id range.
+#
+# Shape (100 TB): ES percolates by running the query set per shard;
+# here the (tiny, fixed) query set is evaluated as a scan-local
+# 5-struct explode per document — no broadcast table needed because
+# the predicates compile into the projection — and one map-combinable
+# groupBy on query_id (5 groups). The document corpus is never
+# shuffled.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q372_percolate",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, q.query_id,
+             CASE q.query_id
+               WHEN 'p1_term_lang_en' THEN lang = 'en'
+               WHEN 'p2_term_source'  THEN source = 'src3'
+               WHEN 'p3_range_chars'  THEN n_chars >= 200 AND n_chars < 400
+               WHEN 'p4_bool_fr_long' THEN lang = 'fr' AND n_chars >= 300
+               ELSE lang IN ('de', 'zh')
+             END AS matched
+      FROM documents,
+           (SELECT UNNEST(['p1_term_lang_en', 'p2_term_source',
+                           'p3_range_chars', 'p4_bool_fr_long',
+                           'p5_terms_lang']) AS query_id) q)
+    SELECT query_id,
+           CAST(COUNT(*) FILTER (WHERE matched) AS BIGINT) AS n_matches,
+           MIN(doc_id) FILTER (WHERE matched) AS first_doc,
+           MAX(doc_id) FILTER (WHERE matched) AS last_doc
+    FROM m GROUP BY query_id ORDER BY query_id
+    """,
+)
+def q372_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    preds = [
+        ("p1_term_lang_en", F.col("lang") == "en"),
+        ("p2_term_source", F.col("source") == "src3"),
+        ("p3_range_chars", (F.col("n_chars") >= 200) & (F.col("n_chars") < 400)),
+        ("p4_bool_fr_long", (F.col("lang") == "fr") & (F.col("n_chars") >= 300)),
+        ("p5_terms_lang", F.col("lang").isin("de", "zh")),
+    ]
+    m = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(qid).alias("query_id"), p.alias("matched"))
+                    for qid, p in preds
+                ]
+            )
+        ).alias("q"),
+    ).select("doc_id", "q.query_id", "q.matched")
+    return (
+        m.groupBy("query_id")
+        .agg(
+            F.count_if(F.col("matched")).cast("bigint").alias("n_matches"),
+            F.min(F.when(F.col("matched"), F.col("doc_id"))).alias("first_doc"),
+            F.max(F.when(F.col("matched"), F.col("doc_id"))).alias("last_doc"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q373 — ES `date_range` aggregation: custom (possibly open-ended)
+# date buckets — unlike date_histogram's fixed stride. Four ranges
+# over events.ts: before Jan 8, two seven-day windows, and from
+# Jan 22 on (ES emits from/to per bucket; keys mirror ES's
+# "from-to" naming).
+#
+# Determinism: bucket edges are timestamp literals; the value sum is
+# ROUND->DECIMAL before aggregation (the engine's double-sum rule).
+#
+# Shape (100 TB): scan-local CASE bucketing + one map-combinable
+# 4-group aggregate; the ts range predicate is none (all ranges
+# partition the axis), so the scan stays full but single-pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q373_date_range_agg",
+    oracle="""
+    WITH b AS (
+      SELECT CASE
+               WHEN ts < TIMESTAMP '2024-01-08' THEN '*-2024-01-08'
+               WHEN ts < TIMESTAMP '2024-01-15' THEN '2024-01-08-2024-01-15'
+               WHEN ts < TIMESTAMP '2024-01-22' THEN '2024-01-15-2024-01-22'
+               ELSE '2024-01-22-*'
+             END AS range_key,
+             value
+      FROM events)
+    SELECT range_key,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE), 4) AS value_sum
+    FROM b GROUP BY range_key ORDER BY range_key
+    """,
+)
+def q373_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    key = (
+        F.when(F.col("ts") < F.lit("2024-01-08").cast("timestamp"), "*-2024-01-08")
+        .when(
+            F.col("ts") < F.lit("2024-01-15").cast("timestamp"),
+            "2024-01-08-2024-01-15",
+        )
+        .when(
+            F.col("ts") < F.lit("2024-01-22").cast("timestamp"),
+            "2024-01-15-2024-01-22",
+        )
+        .otherwise("2024-01-22-*")
+    )
+    return (
+        ev.select(key.alias("range_key"), "value")
+        .groupBy("range_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.round(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("value_sum"),
+        )
+        .orderBy("range_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q374 — ES `median_absolute_deviation` aggregation: per event_type,
+# the median of |value - median(value)| — the robust dispersion ES
+# approximates with TDigest; the engine computes it EXACTLY (interp-
+# olated median on both engines — Spark `percentile`, DuckDB
+# `median` — is the same (a+b)/2 on doubles, so the hashes agree).
+#
+# Shape (100 TB): two group-by passes over the same 5-key grouping
+# (median, then median of deviations) with the 5-row median frame
+# broadcast back between them — the exact two-pass any exact-MAD
+# needs; swap the percentile for an approx sketch when exactness is
+# not contractual.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q374_median_abs_deviation",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(med.med, 6) AS median_value,
+           ROUND(median(abs(e.value - med.med)), 6) AS mad
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type, med.med ORDER BY e.event_type
+    """,
+)
+def q374_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad_raw"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("med"), 6).alias("median_value"),
+            F.round(F.col("mad_raw"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q375 — ES `bucket_sort` pipeline aggregation: re-orders the parent
+# terms buckets by a metric and truncates with from/size — the
+# "page 2 of buckets" idiom. Buckets = event_type, metric = exact
+# decimal value sum; sort desc (tie: key asc), from=1, size=3.
+#
+# Shape (100 TB): one map-combinable 5-group aggregate; the sort +
+# offset/limit act on 5 rows — bucket_sort is always post-agg tiny.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q375_bucket_sort",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS doc_count,
+             ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE), 4) AS value_sum
+      FROM events GROUP BY event_type)
+    SELECT event_type, doc_count, value_sum
+    FROM b ORDER BY value_sum DESC, event_type LIMIT 3 OFFSET 1
+    """,
+)
+def q375_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double"),
+            4,
+        ).alias("value_sum"),
+    )
+    return (
+        b.orderBy(F.desc("value_sum"), F.asc("event_type")).offset(1).limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q376 — ES `constant_score` wrapping a `prefix` query: filter-context
+# matching (no scoring work) with a fixed boost surfaced as _score.
+# Matches documents whose source starts with 'src1' (src1, src10-19).
+#
+# Shape (100 TB): the prefix compiles to a pushed StringStartsWith
+# parquet filter (PushedFilters in the scan); the constant score is a
+# literal projection; TakeOrdered(25) — no scoring pass at all,
+# exactly why ES users reach for constant_score.
+# ---------------------------------------------------------------------------
+_CS_BOOST = 1.2
+
+
+@register(
+    "q376_constant_score_prefix",
+    oracle=f"""
+    SELECT doc_id, source, {_CS_BOOST} AS score
+    FROM documents WHERE source LIKE 'src1%'
+    ORDER BY doc_id LIMIT 25
+    """,
+)
+def q376_constant_score_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source").startswith("src1"))
+        .select("doc_id", "source", F.lit(_CS_BOOST).alias("score"))
+        .orderBy("doc_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q377 — RLHF preference-pair length-bias audit: the standard
+# pre-flight check before reward-model training — if "chosen"
+# responses are systematically longer than "rejected" ones, the reward
+# model learns length, not quality. Pairs are built deterministically
+# (consecutive docs per source in doc_id order); "chosen" is the pair
+# member with the higher type-token ratio (distinct/total tokens) —
+# the quality proxy — compared EXACTLY by cross-multiplication
+# (nd_a·n_b > nd_b·n_a, no float ratios), ties to the lower doc_id.
+# Per source: pair count, how often chosen is the longer member, and
+# the mean token-length gap (chosen − rejected; negative = the
+# quality proxy anti-correlates with length).
+#
+# Shape (100 TB): one window shuffle keyed by source (rn + lead — the
+# pairing is a single pass, no self-join), then a map-combinable
+# 20-group aggregate. Token stats are scan-local.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q377_preference_pair_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len({{toks}}) AS BIGINT) AS n,
+             CAST(len(list_distinct({{toks}})) AS BIGINT) AS nd
+      FROM documents),
+    w AS (
+      SELECT source, doc_id, n, nd,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             LEAD(n)  OVER (PARTITION BY source ORDER BY doc_id) AS n_b,
+             LEAD(nd) OVER (PARTITION BY source ORDER BY doc_id) AS nd_b
+      FROM t),
+    p AS (
+      SELECT source,
+             CASE WHEN nd * n_b >= nd_b * n THEN n ELSE n_b END AS chosen_n,
+             CASE WHEN nd * n_b >= nd_b * n THEN n_b ELSE n END AS rejected_n
+      FROM w WHERE rn % 2 = 1 AND n_b IS NOT NULL)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE chosen_n > rejected_n) AS BIGINT)
+             AS chosen_longer,
+           ROUND(CAST(SUM(chosen_n - rejected_n) AS DOUBLE) / COUNT(*), 4)
+             AS mean_len_gap
+    FROM p GROUP BY source ORDER BY source
+    """.replace("{toks}", "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' +')"),
+)
+def q377_preference_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n"),
+        F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("nd"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = t.select(
+        "source", "n", "nd",
+        F.row_number().over(w).alias("rn"),
+        F.lead("n").over(w).alias("n_b"),
+        F.lead("nd").over(w).alias("nd_b"),
+    ).filter((F.col("rn") % 2 == 1) & F.col("n_b").isNotNull())
+    a_chosen = F.col("nd") * F.col("n_b") >= F.col("nd_b") * F.col("n")
+    p = paired.select(
+        "source",
+        F.when(a_chosen, F.col("n")).otherwise(F.col("n_b")).alias("chosen_n"),
+        F.when(a_chosen, F.col("n_b")).otherwise(F.col("n")).alias("rejected_n"),
+    )
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.count_if(F.col("chosen_n") > F.col("rejected_n"))
+            .cast("bigint")
+            .alias("chosen_longer"),
+            F.round(
+                F.sum(F.col("chosen_n") - F.col("rejected_n")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_len_gap"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q378 — ES `geo_distance` aggregation (ring buckets): concentric
+# distance ranges from the q235/q310 plane center (15.00, 15.00) on
+# the synthetic integer lattice — the "how far are my customers"
+# histogram. Ring membership compares EXACT squared lattice units
+# against squared edge literals (no sqrt in the predicate); edges at
+# 5, 10, 15 degrees (500/1000/1500 units).
+#
+# Shape (100 TB): scan-local key derivation + CASE ring + one
+# map-combinable 4-group aggregate; same zero-shuffle-before-agg
+# shape as the rest of the geo family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q378_geo_distance_rings",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey, c_acctbal,
+             (c_custkey * 7919) % 3000 AS ulat,
+             (c_custkey * 104729) % 3000 AS ulon
+      FROM customer),
+    d AS (
+      SELECT c_custkey, c_acctbal,
+             (ulat - 1500) * (ulat - 1500)
+               + (ulon - 1500) * (ulon - 1500) AS d2
+      FROM pts),
+    b AS (
+      SELECT CASE WHEN d2 < 250000 THEN '*-5.0'
+                  WHEN d2 < 1000000 THEN '5.0-10.0'
+                  WHEN d2 < 2250000 THEN '10.0-15.0'
+                  ELSE '15.0-*' END AS ring,
+             c_acctbal
+      FROM d)
+    SELECT ring,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS acctbal_sum
+    FROM b GROUP BY ring ORDER BY ring
+    """,
+)
+def q378_geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    ulat = (k * 7919) % 3000
+    ulon = (k * 104729) % 3000
+    d2 = (ulat - 1500) * (ulat - 1500) + (ulon - 1500) * (ulon - 1500)
+    ring = (
+        F.when(d2 < 250000, "*-5.0")
+        .when(d2 < 1000000, "5.0-10.0")
+        .when(d2 < 2250000, "10.0-15.0")
+        .otherwise("15.0-*")
+    )
+    return (
+        cust.select(ring.alias("ring"), "c_acctbal")
+        .groupBy("ring")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("acctbal_sum"),
+        )
+        .orderBy("ring")
+    )

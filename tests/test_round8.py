@@ -407,3 +407,55 @@ def test_q371_chat_packing_planted(spark, tmp_path):
                 toff += total
             off = toff
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q372/q375/q377/q378 — cross-checks against independent recomputation
+# ---------------------------------------------------------------------------
+def test_q372_percolate_counts(spark, sf_dir):
+    out = {r["query_id"]: r for r in QUERIES["q372_percolate"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert out["p1_term_lang_en"]["n_matches"] == (docs["lang"] == "en").sum()
+    assert out["p3_range_chars"]["n_matches"] == (
+        (docs["n_chars"] >= 200) & (docs["n_chars"] < 400)
+    ).sum()
+    assert out["p5_terms_lang"]["n_matches"] == docs["lang"].isin(["de", "zh"]).sum()
+    en = docs.loc[docs["lang"] == "en", "doc_id"]
+    assert out["p1_term_lang_en"]["first_doc"] == en.min()
+    assert out["p1_term_lang_en"]["last_doc"] == en.max()
+
+
+def test_q375_bucket_sort_is_page2(spark, sf_dir):
+    out = QUERIES["q375_bucket_sort"](spark, sf_dir).toPandas()
+    assert len(out) == 3
+    # sorted desc, and the top bucket (from=1 skips it) is absent
+    sums = list(out["value_sum"])
+    assert sums == sorted(sums, reverse=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    import decimal
+
+    agg = (
+        ev.assign(v=[decimal.Decimal(str(round(x, 6))) for x in ev["value"]])
+        .groupby("event_type")["v"]
+        .sum()
+        .astype(float)
+        .round(4)
+        .sort_values(ascending=False)
+    )
+    assert list(out["event_type"]) == list(agg.index[1:4])
+
+
+def test_q377_pairing_invariants(spark, sf_dir):
+    out = QUERIES["q377_preference_pair_audit"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    per_src = docs.groupby("source").size()
+    for r in out.itertuples(index=False):
+        assert r.n_pairs == per_src[r.source] // 2
+        assert 0 <= r.chosen_longer <= r.n_pairs
+
+
+def test_q378_rings_partition_customers(spark, sf_dir):
+    out = QUERIES["q378_geo_distance_rings"](spark, sf_dir).toPandas()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert out["doc_count"].sum() == n_cust
+    assert set(out["ring"]) <= {"*-5.0", "5.0-10.0", "10.0-15.0", "15.0-*"}
