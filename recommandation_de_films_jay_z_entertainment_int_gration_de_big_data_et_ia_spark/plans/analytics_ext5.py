@@ -2499,3 +2499,265 @@ def q378_geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ring")
     )
+
+
+# ---------------------------------------------------------------------------
+# q379 — ES `ip_range` aggregation: bucket documents by IP ranges.
+# The corpus has no IP column, so (like the q235/q310 geo lattice) a
+# deterministic synthetic fixture maps each event's user_id to an IPv4
+# via a Knuth multiplicative hash — the bucketing arithmetic, which is
+# what the aggregation IS, runs on the real table. Four quarter-space
+# ranges keyed ES-style (from-to dotted quads); per bucket the event
+# count and distinct-user cardinality.
+#
+# Determinism: pure integer hash/modulo; no floats anywhere.
+#
+# Shape (100 TB): scan-local key derivation + one 4-group aggregate
+# with a distinct-count (two-phase, keyed by the 4 buckets after the
+# map-side partial dedup).
+# ---------------------------------------------------------------------------
+_IP_MUL = 2654435761  # Knuth 2^32 * golden ratio
+
+
+@register(
+    "q379_ip_range_agg",
+    oracle=f"""
+    WITH ips AS (
+      SELECT user_id, (user_id * {_IP_MUL}) % 4294967296 AS ipn
+      FROM events),
+    b AS (
+      SELECT user_id,
+             CASE (ipn // 1073741824)
+               WHEN 0 THEN '0.0.0.0-63.255.255.255'
+               WHEN 1 THEN '64.0.0.0-127.255.255.255'
+               WHEN 2 THEN '128.0.0.0-191.255.255.255'
+               ELSE '192.0.0.0-255.255.255.255'
+             END AS ip_range
+      FROM ips)
+    SELECT ip_range,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM b GROUP BY ip_range ORDER BY ip_range
+    """,
+)
+def q379_ip_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ipn = (F.col("user_id") * _IP_MUL) % F.lit(4294967296).cast("bigint")
+    quarter = F.expr(f"(((user_id * {_IP_MUL}) % 4294967296) DIV 1073741824)")
+    key = (
+        F.when(quarter == 0, "0.0.0.0-63.255.255.255")
+        .when(quarter == 1, "64.0.0.0-127.255.255.255")
+        .when(quarter == 2, "128.0.0.0-191.255.255.255")
+        .otherwise("192.0.0.0-255.255.255.255")
+    )
+    return (
+        ev.select("user_id", key.alias("ip_range"))
+        .groupBy("ip_range")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("ip_range")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q380 — embedding isotropy audit (the "are my embeddings collapsing"
+# pre-training check — Ethayarajh 2019-style): per label, the mean
+# cosine of each vector to its label CENTROID. Near-1 means the label
+# cluster has collapsed to a ray (anisotropic); the audit flags
+# representation collapse before a retrieval model ships. Centroids
+# are exact: per-dimension DECIMAL sums over ROUND(x,6) components,
+# divided once and rounded to 8 — both engines fold the same numbers
+# in the same order (explicit dim-sorted list rebuild).
+#
+# Shape (100 TB): one posexplode (64 rows/vec, scan-local) + one
+# (label, dim)-keyed map-combinable aggregate; the |labels|-row
+# centroid frame broadcast-joins back; per-row cosine is a JVM-side
+# ordered fold; final |labels|-group aggregate. Nothing all-pairs —
+# isotropy via centroid needs only two passes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q380_embedding_isotropy",
+    oracle="""
+    WITH dims AS (
+      SELECT label, u.d AS d,
+             CAST(ROUND(CAST(embedding[u.d] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(d)),
+    cent AS (
+      SELECT label, d,
+             ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 8) AS c
+      FROM dims GROUP BY label, d),
+    carr AS (
+      SELECT label, list(c ORDER BY d) AS cv FROM cent GROUP BY label),
+    cos AS (
+      SELECT e.label,
+             CAST(ROUND(
+               list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * carr.cv[i]),
+                 (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE)
+                         * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(1, len(carr.cv) + 1),
+                      i -> carr.cv[i] * carr.cv[i]), (x, y) -> x + y))),
+               6) AS DECIMAL(18,6)) AS cc
+      FROM embeddings e JOIN carr ON e.label = carr.label)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(cc) AS DOUBLE) / COUNT(*), 6) AS mean_centroid_cos
+    FROM cos GROUP BY label ORDER BY label
+    """,
+)
+def q380_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("d0", "x0")
+    ).select(
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("x0").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 8).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+        .alias("cv")
+    )
+    cos = e.join(F.broadcast(carr), "label").select(
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("cv")), 6)
+        .cast("decimal(18,6)")
+        .alias("cc"),
+    )
+    return (
+        cos.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.sum("cc").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_centroid_cos"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q381 — best-of-n (rejection-sampling) position-bias audit: candidate
+# groups of 4 consecutive docs per source stand in for 4 samples from
+# the same prompt; the "accepted" candidate is the type-token-ratio
+# argmax (exact integer cross-multiply nd_i·n_j, ties to the earlier
+# position). If acceptance is position-uniform (~25% each) the
+# selection pipeline is order-blind; skew flags an ordering artifact —
+# the standard sanity check before training on best-of-n outputs. Per
+# position (1-4): groups won, win fraction, and the mean accepted TTR.
+#
+# Determinism: winner by integer cross-multiplication; TTRs
+# ROUND(.,6) -> DECIMAL before the cross-row mean.
+#
+# Shape (100 TB): one window shuffle keyed by source (rn -> group id),
+# one (source, group)-keyed 4-row-max aggregate via max_by over an
+# exact integer sort key, one final 4-group aggregate. No self-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q381_best_of_n_audit",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' +')) AS BIGINT) AS n,
+             CAST(len(list_distinct(regexp_split_to_array(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')), ' +'))) AS BIGINT) AS nd
+      FROM documents),
+    w AS (
+      SELECT source, doc_id, n, nd,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM t),
+    g AS (
+      SELECT source, (rn - 1) // 4 AS grp,
+             CAST((rn - 1) % 4 + 1 AS BIGINT) AS pos, n, nd
+      FROM w),
+    full_g AS (
+      SELECT source, grp FROM g GROUP BY source, grp HAVING COUNT(*) = 4),
+    win AS (
+      -- argmax of nd/n per group: IEEE division of two bigints is
+      -- correctly rounded and engine-identical, ties to earlier pos
+      SELECT source, grp, pos AS sel_pos,
+             -(neg_ttr) AS best_ttr
+      FROM (
+        SELECT g.source, g.grp, g.pos,
+               -(CAST(nd AS DOUBLE) / n) AS neg_ttr,
+               ROW_NUMBER() OVER (PARTITION BY g.source, g.grp
+                 ORDER BY (CAST(nd AS DOUBLE) / n) DESC, g.pos ASC) AS rk
+        FROM g JOIN full_g USING (source, grp))
+      WHERE rk = 1)
+    SELECT sel_pos AS position,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM win), 6) AS sel_frac,
+           ROUND(CAST(SUM(CAST(ROUND(best_ttr, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_sel_ttr
+    FROM win GROUP BY sel_pos ORDER BY position
+    """,
+)
+def q381_best_of_n_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n"),
+        F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("nd"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    g = t.select(
+        "source", "n", "nd",
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "source", "n", "nd",
+        F.expr("(rn - 1) DIV 4").alias("grp"),
+        F.expr("CAST((rn - 1) % 4 + 1 AS BIGINT)").alias("pos"),
+    )
+    win = (
+        g.groupBy("source", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.expr(
+                "min_by(pos, struct(-(CAST(nd AS DOUBLE) / n), pos))"
+            ).alias("sel_pos"),
+            F.max(F.expr("CAST(nd AS DOUBLE) / n")).alias("best_ttr"),
+        )
+        .filter(F.col("sz") == 4)
+        .select("sel_pos", "best_ttr")
+    )
+    tot = win.agg(F.count(F.lit(1)).alias("n_groups"))
+    return (
+        win.groupBy("sel_pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.round(
+                F.sum(F.round(F.col("best_ttr"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sel_ttr"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sel_pos").alias("position"),
+            "n_selected",
+            F.round(
+                F.col("n_selected").cast("double") / F.col("n_groups"), 6
+            ).alias("sel_frac"),
+            "mean_sel_ttr",
+        )
+        .orderBy("position")
+    )

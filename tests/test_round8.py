@@ -459,3 +459,27 @@ def test_q378_rings_partition_customers(spark, sf_dir):
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert out["doc_count"].sum() == n_cust
     assert set(out["ring"]) <= {"*-5.0", "5.0-10.0", "10.0-15.0", "15.0-*"}
+
+
+def test_q379_ip_buckets_partition_events(spark, sf_dir):
+    out = QUERIES["q379_ip_range_agg"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    assert out["doc_count"].sum() == len(ev)
+    assert out["n_users"].sum() == ev["user_id"].nunique()  # hash partitions users
+
+
+def test_q380_isotropy_bounds(spark, sf_dir):
+    out = QUERIES["q380_embedding_isotropy"](spark, sf_dir).toPandas()
+    # cosine to own-centroid is in [-1, 1]; with clustered fixtures it
+    # should be positive on average
+    assert ((out["mean_centroid_cos"] <= 1.000001).all()
+            and (out["mean_centroid_cos"] >= -1.000001).all())
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert out["n_vecs"].sum() == n
+
+
+def test_q381_selection_fractions(spark, sf_dir):
+    out = QUERIES["q381_best_of_n_audit"](spark, sf_dir).toPandas()
+    assert set(out["position"]) <= {1, 2, 3, 4}
+    assert abs(out["sel_frac"].sum() - 1.0) < 1e-4
+    assert (out["mean_sel_ttr"] <= 1.0).all()
