@@ -32,6 +32,7 @@ ROWS_WATCHLIST = {
     "q81_split_contamination",
     "q99_dedup_incremental",
     "q263_crossdoc_span_excise",
+    "q269_crossdoc_keep_first",
 }
 
 
