@@ -415,10 +415,14 @@ def cross_doc_span_excise(
 
     Shape (100 TB): the n-gram explode is scan-local; grams are keyed
     internally by ``xxhash64`` (an 8-byte shuffle/broadcast key instead
-    of an ~n-word string; the key never reaches the result, so a
-    collision could only matter by merging two grams' doc sets across
-    the ``min_docs`` threshold — probability < m²/2⁶⁵ for m distinct
-    grams, and `tests/` asserts collision-freeness on the test corpora).
+    of an ~n-word string; the key never reaches the result). A collision
+    merges the two grams' aggregate rows, which can matter three ways:
+    pooled distinct-doc counts crossing the ``min_docs`` threshold,
+    a single shared ``keep_first`` keeper chosen across both grams
+    instead of one per gram, and a shared ``max_excised_per_gram`` cap
+    pool — each silently changes which occurrences are excised even
+    when no threshold is crossed. Probability < m²/2⁶⁵ for m distinct
+    grams, and `tests/` asserts collision-freeness on the test corpora.
     The boilerplate set needs ONE shuffle on the gram key
     (distinct-doc count); by construction it is small relative to the
     corpus (only cross-doc-repeated n-grams survive ``>= min_docs``) so
@@ -474,10 +478,14 @@ def cross_doc_span_excise(
         .filter(F.col("nd") >= int(min_docs))
         .select("gh", "__cnt", "__keep")
     )
-    if max_excised_per_gram is not None and materialize:
+    if max_excised_per_gram is not None:
         # the cap's skew split probes the boilerplate set twice (easy +
-        # hot branches) — materialize it once; it is small by
-        # construction (only cross-doc-repeated grams survive)
+        # hot branches) — materialize it once regardless of the
+        # `materialize` flag; it is small by construction (only
+        # cross-doc-repeated grams survive). NOTE: both branches also
+        # re-evaluate `hits` (the g⋈boiler join), so the cap is best
+        # paired with materialize=True to avoid re-running the n-gram
+        # explode on the probe side as well.
         boiler = boiler.localCheckpoint(eager=True)
     if broadcast_threshold != 0:
         boiler = F.broadcast(boiler)

@@ -2204,16 +2204,19 @@ def q372_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q373_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    # Bucket edges compared in UTC epoch-microseconds (the q44/q118
+    # pattern): a `'2024-01-08'::timestamp` literal parses in the
+    # SESSION timezone, while events.ts is UTC-anchored and the DuckDB
+    # oracle reads naive literals as UTC — string-literal edges would
+    # shift the buckets by the session offset on any non-UTC driver.
+    tu = F.unix_micros("ts")
+    _e08 = 1704672000 * 1_000_000  # 2024-01-08T00:00:00Z
+    _e15 = 1705276800 * 1_000_000  # 2024-01-15T00:00:00Z
+    _e22 = 1705881600 * 1_000_000  # 2024-01-22T00:00:00Z
     key = (
-        F.when(F.col("ts") < F.lit("2024-01-08").cast("timestamp"), "*-2024-01-08")
-        .when(
-            F.col("ts") < F.lit("2024-01-15").cast("timestamp"),
-            "2024-01-08-2024-01-15",
-        )
-        .when(
-            F.col("ts") < F.lit("2024-01-22").cast("timestamp"),
-            "2024-01-15-2024-01-22",
-        )
+        F.when(tu < F.lit(_e08), "*-2024-01-08")
+        .when(tu < F.lit(_e15), "2024-01-08-2024-01-15")
+        .when(tu < F.lit(_e22), "2024-01-15-2024-01-22")
         .otherwise("2024-01-22-*")
     )
     return (
@@ -2405,6 +2408,12 @@ def q377_preference_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("bigint").alias("n"),
         F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("nd"),
     )
+    # 100 TB note (shared with q302/q381): row_number over
+    # partitionBy(source) is a per-source full sort — fine here because
+    # the grouping is ordinal by spec (adjacent doc_ids pair up). Where
+    # ordinal adjacency is NOT load-bearing, a bucketed `hash(doc_id)
+    # % k` / `doc_id DIV k` grouping gives the same pair statistics
+    # shuffle-free.
     w = Window.partitionBy("source").orderBy("doc_id")
     paired = t.select(
         "source", "n", "nd",
@@ -2542,7 +2551,6 @@ _IP_MUL = 2654435761  # Knuth 2^32 * golden ratio
 )
 def q379_ip_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    ipn = (F.col("user_id") * _IP_MUL) % F.lit(4294967296).cast("bigint")
     quarter = F.expr(f"(((user_id * {_IP_MUL}) % 4294967296) DIV 1073741824)")
     key = (
         F.when(quarter == 0, "0.0.0.0-63.255.255.255")
@@ -2717,6 +2725,9 @@ def q381_best_of_n_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("bigint").alias("n"),
         F.size(F.array_distinct(tokens("text"))).cast("bigint").alias("nd"),
     )
+    # 100 TB note: per-source sort for ordinal 4-grouping (see q377's
+    # comment) — grouping is ordinal by spec; use `doc_id DIV k` buckets
+    # where adjacency isn't load-bearing.
     w = Window.partitionBy("source").orderBy("doc_id")
     g = t.select(
         "source", "n", "nd",

@@ -31,6 +31,7 @@ TS_QUERIES = (
     "q102_scd2_history",
     "q112_column_profile",
     "q118_gapfill_hourly",
+    "q373_date_range_agg",
 )
 
 
