@@ -4,6 +4,14 @@
 JSON line per query to the output file. Already-recorded queries are
 skipped, so the audit can run in bounded chunks.
 
+Each record also carries a SAME-SESSION sf0.1 base time (``base``, min
+of 2 runs at $SPARK_GRAFT_BASE_DIR, default /root/testdata/sf0.1) so
+the scale-ratio gate never ratios against a base artifact produced in a
+different session/load window — the round-8 false-fail mode, where a
+driver bench overwrite of BENCH_full_local.json flipped 8 phantom
+"regressions". CPU-steal share per timed window is recorded too
+(``steal_warm`` / ``steal_base``) so noisy records self-identify.
+
 Usage: python scripts/sf1_audit.py <sf_dir> <out.jsonl> [max_queries]
 """
 
@@ -29,11 +37,28 @@ from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_s
 ROWS_WATCHLIST = {
     "q32_dedup_minhash_pairs",
     "q33_dedup_jaccard_verify",
+    "q34_dedup_simhash",
+    "q35_dedup_simhash_pairs",
     "q81_split_contamination",
     "q99_dedup_incremental",
     "q263_crossdoc_span_excise",
     "q269_crossdoc_keep_first",
 }
+
+
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat; (0,0) if unreadable."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(v) for v in fh.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:  # noqa: BLE001
+        return 0, 0
+
+
+def _steal_pct(a: tuple[int, int], b: tuple[int, int]) -> float:
+    ds, dt = b[0] - a[0], b[1] - a[1]
+    return round(100.0 * ds / dt, 3) if dt > 0 else 0.0
 
 
 def main() -> None:
@@ -51,19 +76,43 @@ def main() -> None:
     if not todo:
         print("ALL DONE")
         return
+    base_dir = os.environ.get("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
     spark = get_spark("sf1-audit")
     spark.range(1).count()
     with open(out_path, "a") as fh:
         for name in todo:
             runs = []
             try:
-                for _ in range(2):
-                    t0 = time.time()
+                steal_warm = 0.0
+                for i in range(2):
+                    s0, t0 = _cpu_sample(), time.time()
                     queries[name](spark, sf_dir).write.format("noop").mode(
                         "overwrite"
                     ).save()
                     runs.append(round(time.time() - t0, 2))
-                rec = {"query": name, "cold": runs[0], "warm": runs[1]}
+                    if i == 1:
+                        steal_warm = _steal_pct(s0, _cpu_sample())
+                # same-session sf0.1 base AFTER the sf1 runs (so sf1
+                # cold/warm stay comparable with prior rounds' sweeps);
+                # min of 2 matches BENCH_full_local's steady-min basis
+                base_runs = []
+                for _ in range(2):
+                    s0, t0 = _cpu_sample(), time.time()
+                    queries[name](spark, base_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    base_runs.append(
+                        (round(time.time() - t0, 3), _steal_pct(s0, _cpu_sample()))
+                    )
+                best = min(base_runs)
+                rec = {
+                    "query": name,
+                    "cold": runs[0],
+                    "warm": runs[1],
+                    "base": best[0],
+                    "steal_warm": steal_warm,
+                    "steal_base": best[1],
+                }
                 if name in ROWS_WATCHLIST:
                     # a count failure annotates the record instead of
                     # discarding the captured timings (round-6 ADVICE)
