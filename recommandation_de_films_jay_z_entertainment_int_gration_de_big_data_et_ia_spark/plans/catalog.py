@@ -44,6 +44,7 @@ def load_all() -> None:
         analytics_ext3,
         analytics_ext4,
         analytics_ext5,
+        analytics_ext6,
         core,
         core_ext,
         corpus,
