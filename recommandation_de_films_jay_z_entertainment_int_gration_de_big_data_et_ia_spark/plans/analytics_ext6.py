@@ -88,3 +88,334 @@ def q382_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q383 — ES `match_phrase_prefix`: type-ahead PHRASE search — "sort k"
+# matches docs where token 'sort' is immediately followed by a token
+# starting with 'k' (the positional sibling of q298's bag-of-words
+# match_bool_prefix). Surfaces per doc the number of phrase-prefix
+# positions and the sorted distinct completions of the prefix at those
+# positions (ES's expanded terms, max_expansions unbounded here — the
+# corpus vocabulary is tiny; an indexed variant would walk the q68 term
+# dictionary exactly like ES's first-50 expansion).
+#
+# Shape (100 TB): scan-local — one indexed transform per row, no join,
+# no shuffle before the display sort.
+# ---------------------------------------------------------------------------
+_MPP_FIRST = "sort"
+_MPP_PREFIX = "k"
+
+
+@register(
+    "q383_match_phrase_prefix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = '{_MPP_FIRST}' AND i + 1 <= len(tk)
+                         AND tk[i + 1] LIKE '{_MPP_PREFIX}%'
+                    THEN tk[i + 1] END),
+               c -> c IS NOT NULL) AS comps
+      FROM t)
+    SELECT doc_id,
+           CAST(len(comps) AS BIGINT) AS n_hits,
+           array_to_string(list_sort(list_distinct(comps)), ',')
+             AS completions
+    FROM h WHERE len(comps) > 0
+    ORDER BY doc_id
+    """,
+)
+def q383_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    # Spark transform index is 0-based; the "next token" probe is the
+    # 1-based element_at(tk, i + 2) — the q332/q353 idiom.
+    comps = F.expr(
+        f"filter(transform(tk, (x, i) -> "
+        f"CASE WHEN x = '{_MPP_FIRST}' AND i + 1 < size(tk) "
+        f"AND element_at(tk, i + 2) LIKE '{_MPP_PREFIX}%' "
+        f"THEN element_at(tk, i + 2) END), c -> c IS NOT NULL)"
+    )
+    h = docs.select("doc_id", comps.alias("comps")).filter(F.size("comps") > 0)
+    return h.select(
+        "doc_id",
+        F.size("comps").cast("bigint").alias("n_hits"),
+        F.concat_ws(",", F.array_sort(F.array_distinct("comps"))).alias(
+            "completions"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q384 — ES `span_within`: match LITTLE spans that lie inside a big
+# span — the inverse direction of the shipped q353 span_containing
+# (which matches the BIG side). Little = term 'key'; big = ordered
+# span_near('data' .. 'table', internal gap <= 3). Surfaces the count
+# of contained little occurrences and the doc's total little tf — both
+# pure counts, so the 0/1-based transform-index offset cancels and no
+# raw position ever reaches the result (PERF.md #9.5 discipline).
+#
+# Shape (100 TB): scan-local nested array folds, |pa|x|pb| bounded by
+# per-doc tf; no join, no shuffle before the display sort.
+# ---------------------------------------------------------------------------
+_SW_BIG_A, _SW_BIG_B, _SW_LITTLE = "data", "table", "key"
+_SW_GAP = 3
+
+
+@register(
+    "q384_span_within",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    pos AS (
+      SELECT doc_id,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = '{_SW_BIG_A}' THEN i ELSE -1 END), p -> p >= 0) AS pa,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = '{_SW_BIG_B}' THEN i ELSE -1 END), p -> p >= 0) AS pb,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = '{_SW_LITTLE}' THEN i ELSE -1 END), p -> p >= 0) AS pl
+      FROM t),
+    w AS (
+      SELECT doc_id,
+             CAST(len(pl) AS BIGINT) AS little_tf,
+             CAST(len(list_filter(pl, p ->
+               len(list_filter(pa, a ->
+                 len(list_filter(pb, b ->
+                   b > a AND b - a - 1 <= {_SW_GAP}
+                   AND p >= a AND p <= b)) > 0)) > 0)) AS BIGINT) AS n_within
+      FROM pos WHERE len(pa) > 0 AND len(pb) > 0 AND len(pl) > 0)
+    SELECT doc_id, n_within, little_tf
+    FROM w WHERE n_within > 0
+    ORDER BY doc_id
+    """,
+)
+def q384_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+
+    def _positions(term: str):
+        return F.expr(
+            f"filter(transform(tk, (x, i) -> IF(x = '{term}', i, -1)), p -> p >= 0)"
+        )
+
+    pos = docs.select(
+        "doc_id",
+        _positions(_SW_BIG_A).alias("pa"),
+        _positions(_SW_BIG_B).alias("pb"),
+        _positions(_SW_LITTLE).alias("pl"),
+    ).filter((F.size("pa") > 0) & (F.size("pb") > 0) & (F.size("pl") > 0))
+    n_within = F.expr(
+        f"CAST(size(filter(pl, p -> "
+        f"size(filter(pa, a -> "
+        f"size(filter(pb, b -> b > a AND b - a - 1 <= {_SW_GAP} "
+        f"AND p >= a AND p <= b)) > 0)) > 0)) AS BIGINT)"
+    )
+    w = pos.select(
+        "doc_id",
+        n_within.alias("n_within"),
+        F.size("pl").cast("bigint").alias("little_tf"),
+    )
+    return w.filter(F.col("n_within") > 0).select(
+        "doc_id", "n_within", "little_tf"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q385 — ES `span_multi`: wrap a multi-term query (here prefix 'st*',
+# the q251 bounded-expansion family) in a span and require it within
+# slop 2 of the anchor term 'key' in either order (q299 span_near
+# semantics). The prefix expands POSITIONALLY — every occurrence of any
+# st*-token is a span candidate. Surfaces the best (minimum) gap, the
+# number of qualifying pairs, and how many multi-term positions
+# participated — counts and differences only, offset-free.
+#
+# Shape (100 TB): scan-local; candidate pairs are per-doc tf-bounded.
+# ---------------------------------------------------------------------------
+_SM_PREFIX = "st"
+_SM_ANCHOR = "key"
+_SM_SLOP = 2
+
+
+@register(
+    "q385_span_multi",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    pos AS (
+      SELECT doc_id,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x LIKE '{_SM_PREFIX}%' THEN i ELSE -1 END),
+               p -> p >= 0) AS pm,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN x = '{_SM_ANCHOR}' THEN i ELSE -1 END),
+               p -> p >= 0) AS pk
+      FROM t),
+    pairs AS (
+      SELECT doc_id,
+             CAST(len(pm) AS BIGINT) AS n_multi_positions,
+             flatten(list_transform(pm, x ->
+               list_transform(pk, y -> abs(x - y) - 1))) AS gaps
+      FROM pos WHERE len(pm) > 0 AND len(pk) > 0)
+    SELECT doc_id,
+           CAST(list_min(gaps) AS BIGINT) AS best_gap,
+           CAST(len(list_filter(gaps, g -> g <= {_SM_SLOP})) AS BIGINT)
+             AS n_pairs_within,
+           n_multi_positions
+    FROM pairs WHERE list_min(gaps) <= {_SM_SLOP}
+    ORDER BY doc_id
+    """,
+)
+def q385_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    pos = docs.select(
+        "doc_id",
+        F.expr(
+            f"filter(transform(tk, (x, i) -> "
+            f"IF(x LIKE '{_SM_PREFIX}%', i, -1)), p -> p >= 0)"
+        ).alias("pm"),
+        F.expr(
+            f"filter(transform(tk, (x, i) -> "
+            f"IF(x = '{_SM_ANCHOR}', i, -1)), p -> p >= 0)"
+        ).alias("pk"),
+    ).filter((F.size("pm") > 0) & (F.size("pk") > 0))
+    pairs = pos.select(
+        "doc_id",
+        F.size("pm").cast("bigint").alias("n_multi_positions"),
+        F.expr(
+            "flatten(transform(pm, x -> transform(pk, y -> abs(x - y) - 1)))"
+        ).alias("gaps"),
+    )
+    return (
+        pairs.filter(F.array_min("gaps") <= _SM_SLOP)
+        .select(
+            "doc_id",
+            F.array_min("gaps").cast("bigint").alias("best_gap"),
+            F.size(F.filter("gaps", lambda g: g <= F.lit(_SM_SLOP)))
+            .cast("bigint")
+            .alias("n_pairs_within"),
+            "n_multi_positions",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q386 — ES `random_sampler` aggregation (8.2+): run sub-aggs over a
+# PROBABILISTIC per-document sample (probability p) instead of q359's
+# deterministic top-shard_size cut. The draw is a seeded hash: include
+# a doc when the 16-bit md5 integer of 'rs1:'||doc_id falls below
+# p * 65536 — coordination-free, reproducible, and identical on both
+# engines (the q178/q190 md5-16bit idiom). ES scales sub-agg counts by
+# 1/p; est_total does the same (65536/6554 exact in doubles).
+#
+# Shape (100 TB): the sample predicate is scan-local (no sort, unlike
+# q359's TakeOrdered), so this is the variant that actually scales to
+# arbitrary corpus sizes: one map-combinable groupBy on the ~p fraction.
+# ---------------------------------------------------------------------------
+_RS_SEED = "rs1:"
+_RS_CUT = 6554  # ~0.1 * 65536 — effective sampling probability
+
+
+def _rs_draw_sql() -> str:
+    from .analytics_ext2 import _md5_16bit_sql
+
+    key = f"'{_RS_SEED}' || CAST(doc_id AS VARCHAR)"
+    return f"(({_md5_16bit_sql(key)}) < {_RS_CUT})"
+
+
+@register(
+    "q386_random_sampler_agg",
+    oracle=f"""
+    WITH s AS (
+      SELECT source FROM documents WHERE {_rs_draw_sql()})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS sample_count,
+           ROUND(CAST(COUNT(*) AS DOUBLE) * 65536.0 / {_RS_CUT}, 4)
+             AS est_total
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def q386_random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_RS_SEED), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < _RS_CUT
+    )
+    return (
+        docs.filter(draw)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sample_count"))
+        .select(
+            "source",
+            "sample_count",
+            F.round(
+                F.col("sample_count").cast("double") * 65536.0 / _RS_CUT, 4
+            ).alias("est_total"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q387 — ES `ip_prefix` aggregation: bucket synthetic IPv4 addresses by
+# their /8 network prefix — the sibling of the shipped q379 ip_range
+# (same Knuth-hash address derivation, prefix masks instead of range
+# edges). Surfaces the prefix in ES's "a.0.0.0/8" notation with
+# doc_count and distinct users per prefix.
+#
+# Shape (100 TB): one map-combinable groupBy on a derived integer key
+# (<= 256 buckets); countDistinct adds the standard two-phase expand.
+# ---------------------------------------------------------------------------
+_IPP_MUL = 2654435761  # Knuth 2^32 golden-ratio hash (q379's constant)
+
+
+@register(
+    "q387_ip_prefix_agg",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id,
+             ((user_id * {_IPP_MUL}) % 4294967296) // 16777216 AS octet
+      FROM events)
+    SELECT CAST(octet AS VARCHAR) || '.0.0.0/8' AS ip_prefix,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM b GROUP BY octet ORDER BY octet
+    """,
+)
+def q387_ip_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    octet = F.expr(
+        f"(((user_id * {_IPP_MUL}) % 4294967296) DIV 16777216)"
+    )
+    b = ev.select("user_id", octet.alias("octet"))
+    return (
+        b.groupBy("octet")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.concat(F.col("octet").cast("string"), F.lit(".0.0.0/8")).alias(
+                "ip_prefix"
+            ),
+            "doc_count",
+            "n_users",
+        )
+        .orderBy("octet")
+    )
