@@ -1,8 +1,11 @@
 """ML / recommendation query catalog (SURVEY.md §2.9).
 
-ALS is seeded but factorization isn't SQL-reproducible, so q50 is a
-rows-only check (driver contract explicitly allows this); q51 is the
-deterministic, fully-oracled collaborative baseline.
+ALS is seeded but factorization VALUES aren't SQL-reproducible; q50
+therefore oracle-checks the output's STRUCTURAL contract (coverage,
+per-user k, item provenance, bounded scores — round-8 VERDICT task 7)
+while tests/test_recommend.py holds the value-level behavioral line
+(seeded RMSE slack). q51 is the deterministic, fully-oracled
+collaborative baseline.
 """
 
 from __future__ import annotations
@@ -33,15 +36,67 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: ALS factorization isn't expressible in ANSI SQL (driver
-# records the weaker rows-only check; SURVEY §5.2 behavioral assertions
-# live in tests/test_recommend.py).
-@register("q50_als_recommend")
+# ALS factorization VALUES aren't expressible in ANSI SQL, but the
+# output's STRUCTURAL contract is (round-8 VERDICT task 7): exactly k
+# recommendations per user, every training user covered, every
+# recommended item drawn from the training item set, every score
+# finite and inside a generous pinned band. The query trains ALS, then
+# folds the actual recommendation frame into one contract row; the
+# oracle derives the same row purely from the INPUT tables (what the
+# contract says MUST come out). A hash match means the pipeline
+# honored the contract; the factorization values themselves stay
+# behaviorally checked (seeded RMSE slack, tests/test_recommend.py).
+_ALS_K = 5
+# |predicted_rating| bound: ratings are summed l_quantity per
+# (cust, part) — <= ~300 at any SF — so a seeded rank-8 ALS cannot
+# legitimately reach 1e4; a blow-up here means divergence, not taste.
+_ALS_BAND = 1.0e4
+
+
+@register(
+    "q50_als_recommend",
+    oracle=f"""
+    WITH users AS (
+      SELECT DISTINCT o.o_custkey AS u
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) * {_ALS_K} AS BIGINT) AS n_rows,
+           CAST({_ALS_K} AS BIGINT) AS min_per_user,
+           CAST({_ALS_K} AS BIGINT) AS max_per_user,
+           CAST(0 AS BIGINT) AS n_unknown_items,
+           CAST(0 AS BIGINT) AS n_bad_scores
+    FROM users
+    """,
+)
 def q50_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = _ratings(spark, sf_dir)
     model = REC.train_als(ratings, "user", "item", "rating", rank=8, max_iter=5, seed=42)
-    recs = REC.als_recommendations(model, k=5)
-    return recs.select("user", "item", F.round("predicted_rating", 3).alias("predicted_rating"))
+    recs = REC.als_recommendations(model, k=_ALS_K).select(
+        "user", "item", F.col("predicted_rating").cast("double").alias("score")
+    )
+    # single pass over the rec frame: broadcast the training item set to
+    # mark unknown items, fold per-user, then one global fold — one
+    # shuffle (the per-user groupBy) against the old 3-branch shape
+    items = ratings.select("item").distinct().withColumn("__known", F.lit(1))
+    j = recs.join(F.broadcast(items), "item", "left")
+    bad = (
+        F.isnan("score")
+        | F.col("score").isNull()
+        | ~F.col("score").between(-_ALS_BAND, _ALS_BAND)
+    )
+    per_user = j.groupBy("user").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)).alias("unk"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("bad"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_per_user"),
+        F.max("k").cast("bigint").alias("max_per_user"),
+        F.sum("unk").cast("bigint").alias("n_unknown_items"),
+        F.sum("bad").cast("bigint").alias("n_bad_scores"),
+    )
 
 
 @register(

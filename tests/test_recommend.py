@@ -1,9 +1,10 @@
 """Behavioral tests for the recommendation operators (SURVEY §5.2).
 
-ALS factorization is not SQL-reproducible, so q50 is rows-only at the
-oracle gate; the behavioral contract lives here instead: exactly k rows
-per user, finite predictions, seeded-rerun equality, and held-out RMSE
-below a slack threshold. ``popular_unseen``'s candidate bound (the
+ALS factorization VALUES are not SQL-reproducible; since round 9 q50
+surfaces the output's structural contract (k rows per user, coverage,
+known items, bounded finite scores) as an oracle-checked row, while the
+VALUE-level behavioral contract lives here: finite predictions,
+seeded-rerun equality, and held-out RMSE below a slack threshold. ``popular_unseen``'s candidate bound (the
 100 TB guard against the |users| × |items| cross join) is proven by plan
 and row count.
 """
