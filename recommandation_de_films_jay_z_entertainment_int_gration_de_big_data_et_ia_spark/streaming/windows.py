@@ -74,18 +74,44 @@ def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def run_stream_to_memory(
-    agg: DataFrame, name: str, output_mode: str = "complete"
+    agg: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
 ) -> None:
     """Drain the stream with availableNow into an in-memory table ``name``
-    (test/demo sink; production would writeStream to parquet/Kafka)."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    (test/demo sink; production would writeStream to parquet/Kafka).
+
+    ``shuffle_partitions`` sizes the STATEFUL-operator parallelism for
+    the drain (a streaming query pins the conf value in effect when it
+    STARTS). Stateful micro-batches pay a fixed per-partition,
+    per-state-store cost every batch — a stream-stream join carries 4
+    state stores per partition — so partitions must be sized by STATE
+    VOLUME, not CPU count: at the test scales the whole state fits in a
+    handful of partitions, and draining q87 at the session's CPU-count
+    default (32) measured 4-6x slower than at 8 purely on state-store
+    bookkeeping. At 100 TB the same rule applies in reverse: size up
+    until per-partition state fits the executor memory/RocksDB budget.
+    Pass ``None`` to inherit the session conf unchanged. The session
+    value is restored after the drain (availableNow is synchronous)."""
+    prev = None
+    if shuffle_partitions is not None:
+        prev = agg.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        agg.sparkSession.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            agg.sparkSession.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def attribution_join(views: DataFrame, clicks: DataFrame) -> DataFrame:
