@@ -2,7 +2,7 @@
 the round-8 review: the full-Lucene ``query_string`` grammar (q382),
 the positional prefix/span completions ``match_phrase_prefix`` /
 ``span_within`` / ``span_multi`` (q383-q385), and the aggregation tail
-``random_sampler`` / ``ip_prefix`` (q386-q387).
+``random_sampler`` / ``ip_prefix`` / ``geohex_grid`` (q386-q388).
 
 Reference context: the reference stack ships ES 8.12 wholesale
 (docker-compose.yml:32); its client code only calls ``multi_match``
@@ -418,4 +418,100 @@ def q387_ip_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
         .orderBy("octet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q388 — ES `geohex_grid` aggregation: bucket points into a HEXAGONAL
+# grid (H3's tiling idea on the engine's synthetic integer lattice —
+# the q340 geohash / q293 geotile convention: point = (custkey*104729
+# % 1000, custkey*7919 % 1000)). A true H3 cell needs the H3 library
+# and spherical math; the round-8 review sanctioned either that or an
+# integer-exact hexagonal tiling. This is the latter, EXACT:
+#
+# A hexagonal lattice is the union of two staggered rectangular
+# lattices — L1 centers at (a*W, b*H) and L2 at (a*W + W/2, b*H + H/2).
+# Nearest-center (Voronoi) assignment over that union yields hexagonal
+# cells when H/W ~ sqrt(3); we pin W=56, H=97 (97/56 = 1.73214..., vs
+# sqrt(3) = 1.73205 — hexagons regular to 0.005%). All arithmetic runs
+# in DOUBLED integer coordinates (X=2x, Y=2y) so both center lattices
+# are integral (L2's half-offsets become integers), rounding is
+# floor((t + half) / step) with positive-shifted operands (Spark DIV
+# truncates toward zero, DuckDB // floors — identical only for
+# non-negative operands), and the L1-vs-L2 choice compares exact
+# integer squared distances with ties to L1. No float enters the plan.
+#
+# Shape (100 TB): scan-local key derivation + one map-combinable
+# groupBy (bounded by the lattice size); top-20 is TakeOrdered.
+# ---------------------------------------------------------------------------
+_HEX_W2, _HEX_H2 = 112, 194  # doubled-coordinate lattice pitch (W=56, H=97)
+_HEX_SHIFT = 1000  # positivity shift, in lattice steps
+
+
+def _hex_sql(dialect: str) -> dict[str, str]:
+    """Render the hex-assignment expressions for one dialect.
+
+    Returns SQL strings for cx/cy (the chosen hex center, doubled
+    coords) given integer point columns x, y."""
+    div = "DIV" if dialect == "spark" else "//"
+    w, h, s = _HEX_W2, _HEX_H2, _HEX_SHIFT
+
+    def near(t: str, step: int, off: int) -> str:
+        # nearest value of {a*step + off} to t, round-half-up:
+        # a = floor((t - off + step/2) / step), positivity-shifted
+        return (
+            f"((({t} - {off} + {step // 2} + {step * s}) {div} {step})"
+            f" * {step} + {off} - {step * s})"
+        )
+
+    cx1, cy1 = near("X", w, 0), near("Y", h, 0)
+    cx2, cy2 = near("X", w, w // 2), near("Y", h, h // 2)
+    d1 = f"((X - {cx1}) * (X - {cx1}) + (Y - {cy1}) * (Y - {cy1}))"
+    d2 = f"((X - {cx2}) * (X - {cx2}) + (Y - {cy2}) * (Y - {cy2}))"
+    return {
+        "cx": f"(CASE WHEN {d1} <= {d2} THEN {cx1} ELSE {cx2} END)",
+        "cy": f"(CASE WHEN {d1} <= {d2} THEN {cy1} ELSE {cy2} END)",
+    }
+
+
+_HEX_DUCK = _hex_sql("duck")
+_HEX_SPARK = _hex_sql("spark")
+
+
+@register(
+    "q388_geohex_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT ((c_custkey * 104729) % 1000) * 2 AS X,
+             ((c_custkey * 7919) % 1000) * 2 AS Y
+      FROM customer),
+    hexed AS (
+      SELECT {_HEX_DUCK["cx"]} AS cx, {_HEX_DUCK["cy"]} AS cy FROM pts)
+    SELECT CAST(cx AS VARCHAR) || ':' || CAST(cy AS VARCHAR) AS hex,
+           CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM hexed GROUP BY cx, cy
+    ORDER BY doc_count DESC, hex LIMIT 20
+    """,
+)
+def q388_geohex_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.select(
+        (((F.col("c_custkey") * 104729) % 1000) * 2).alias("X"),
+        (((F.col("c_custkey") * 7919) % 1000) * 2).alias("Y"),
+    )
+    hexed = pts.select(
+        F.expr(_HEX_SPARK["cx"]).alias("cx"),
+        F.expr(_HEX_SPARK["cy"]).alias("cy"),
+    )
+    return (
+        hexed.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+        .select(
+            F.concat(
+                F.col("cx").cast("string"), F.lit(":"), F.col("cy").cast("string")
+            ).alias("hex"),
+            "doc_count",
+        )
+        .orderBy(F.desc("doc_count"), "hex")
+        .limit(20)
     )

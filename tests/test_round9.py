@@ -1,4 +1,4 @@
-"""Round-9 entries (q382-q387): non-degeneracy probes plus behavioral
+"""Round-9 entries (q382-q388): non-degeneracy probes plus behavioral
 checks beyond DuckDB parity.
 
 Discipline from round 8 (the q358 lesson): a zero-row oracle proves
@@ -154,3 +154,47 @@ def test_q387_prefix_buckets_partition_events(spark, sf_dir):
     assert sum(r.doc_count for r in rows) == n_events  # exact partition
     assert 1 < len(rows) <= 256  # /8 prefixes discriminate
     assert all(re.fullmatch(r"\d+\.0\.0\.0/8", r.ip_prefix) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# q388 geohex — differential vs a pure-Python nearest-center assignment
+# over the SAME staggered lattice, plus geometric sanity: every point
+# lies within the cell circumradius of its assigned center, and the
+# full (un-limited) cell histogram partitions the customer set.
+# ---------------------------------------------------------------------------
+def _py_hex_center(x: int, y: int) -> tuple[int, int]:
+    """Nearest center of L1 ∪ L2 in doubled coords (W2=112, H2=194),
+    round-half-up per axis, ties to L1 — independent float-free path."""
+    X, Y = 2 * x, 2 * y
+
+    def near(t: int, step: int, off: int) -> int:
+        return ((t - off + step // 2 + step * 1000) // step) * step + off - step * 1000
+
+    c1 = (near(X, 112, 0), near(Y, 194, 0))
+    c2 = (near(X, 112, 56), near(Y, 194, 97))
+    d1 = (X - c1[0]) ** 2 + (Y - c1[1]) ** 2
+    d2 = (X - c2[0]) ** 2 + (Y - c2[1]) ** 2
+    return c1 if d1 <= d2 else c2
+
+
+def test_q388_matches_python_and_partitions(spark, sf_dir):
+    custkeys = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    expected: dict[str, int] = {}
+    for k in custkeys:
+        cx, cy = _py_hex_center((k * 104729) % 1000, (k * 7919) % 1000)
+        key = f"{cx}:{cy}"
+        expected[key] = expected.get(key, 0) + 1
+        # geometric sanity: the point is inside the cell's circumradius
+        # (max center spacing/2 in doubled coords: hypot(56, 97) ~ 112)
+        X, Y = 2 * ((k * 104729) % 1000), 2 * ((k * 7919) % 1000)
+        assert (X - cx) ** 2 + (Y - cy) ** 2 <= 112**2 + 1
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["q388_geohex_grid"](spark, sf_dir).collect()
+    assert [(r.hex, r.doc_count) for r in rows] == top
+    assert sum(expected.values()) == len(custkeys)  # cells partition points
+    assert len(expected) > 20  # grid discriminates beyond the top-k cut
