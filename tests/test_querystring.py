@@ -186,3 +186,40 @@ def test_random_queries_dual_backend_parity(spark, sf_dir):
         ).df()
         problems = compare(got, want, f"trial{trial}:{q}")
         assert not problems, (q, problems)
+
+
+# ---------------------------------------------------------------------------
+# Pure-parser edge cases (no Spark session needed).
+# ---------------------------------------------------------------------------
+def test_nested_groups_and_not_chains():
+    ast = parse_query_string("NOT NOT a AND (b OR (c AND NOT d))")
+    assert ast == And(
+        (
+            Not(Not(Term("a"))),
+            Or((Term("b"), And((Term("c"), Not(Term("d")))))),
+        )
+    )
+
+
+def test_boost_composes_multiplicatively_on_terms():
+    # a boosted group around a single boosted term folds to one term
+    # with the product boost — same score either way
+    ast = parse_query_string("(a^2)^3")
+    assert ast == Term("a", None, 6.0)
+
+
+def test_not_binds_tighter_than_boosted_group():
+    ast = parse_query_string("NOT (a b)^2")
+    assert ast == Not(Boost(Or((Term("a"), Term("b"))), 2.0))
+
+
+def test_fractional_boost_renders_as_double_cast():
+    _, s = compile_query_string("a^0.5", FIELDS, "text", "spark")
+    assert "CAST(0.5 AS DOUBLE)" in s
+
+
+def test_field_scoped_group_is_rejected_not_mangled():
+    # Lucene's field:(a OR b) is outside the documented grammar — it
+    # must fail loudly, not silently parse as something else
+    with pytest.raises(ValueError):
+        parse_query_string("lang:(en OR fr)")
