@@ -136,6 +136,35 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * ds / dt, 3) if dt > 0 else 0.0
 
 
+def _cpu_reference() -> dict[str, float]:
+    """Fixed-work CPU reference timings, recorded into every BENCH json.
+
+    Steal only measures runnable-but-preempted time; a slower host CLOCK
+    (frequency scaling, noisy-neighbor memory bandwidth) is invisible to
+    it. The round-9 headline sat 1.15x above r7 UNIFORMLY across 344
+    unchanged queries at ~0.4% steal — classic clock drift. These two
+    absolute numbers (single-thread integer loop; multi-thread float64
+    matmul, BLAS) let the next round separate machine speed from code
+    speed by ratioing against the committed artifact instead of
+    adjudicating from per-query forensics."""
+    out: dict[str, float] = {}
+    t0 = time.time()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i * i
+    out["cpu_ref_1t_sec"] = round(time.time() - t0, 3)
+    try:
+        import numpy as np
+
+        a = np.arange(2048 * 2048, dtype=np.float64).reshape(2048, 2048) % 97
+        t0 = time.time()
+        (a @ a).sum()
+        out["cpu_ref_mt_sec"] = round(time.time() - t0, 3)
+    except Exception:  # noqa: BLE001 — reference only
+        pass
+    return out
+
+
 # A timed run whose window saw more steal than this is suspect; the
 # headline subset is re-timed (up to _MAX_RETRIES extra passes) until a
 # pass lands under it, and every pass's steal is recorded in the json so
@@ -278,6 +307,7 @@ def main() -> None:
         # with exhausted retries means the number is environment-tainted
         # and says so in the artifact itself.
         "steal_pct_bench": _steal_pct(bench_steal0, _cpu_sample()),
+        **_cpu_reference(),
         "headline_max_steal_pct": round(
             max(run_steal[n] for n in headline_live), 3
         ),
