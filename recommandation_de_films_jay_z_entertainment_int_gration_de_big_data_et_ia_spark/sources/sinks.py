@@ -25,6 +25,20 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (Spark-native, no extra package): the columnar format a
+    Hive/Trino-side consumer of this lake would hand us. Same
+    partition-pruning contract as the parquet sink; losslessness is
+    proven by the roundtrip test (tests/test_sinks.py)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def foreach_partition_bulk(
     df: DataFrame,
     send_batch: Callable[[list[dict[str, Any]]], None],

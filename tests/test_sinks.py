@@ -131,3 +131,33 @@ def test_overwrite_partitions_backfill(spark, tmp_path):
 
     # the conf did not leak into the session
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", None) in (None, "STATIC", "static")
+
+
+def test_orc_sink_roundtrip_lossless_and_pruned(spark, sf_dir):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.sources.sinks import (
+        write_orc,
+    )
+
+    out = os.path.join(TMP, "docs_orc")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    write_orc(docs, out, partition_by=["lang"])
+    back = spark.read.orc(out)
+    # lossless roundtrip (column order may differ under partitionBy)
+    assert back.count() == docs.count()
+    assert (
+        back.select("doc_id", "lang", "source", "n_chars")
+        .exceptAll(docs)
+        .count()
+        == 0
+    )
+    # partition pruning reaches the ORC scan exactly like parquet
+    plan = (
+        back.filter(F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
