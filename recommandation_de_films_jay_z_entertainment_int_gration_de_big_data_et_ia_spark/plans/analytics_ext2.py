@@ -2639,8 +2639,16 @@ def q211_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import run_stream_to_memory, stream_events
 
     name = f"q211_sink_{uuid.uuid4().hex[:8]}"
+    # shuffle_partitions=None: this drain is PYTHON-stateful
+    # (applyInPandasWithState), so its cost is Arrow-batch work across
+    # Python workers — parallelism-bound, not state-store-bound; the
+    # low-partition default that speeds the JVM-stateful drains (q87 et
+    # al.) would serialize it onto 8 workers (measured +27% at sf1).
     run_stream_to_memory(
-        latest_per_key(stream_events(spark, sf_dir)), name, output_mode="update"
+        latest_per_key(stream_events(spark, sf_dir)),
+        name,
+        output_mode="update",
+        shuffle_partitions=None,
     )
     log = spark.table(name)
     w = Window.partitionBy("user_id", "event_type").orderBy(
