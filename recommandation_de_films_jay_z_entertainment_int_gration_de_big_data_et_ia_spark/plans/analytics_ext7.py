@@ -221,7 +221,8 @@ def q390_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY gain DESC, next_d) AS rk
       FROM g)
     SELECT event_type,
-           (DATE '1970-01-01' + CAST(next_d AS INTEGER)) AS change_day,
+           CAST((DATE '1970-01-01' + CAST(next_d AS INTEGER)) AS VARCHAR)
+             AS change_day,
            ROUND(gain, 4) AS gain,
            ROUND(CAST(s1 AS DOUBLE) / n1, 4) AS mean_before,
            ROUND(CAST(s2 AS DOUBLE) / n2, 4) AS mean_after,
@@ -273,7 +274,9 @@ def q391_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select(
             "event_type",
-            F.date_from_unix_date(F.col("next_d").cast("int")).alias("change_day"),
+            F.date_from_unix_date(F.col("next_d").cast("int"))
+            .cast("string")
+            .alias("change_day"),
             F.round("gain", 4).alias("gain"),
             F.round(mb, 4).alias("mean_before"),
             F.round(ma, 4).alias("mean_after"),
@@ -319,7 +322,7 @@ def _ks_oracle() -> str:
       FROM events WHERE event_type IN ('view', 'click', 'purchase')
       GROUP BY 1),
     w AS (
-      SELECT d, (DATE '1970-01-01' + CAST(d AS INTEGER)) AS day,
+      SELECT d, CAST((DATE '1970-01-01' + CAST(d AS INTEGER)) AS VARCHAR) AS day,
              SUM(v) OVER (ORDER BY d) AS c_view,
              SUM(c) OVER (ORDER BY d) AS c_click,
              SUM(p) OVER (ORDER BY d) AS c_purchase,
@@ -327,7 +330,7 @@ def _ks_oracle() -> str:
              SUM(c) OVER () AS n_click,
              SUM(p) OVER () AS n_purchase
       FROM c),
-    pr AS ({pair_rows}),
+    pr AS MATERIALIZED ({pair_rows}),
     rk AS (
       SELECT pair, day, num, n_left, n_right,
              ROW_NUMBER() OVER (PARTITION BY pair ORDER BY num DESC, d) AS rk
@@ -359,7 +362,7 @@ def q392_bucket_count_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     wa = Window.partitionBy()
     w = c.select(
         "d",
-        F.date_from_unix_date(F.col("d").cast("int")).alias("day"),
+        F.date_from_unix_date(F.col("d").cast("int")).cast("string").alias("day"),
         F.sum("v").over(ws).alias("c_view"),
         F.sum("c").over(ws).alias("c_click"),
         F.sum("p").over(ws).alias("c_purchase"),
@@ -505,36 +508,41 @@ _BT_ITERS = 3
 
 
 def _bt_oracle() -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines multiply-referenced CTEs
+    # by default, and each iteration references its predecessor ~4 times
+    # (pi, pj, pk, and the normalization scalar subquery) — inlined,
+    # the evaluation tree re-runs the base tokenization O(4^k) times
+    # (measured 18.9 s at sf0.01; materialized, sub-second).
     base = """
-    t AS (
+    t AS MATERIALIZED (
       SELECT doc_id, source,
              CAST(len({toks}) AS BIGINT) AS n,
              CAST(len(list_distinct({toks})) AS BIGINT) AS nd
       FROM documents),
-    pr AS (
+    pr AS MATERIALIZED (
       SELECT doc_id // 2 AS pk,
              arg_min(source, doc_id) AS src_a, arg_max(source, doc_id) AS src_b,
              arg_min(n, doc_id) AS n_a, arg_max(n, doc_id) AS n_b,
              arg_min(nd, doc_id) AS nd_a, arg_max(nd, doc_id) AS nd_b
       FROM t GROUP BY 1 HAVING COUNT(*) = 2),
-    dw AS (
+    dw AS MATERIALIZED (
       SELECT CASE WHEN nd_a * n_b >= nd_b * n_a THEN src_a ELSE src_b END AS winner,
              CASE WHEN nd_a * n_b >= nd_b * n_a THEN src_b ELSE src_a END AS loser
       FROM pr WHERE src_a <> src_b),
-    d AS (SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS w
+    d AS MATERIALIZED (SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS w
           FROM dw GROUP BY 1, 2),
-    e AS (
+    e AS MATERIALIZED (
       SELECT i, j, SUM(n_ij) AS n_ij FROM (
         SELECT winner AS i, loser AS j, w AS n_ij FROM d
         UNION ALL
         SELECT loser AS i, winner AS j, w AS n_ij FROM d) GROUP BY 1, 2),
-    wins AS (
-      SELECT p.i, COALESCE(SUM(d.w), 0) AS w
+    wins AS MATERIALIZED (
+      SELECT p.i, CAST(COALESCE(SUM(d.w), 0) AS BIGINT) AS w
       FROM (SELECT DISTINCT i FROM e) p
       LEFT JOIN d ON d.winner = p.i GROUP BY 1),
-    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM wins),
-    games AS (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS games FROM e GROUP BY 1),
-    p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wins)
+    np AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM wins),
+    games AS MATERIALIZED (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS games FROM e GROUP BY 1),
+    p0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wins)
     """.replace(
         "{toks}",
         "regexp_split_to_array(trim(regexp_replace(lower(text), "
@@ -543,20 +551,20 @@ def _bt_oracle() -> str:
     iters = []
     for k in range(_BT_ITERS):
         iters.append(f"""
-    c{k} AS (
+    c{k} AS MATERIALIZED (
       SELECT e.i,
              SUM(CAST(ROUND(e.n_ij / (pi.p + pj.p), 10) AS DECIMAL(28,10)))
                AS denom
       FROM e JOIN p{k} pi ON e.i = pi.i JOIN p{k} pj ON e.j = pj.i
       GROUP BY 1),
-    u{k} AS (
+    u{k} AS MATERIALIZED (
       SELECT c{k}.i,
              CAST(ROUND((CAST(wins.w AS DOUBLE) + 1.0)
                         / (CAST(denom AS DOUBLE)
                            + ROUND(1.0 / (pk.p + 1.0), 10)), 10)
                   AS DECIMAL(28,10)) AS pu
       FROM c{k} JOIN wins ON wins.i = c{k}.i JOIN p{k} pk ON pk.i = c{k}.i),
-    p{k+1} AS (
+    p{k+1} AS MATERIALIZED (
       SELECT i, (CAST(pu AS DOUBLE) * CAST(np.np AS DOUBLE))
                 / CAST((SELECT SUM(pu) FROM u{k}) AS DOUBLE) AS p
       FROM u{k} CROSS JOIN np)
@@ -599,6 +607,12 @@ def q394_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_wins, F.col("src_b")).otherwise(F.col("src_a")).alias("loser"),
     )
     d = dw.groupBy("winner", "loser").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    # The directed-win frame is the last time the big table is touched:
+    # checkpoint it (players^2 rows at most) so the 3 MM iterations —
+    # which reference e/wins/games once per round — never re-derive the
+    # corpus scan + tokenization (q126/q237 lineage-truncation pattern;
+    # without this the single collect re-runs the heavy agg ~10x).
+    d = d.localCheckpoint(eager=True)
     e = (
         d.select(F.col("winner").alias("i"), F.col("loser").alias("j"), F.col("w").alias("n_ij"))
         .unionByName(
@@ -606,6 +620,7 @@ def q394_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("i", "j")
         .agg(F.sum("n_ij").alias("n_ij"))
+        .localCheckpoint(eager=True)
     )
     players = e.select("i").distinct()
     wins = (
@@ -630,19 +645,41 @@ def q394_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("denom")
             )
         )
-        u = denom.join(F.broadcast(wins), "i").select(
-            "i",
-            F.round(F.col("w").cast("double") / F.col("denom").cast("double"), 10)
-            .cast("decimal(28,10)")
-            .alias("pu"),
+        pk = p.select(F.col("i"), F.col("p").alias("pk_p"))
+        u = (
+            denom.join(F.broadcast(wins), "i")
+            .join(F.broadcast(pk), "i")
+            .select(
+                "i",
+                F.round(
+                    (F.col("w").cast("double") + F.lit(1.0))
+                    / (
+                        F.col("denom").cast("double")
+                        + F.round(F.lit(1.0) / (F.col("pk_p") + F.lit(1.0)), 10)
+                    ),
+                    10,
+                )
+                .cast("decimal(28,10)")
+                .alias("pu"),
+            )
         )
         tot = u.agg(F.sum("pu").alias("sp"))
-        p = u.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(tot)).select(
-            "i",
-            (
-                (F.col("pu").cast("double") * F.col("np").cast("double"))
-                / F.col("sp").cast("double")
-            ).alias("p"),
+        # Eager checkpoint per round: the iterate is player-count rows,
+        # and truncating here keeps each evaluation a shallow 4-exchange
+        # plan instead of one 40-exchange DAG the scheduler re-plans at
+        # the end (AQE overhead, not data, dominates at any scale —
+        # the frames are broadcast-size by construction).
+        p = (
+            u.crossJoin(F.broadcast(np_))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                (
+                    (F.col("pu").cast("double") * F.col("np").cast("double"))
+                    / F.col("sp").cast("double")
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
         )
     return (
         p.join(F.broadcast(wins), "i")

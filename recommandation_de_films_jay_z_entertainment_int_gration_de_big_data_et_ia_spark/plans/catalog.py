@@ -45,6 +45,7 @@ def load_all() -> None:
         analytics_ext4,
         analytics_ext5,
         analytics_ext6,
+        analytics_ext7,
         core,
         core_ext,
         corpus,
