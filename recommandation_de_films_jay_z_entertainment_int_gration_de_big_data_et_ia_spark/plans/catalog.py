@@ -46,6 +46,7 @@ def load_all() -> None:
         analytics_ext5,
         analytics_ext6,
         analytics_ext7,
+        analytics_ext8,
         core,
         core_ext,
         corpus,

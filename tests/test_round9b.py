@@ -271,3 +271,144 @@ def test_q395_matches_python(spark, sf_dir, docs):
     )[:15]
     assert got == expected
     assert all(f > 0 for _a, _b, _m, f in got)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 (q396-q398): ES phrase suggester, Gopher quality rules,
+# runtime fields.
+# ---------------------------------------------------------------------------
+from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.analytics_ext8 import (  # noqa: E402
+    _GQ_DOM_PCT,
+    _GQ_MWL_HI,
+    _GQ_MWL_LO,
+    _GQ_STOP_PCT,
+    _GQ_STOPWORDS,
+    _GQ_TTR_PCT,
+    _GQ_WC_MAX,
+    _GQ_WC_MIN,
+    _PS_MAX_DIST,
+    _PS_PHRASE,
+    _PS_TOP,
+    _RT_HI,
+    _RT_LO,
+)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q396_phrase_suggest", "q397_gopher_quality_rules", "q398_runtime_fields"],
+)
+def test_round9b3_entries_populated(spark, sf_dir, name):
+    n = QUERIES[name](spark, sf_dir).count()
+    assert n > 0, f"{name} degenerate: empty result on sf0.001"
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_q396_matches_python(spark, sf_dir, docs):
+    got = [
+        (r.suggestion, r.changed_pos, r.repl, r.score, r.freq_sum, r.rank)
+        for r in QUERIES["q396_phrase_suggest"](spark, sf_dir).collect()
+    ]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for _did, (tk, _nch, _src) in docs.items():
+        uni.update(tk)
+        bi.update(zip(tk, tk[1:]))
+    cands = []
+    for p, orig in enumerate(_PS_PHRASE):
+        for tok in uni:
+            if (
+                tok != orig
+                and abs(len(tok) - len(orig)) <= _PS_MAX_DIST
+                and _lev(tok, orig) <= _PS_MAX_DIST
+            ):
+                phrase = list(_PS_PHRASE)
+                phrase[p] = tok
+                score = bi.get((phrase[0], phrase[1]), 0) + bi.get(
+                    (phrase[1], phrase[2]), 0
+                )
+                freq = sum(uni.get(w, 0) for w in phrase)
+                cands.append((" ".join(phrase), p, tok, score, freq))
+    cands.sort(key=lambda x: (-x[3], -x[4], x[0]))
+    expected = [(s, p, t, sc, fr, i + 1) for i, (s, p, t, sc, fr) in enumerate(cands)][
+        : _PS_TOP
+    ]
+    assert got == expected
+    # the misspelled position must be correctable and the LM must
+    # discriminate: the top suggestion fixes position 1 with a real word
+    assert got[0][1] == 1 and got[0][3] > 0
+    # some candidate scores differ (non-degenerate ranking)
+    assert len({g[3] for g in got}) > 1
+
+
+def test_q397_matches_python(spark, sf_dir, docs):
+    got = {
+        r.source: (
+            r.n_docs,
+            r.fail_wordcount,
+            r.fail_meanwordlen,
+            r.fail_stopword,
+            r.fail_ttr,
+            r.fail_dominance,
+            r.n_pass,
+            r.pass_rate,
+        )
+        for r in QUERIES["q397_gopher_quality_rules"](spark, sf_dir).collect()
+    }
+    agg: dict[str, list[int]] = {}
+    for _did, (tk, _nch, src) in docs.items():
+        n = len(tk)
+        sumlen = sum(len(x) for x in tk)
+        nstop = sum(1 for x in tk if x in _GQ_STOPWORDS)
+        nd = len(set(tk))
+        topc = max(Counter(tk).values())
+        fails = [
+            int(n < _GQ_WC_MIN or n > _GQ_WC_MAX),
+            int(10 * sumlen < _GQ_MWL_LO * n or 10 * sumlen > _GQ_MWL_HI * n),
+            int(100 * nstop < _GQ_STOP_PCT * n),
+            int(100 * nd < _GQ_TTR_PCT * n),
+            int(100 * topc > _GQ_DOM_PCT * n),
+        ]
+        a = agg.setdefault(src, [0, 0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        for i, fl in enumerate(fails):
+            a[1 + i] += fl
+        a[6] += int(sum(fails) == 0)
+    for src, a in agg.items():
+        assert got[src] == (*a, round(a[6] / a[0], 4))
+    # non-degeneracy: every rule fires somewhere, and some docs pass
+    totals = [sum(a[i] for a in agg.values()) for i in range(1, 7)]
+    assert all(t > 0 for t in totals), f"some rule never fires: {totals}"
+    assert sum(a[6] for a in agg.values()) < sum(a[0] for a in agg.values())
+
+
+def test_q398_matches_python(spark, sf_dir, docs):
+    got = {
+        r.source: (r.hits, r.min_cpt, r.max_cpt, r.avg_cpt)
+        for r in QUERIES["q398_runtime_fields"](spark, sf_dir).collect()
+    }
+    per: dict[str, list[int]] = {}
+    n_in = n_out = 0
+    for _did, (tk, nch, src) in docs.items():
+        cpt = (100 * nch) // len(tk)
+        if _RT_LO <= cpt <= _RT_HI:
+            per.setdefault(src, []).append(cpt)
+            n_in += 1
+        else:
+            n_out += 1
+    expected = {
+        src: (len(v), min(v), max(v), round(sum(v) / len(v), 4))
+        for src, v in per.items()
+    }
+    assert got == expected
+    # range filter is selective both ways
+    assert n_in > 0 and n_out > 0
