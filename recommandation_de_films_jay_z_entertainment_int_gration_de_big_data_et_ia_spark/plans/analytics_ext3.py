@@ -683,11 +683,21 @@ def q299_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"filter(transform(tk, (x, i) -> IF(x = '{term}', i, -1)), p -> p >= 0)"
         )
 
-    pos = docs.select(
-        "doc_id", _positions(_SPAN_A).alias("pa"), _positions(_SPAN_B).alias("pb")
-    ).filter((F.size("pa") > 0) & (F.size("pb") > 0))
-    gaps = F.expr("flatten(transform(pa, x -> transform(pb, y -> abs(x - y) - 1)))")
-    g = pos.select("doc_id", gaps.alias("gaps"))
+    from ..functions.plan import with_once
+
+    # with_once barriers (functions/plan.py, the q318 lesson): single
+    # evaluation for the position arrays and the gap list; otherwise
+    # pb inlines inside the per-x lambda and gaps re-evaluates in the
+    # best_gap filter.
+    pos = with_once(
+        docs,
+        "ps",
+        F.struct(_positions(_SPAN_A).alias("pa"), _positions(_SPAN_B).alias("pb")),
+    ).filter((F.size("ps.pa") > 0) & (F.size("ps.pb") > 0))
+    gaps = F.expr(
+        "flatten(transform(ps.pa, x -> transform(ps.pb, y -> abs(x - y) - 1)))"
+    )
+    g = with_once(pos, "gaps", gaps)
     return (
         g.select(
             "doc_id",

@@ -40,10 +40,17 @@ def _tf_sql(term: str) -> str:
 
 
 def _tf_col(term: str) -> F.Column:
-    return (
-        F.size(F.filter(tokens("text"), lambda x: x == F.lit(term)))
-        .cast("bigint")
-    )
+    # Codegen'd JVM regex instead of an interpreted token-lambda pass
+    # (the q390 lesson): \b boundaries over the normalized [a-z0-9 ]+
+    # text are exactly token boundaries, so the count is identical to
+    # size(filter(tokens(text), x = term)) for any [a-z0-9]+ term —
+    # and it stays cheap even when Catalyst inlines it into a Filter.
+    from ..functions.text import normalize_text
+
+    assert term.replace("'", "") == term and term.isalnum(), term
+    return F.regexp_count(
+        normalize_text(F.col("text")), F.lit(f"\\b{term}\\b")
+    ).cast("bigint")
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +375,8 @@ def _positions_sql(term: str) -> str:
     """,
 )
 def q318_intervals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.plan import with_once
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("toks")
     )
@@ -378,24 +387,32 @@ def q318_intervals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" p -> p >= 0)"
         )
 
-    p = docs.select(
-        "doc_id",
-        positions(_IV_TERMS[0]).alias("pa"),
-        positions(_IV_TERMS[1]).alias("pb"),
-        positions(_IV_TERMS[2]).alias("pc"),
-    ).filter(F.size("pa") > 0)
+    # with_once barriers (functions/plan.py): without them Catalyst
+    # inlines pa/pb/pc into the chain lambda (per-pa-element O(n)
+    # re-evaluation) and the whole min_gaps chain into the final
+    # interpreted Filter — measured 16.7 s vs 3.9 s at sf1 for the
+    # identical result. The struct pins all three position arrays to
+    # one evaluation; the second barrier pins min_gaps.
+    p = with_once(
+        docs,
+        "ps",
+        F.struct(
+            positions(_IV_TERMS[0]).alias("pa"),
+            positions(_IV_TERMS[1]).alias("pb"),
+            positions(_IV_TERMS[2]).alias("pc"),
+        ),
+    ).filter(F.size("ps.pa") > 0)
 
     sentinel = F.lit(_IV_SENTINEL)
 
     def chain(a: F.Column) -> F.Column:
-        b = F.coalesce(F.array_min(F.filter("pb", lambda x: x > a)), sentinel)
-        c = F.array_min(F.filter("pc", lambda y: y > b))
+        b = F.coalesce(F.array_min(F.filter(F.col("ps.pb"), lambda x: x > a)), sentinel)
+        c = F.array_min(F.filter(F.col("ps.pc"), lambda y: y > b))
         return F.coalesce(c - a - 2, sentinel)
 
-    g = p.select(
-        "doc_id",
-        F.array_min(F.transform("pa", chain)).cast("bigint").alias("min_gaps"),
-    )
+    g = with_once(
+        p, "mg", F.array_min(F.transform(F.col("ps.pa"), chain)).cast("bigint")
+    ).select("doc_id", F.col("mg").alias("min_gaps"))
     return g.filter(F.col("min_gaps") <= _IV_MAX_GAPS).orderBy("doc_id")
 
 
@@ -883,26 +900,36 @@ def q325_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1-based positions (i + 1) so absolute positions match DuckDB's
     # 1-based lambda index.
-    p = docs.select(
-        "doc_id",
-        F.expr(
-            f"filter(transform(toks, (x, i) -> IF(x = '{_SN_INCLUDE}', i + 1, -1)),"
-            f" p -> p >= 0)"
-        ).alias("pa"),
-        F.expr(
-            f"filter(transform(toks, (x, i) -> IF(x = '{_SN_EXCLUDE}', i + 1, -1)),"
-            f" p -> p >= 0)"
-        ).alias("pb"),
-    ).filter(F.size("pa") > 0)
-    kept = p.select(
-        "doc_id",
+    from ..functions.plan import with_once
+
+    # with_once barriers (functions/plan.py, the q318 lesson): pin the
+    # position arrays and the kept-set to single evaluation — otherwise
+    # pb's O(n) construction inlines inside the per-a lambda and the
+    # whole kept-set expression inlines again into the size() filters.
+    p = with_once(
+        docs,
+        "ps",
+        F.struct(
+            F.expr(
+                f"filter(transform(toks, (x, i) -> IF(x = '{_SN_INCLUDE}', i + 1, -1)),"
+                f" p -> p >= 0)"
+            ).alias("pa"),
+            F.expr(
+                f"filter(transform(toks, (x, i) -> IF(x = '{_SN_EXCLUDE}', i + 1, -1)),"
+                f" p -> p >= 0)"
+            ).alias("pb"),
+        ),
+    ).filter(F.size("ps.pa") > 0)
+    kept = with_once(
+        p,
+        "ka",
         F.filter(
-            "pa",
+            F.col("ps.pa"),
             lambda a: F.size(
-                F.filter("pb", lambda b: F.abs(a - b) <= _SN_WINDOW)
+                F.filter(F.col("ps.pb"), lambda b: F.abs(a - b) <= _SN_WINDOW)
             )
             == 0,
-        ).alias("ka"),
+        ),
     )
     return (
         kept.filter(F.size("ka") > 0)
@@ -1507,13 +1534,23 @@ def q334_span_or_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" v -> v >= 0)"
         )
 
-    p = docs.select(
-        "doc_id",
-        F.expr(f"concat({pos(_SO_TERMS[0])}, {pos(_SO_TERMS[1])})").alias("pu"),
-        F.expr(pos(_SO_ANCHOR)).alias("pj"),
-    ).filter((F.size("pu") > 0) & (F.size("pj") > 0))
-    gaps = F.expr("flatten(transform(pu, u -> transform(pj, j -> abs(u - j) - 1)))")
-    g = p.select("doc_id", gaps.alias("gaps"))
+    from ..functions.plan import with_once
+
+    # with_once barriers (functions/plan.py, the q318 lesson): pin the
+    # position/gap arrays to single evaluation so the size() filter and
+    # the best_gap filter don't inline the O(n) constructions.
+    p = with_once(
+        docs,
+        "ps",
+        F.struct(
+            F.expr(f"concat({pos(_SO_TERMS[0])}, {pos(_SO_TERMS[1])})").alias("pu"),
+            F.expr(pos(_SO_ANCHOR)).alias("pj"),
+        ),
+    ).filter((F.size("ps.pu") > 0) & (F.size("ps.pj") > 0))
+    gaps = F.expr(
+        "flatten(transform(ps.pu, u -> transform(ps.pj, j -> abs(u - j) - 1)))"
+    )
+    g = with_once(p, "gaps", gaps)
     return (
         g.select(
             "doc_id",
@@ -1788,7 +1825,12 @@ def q338_max_repeat_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             IF(IF(x = acc.prev, acc.cur + 1, 1) > acc.mx, x, acc.best) AS best))
         """
     )
-    m = t.select("doc_id", fold.alias("r"))
+    from ..functions.plan import with_once
+
+    # with_once barrier (functions/plan.py, the q318 lesson): the fold
+    # otherwise inlines into the mx>=2 filter and both output columns —
+    # three interpreted O(n) folds per row instead of one.
+    m = with_once(t, "r", fold)
     return (
         m.filter(F.col("r.mx") >= 2)
         .select(

@@ -581,19 +581,30 @@ def q353_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"filter(transform(tk, (x, i) -> IF(x = '{term}', i, -1)), p -> p >= 0)"
         )
 
-    pos = docs.select(
-        "doc_id",
-        _positions(_SC_BIG_A).alias("pa"),
-        _positions(_SC_BIG_B).alias("pb"),
-        _positions(_SC_LITTLE).alias("pl"),
-    ).filter((F.size("pa") > 0) & (F.size("pb") > 0) & (F.size("pl") > 0))
+    from ..functions.plan import with_once
+
+    # with_once barriers (functions/plan.py, the q318 lesson): pin the
+    # position arrays and the width list to single evaluation —
+    # otherwise pl/pb inline inside the per-(a,b) lambdas and widths
+    # inlines again into the size() filter.
+    pos = with_once(
+        docs,
+        "ps",
+        F.struct(
+            _positions(_SC_BIG_A).alias("pa"),
+            _positions(_SC_BIG_B).alias("pb"),
+            _positions(_SC_LITTLE).alias("pl"),
+        ),
+    ).filter(
+        (F.size("ps.pa") > 0) & (F.size("ps.pb") > 0) & (F.size("ps.pl") > 0)
+    )
     widths = F.expr(
-        f"flatten(transform(pa, a -> filter(transform(pb, b -> "
+        f"flatten(transform(ps.pa, a -> filter(transform(ps.pb, b -> "
         f"IF(b > a AND b - a - 1 <= {_SC_GAP} "
-        f"AND size(filter(pl, p -> p >= a AND p <= b)) > 0, b - a, -1)), "
+        f"AND size(filter(ps.pl, p -> p >= a AND p <= b)) > 0, b - a, -1)), "
         f"w -> w >= 0)))"
     )
-    s = pos.select("doc_id", widths.alias("widths")).filter(F.size("widths") > 0)
+    s = with_once(pos, "widths", widths).filter(F.size("widths") > 0)
     return s.select(
         "doc_id",
         F.size("widths").cast("bigint").alias("n_containing"),

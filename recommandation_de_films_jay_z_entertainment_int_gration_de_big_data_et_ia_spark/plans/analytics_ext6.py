@@ -140,7 +140,12 @@ def q383_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"AND element_at(tk, i + 2) LIKE '{_MPP_PREFIX}%' "
         f"THEN element_at(tk, i + 2) END), c -> c IS NOT NULL)"
     )
-    h = docs.select("doc_id", comps.alias("comps")).filter(F.size("comps") > 0)
+    from ..functions.plan import with_once
+
+    # with_once barrier (functions/plan.py, the q318 lesson): the comps
+    # construction otherwise inlines into the size() filter AND the two
+    # output expressions — three interpreted evaluations per row.
+    h = with_once(docs, "comps", comps).filter(F.size("comps") > 0)
     return h.select(
         "doc_id",
         F.size("comps").cast("bigint").alias("n_hits"),
@@ -204,22 +209,34 @@ def q384_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"filter(transform(tk, (x, i) -> IF(x = '{term}', i, -1)), p -> p >= 0)"
         )
 
-    pos = docs.select(
-        "doc_id",
-        _positions(_SW_BIG_A).alias("pa"),
-        _positions(_SW_BIG_B).alias("pb"),
-        _positions(_SW_LITTLE).alias("pl"),
-    ).filter((F.size("pa") > 0) & (F.size("pb") > 0) & (F.size("pl") > 0))
+    from ..functions.plan import with_once
+
+    # with_once barriers (functions/plan.py, the q318 lesson): without
+    # them the position arrays inline into the triply-nested span
+    # lambda (per-(p,a) re-evaluation of pb's O(n) construction) and
+    # the whole n_within count inlines again into the final interpreted
+    # Filter. Identical rows, ~4x less work at sf1.
+    pos = with_once(
+        docs,
+        "ps",
+        F.struct(
+            _positions(_SW_BIG_A).alias("pa"),
+            _positions(_SW_BIG_B).alias("pb"),
+            _positions(_SW_LITTLE).alias("pl"),
+        ),
+    ).filter(
+        (F.size("ps.pa") > 0) & (F.size("ps.pb") > 0) & (F.size("ps.pl") > 0)
+    )
     n_within = F.expr(
-        f"CAST(size(filter(pl, p -> "
-        f"size(filter(pa, a -> "
-        f"size(filter(pb, b -> b > a AND b - a - 1 <= {_SW_GAP} "
+        f"CAST(size(filter(ps.pl, p -> "
+        f"size(filter(ps.pa, a -> "
+        f"size(filter(ps.pb, b -> b > a AND b - a - 1 <= {_SW_GAP} "
         f"AND p >= a AND p <= b)) > 0)) > 0)) AS BIGINT)"
     )
-    w = pos.select(
+    w = with_once(pos, "nw", n_within).select(
         "doc_id",
-        n_within.alias("n_within"),
-        F.size("pl").cast("bigint").alias("little_tf"),
+        F.col("nw").alias("n_within"),
+        F.size("ps.pl").cast("bigint").alias("little_tf"),
     )
     return w.filter(F.col("n_within") > 0).select(
         "doc_id", "n_within", "little_tf"
@@ -275,23 +292,32 @@ def q385_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("tk")
     )
-    pos = docs.select(
+    from ..functions.plan import with_once
+
+    # with_once barriers (functions/plan.py, the q318 lesson): single
+    # evaluation for the position arrays and the gap list.
+    pos = with_once(
+        docs,
+        "ps",
+        F.struct(
+            F.expr(
+                f"filter(transform(tk, (x, i) -> "
+                f"IF(x LIKE '{_SM_PREFIX}%', i, -1)), p -> p >= 0)"
+            ).alias("pm"),
+            F.expr(
+                f"filter(transform(tk, (x, i) -> "
+                f"IF(x = '{_SM_ANCHOR}', i, -1)), p -> p >= 0)"
+            ).alias("pk"),
+        ),
+    ).filter((F.size("ps.pm") > 0) & (F.size("ps.pk") > 0))
+    pairs = with_once(
+        pos,
+        "gaps",
+        F.expr("flatten(transform(ps.pm, x -> transform(ps.pk, y -> abs(x - y) - 1)))"),
+    ).select(
         "doc_id",
-        F.expr(
-            f"filter(transform(tk, (x, i) -> "
-            f"IF(x LIKE '{_SM_PREFIX}%', i, -1)), p -> p >= 0)"
-        ).alias("pm"),
-        F.expr(
-            f"filter(transform(tk, (x, i) -> "
-            f"IF(x = '{_SM_ANCHOR}', i, -1)), p -> p >= 0)"
-        ).alias("pk"),
-    ).filter((F.size("pm") > 0) & (F.size("pk") > 0))
-    pairs = pos.select(
-        "doc_id",
-        F.size("pm").cast("bigint").alias("n_multi_positions"),
-        F.expr(
-            "flatten(transform(pm, x -> transform(pk, y -> abs(x - y) - 1)))"
-        ).alias("gaps"),
+        F.size("ps.pm").cast("bigint").alias("n_multi_positions"),
+        "gaps",
     )
     return (
         pairs.filter(F.array_min("gaps") <= _SM_SLOP)

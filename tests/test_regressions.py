@@ -207,3 +207,24 @@ def test_has_child_min_children_zero(spark):
     # the >=1 path is unchanged
     one = {r.pid for r in has_child(parents, children, "pid", "pid", pred).collect()}
     assert one == {1}
+
+
+def test_q390_filter_stays_above_topk(spark):
+    """Round-9 PERF lesson: q390's score>0 filter must sit ABOVE the
+    TakeOrdered. Filtered below, Catalyst inlines the full score
+    expression (map build + regexp inside an aggregate lambda) into an
+    interpreted Filter that re-evaluates it per lambda step per row —
+    measured 16 s of a 17 s sf1 runtime. The plan contract: no Filter
+    node under this plan may carry an inlined regexp/lambda condition;
+    the only Filter runs on the k post-limit rows by column reference."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q390_sparse_vector"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.split("\n"):
+        s = line.strip()
+        if "Filter" in s and "regexp_" in s:
+            raise AssertionError(
+                "q390 filter was pushed below the projection and inlines "
+                f"the score expression again: {s[:200]}"
+            )
