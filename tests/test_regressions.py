@@ -228,3 +228,31 @@ def test_q390_filter_stays_above_topk(spark):
                 "q390 filter was pushed below the projection and inlines "
                 f"the score expression again: {s[:200]}"
             )
+
+
+def test_with_once_semantics_and_barrier(spark):
+    """functions/plan.py with_once: (a) result-identical to withColumn,
+    including NULL expression values (explode(array(NULL)) keeps the
+    row — array(NULL) is a 1-element array); (b) a downstream filter on
+    the once-column must NOT inline the expression into a Filter below
+    the Generate."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.functions.plan import (
+        with_once,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b"), (3, None)], "id long, txt string"
+    )
+    expr = F.size(F.split(F.col("txt"), " "))  # NULL txt -> NULL size
+    plain = df.withColumn("n", expr).filter(F.col("n") >= 2)
+    once = with_once(df, "n", expr).filter(F.col("n") >= 2)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, plain.collect()))
+    # NULL row survives the barrier itself (filter drops it in both)
+    assert with_once(df, "n", expr).count() == 3
+    # plan contract: the only Filter references the generated attribute,
+    # never an inlined split()
+    plan = once._jdf.queryExecution().executedPlan().toString()
+    for line in plan.split("\n"):
+        s = line.strip()
+        if "Filter" in s and "split" in s:
+            raise AssertionError(f"with_once barrier breached: {s[:160]}")
