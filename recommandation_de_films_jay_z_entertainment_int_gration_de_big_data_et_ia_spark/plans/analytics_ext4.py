@@ -1402,8 +1402,15 @@ _SQS_PHRASE = ("hash", "join")
     """,
 )
 def q332_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
+    from ..functions.plan import with_once
+
+    # with_once barrier (functions/plan.py, the q318 lesson): pin the
+    # tokenization; the three clause expressions and the combined
+    # filter would otherwise each re-tokenize inside the Filter.
+    t = with_once(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "toks",
+        tokens("text"),
     )
     # NB: Spark's transform index i is 0-based (element i+1 in SQL
     # element_at terms), so the "next token" probe is element_at(i+2);

@@ -1850,7 +1850,11 @@ _BG_GRID = ((1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0))
 
 def _bg_term_sql(t: str, i: int, spark_dialect: bool = False) -> str:
     if spark_dialect:
-        tf = f"CAST(size(filter(toks, t -> t = '{t}')) AS DOUBLE)"
+        # references the per-doc tf{i} column hoisted ABOVE the grid
+        # explode — tf is grid-independent, so computing it inside the
+        # per-(doc, grid-point) score paid the interpreted token lambda
+        # 12x per doc (the q318 family of lessons).
+        tf = f"tf{i}"
     else:
         tf = f"CAST(len(list_filter(toks, t -> t = '{t}')) AS DOUBLE)"
     idf = (
@@ -1917,10 +1921,15 @@ def q369_bm25_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     score_sql = " + ".join(
         _bg_term_sql(t, i, spark_dialect=True) for i, t in enumerate(_BG_TERMS)
     )
+    tf_cols = [
+        F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE)").alias(f"tf{i}")
+        for i, t in enumerate(_BG_TERMS)
+    ]
     scored = (
         docs.crossJoin(F.broadcast(stats))
-        .select("doc_id", "toks", "dl", "n", "sumdl",
-                *[f"df{i}" for i in range(len(_BG_TERMS))], grid.alias("g"))
+        .select("doc_id", "dl", "n", "sumdl",
+                *[f"df{i}" for i in range(len(_BG_TERMS))], *tf_cols)
+        .select("*", grid.alias("g"))
         .select(
             F.col("g.k1").alias("k1"),
             F.col("g.b").alias("b"),

@@ -79,8 +79,16 @@ _QS_MATCH_DUCK, _QS_SCORE_DUCK = compile_query_string(
     """,
 )
 def q382_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", tokens("text").alias("toks")
+    from ..functions.plan import with_once
+
+    # with_once barrier (functions/plan.py, the q318 lesson): the
+    # compiled match predicate references `toks` once per query term,
+    # and pushdown would otherwise re-tokenize the text at every
+    # reference inside the interpreted Filter.
+    t = with_once(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text"),
+        "toks",
+        tokens("text"),
     )
     return (
         t.filter(F.expr(_QS_MATCH_SPARK))
