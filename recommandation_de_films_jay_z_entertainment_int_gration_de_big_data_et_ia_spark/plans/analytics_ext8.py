@@ -350,3 +350,68 @@ def q398_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q399 — document stitching (crawl-continuation detection): find docs
+# whose LAST k tokens equal another doc's FIRST k tokens — the
+# suffix/prefix adjacency that marks one document split across crawl
+# records (pagination, chunked extraction). The standard corpus
+# reconstruction primitive before packing: stitch candidates get merged
+# or deduplicated so the training corpus doesn't contain split halves.
+# Distinct from q186 containment (bag overlap) and q263 span excision
+# (repeated interior grams): this keys on ORDERED boundary grams.
+#
+# Output is the per-document audit view (count of continuation
+# candidates + the first candidate id), NOT the raw pair list — pairs
+# grow with gram-collision mass while this stays O(matched docs),
+# the scale-stable contract (the q33/q35 row-contract lesson applied
+# at design time).
+#
+# Shape (100 TB): scan-local boundary-gram projection (slice +
+# array_join inside codegen), ONE hash-shuffle equi-join on the gram
+# string, one map-combinable groupBy. Docs shorter than 2k tokens are
+# excluded at the scan so pre/suf never overlap.
+# ---------------------------------------------------------------------------
+_ST_K = 3
+
+
+@register(
+    "q399_doc_stitching",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    e AS (
+      SELECT doc_id,
+             array_to_string(tk[1:{_ST_K}], ' ') AS pre,
+             array_to_string(tk[len(tk)-{_ST_K}+1:len(tk)], ' ') AS suf
+      FROM t WHERE len(tk) >= {2 * _ST_K})
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(MIN(b.doc_id) AS BIGINT) AS first_candidate,
+           any_value(a.suf) AS boundary_gram
+    FROM e a JOIN e b ON a.suf = b.pre AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+)
+def q399_doc_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    e = t.filter(F.size("tk") >= 2 * _ST_K).select(
+        "doc_id",
+        F.array_join(F.slice("tk", 1, _ST_K), " ").alias("pre"),
+        F.array_join(F.slice("tk", -_ST_K, _ST_K), " ").alias("suf"),
+    )
+    a = e.select(F.col("doc_id"), F.col("suf"))
+    b = e.select(F.col("doc_id").alias("b_id"), F.col("pre"))
+    return (
+        a.join(b, (a["suf"] == b["pre"]) & (a["doc_id"] != b["b_id"]))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.min("b_id").cast("bigint").alias("first_candidate"),
+            F.any_value("suf").alias("boundary_gram"),
+        )
+        .orderBy("doc_id")
+    )

@@ -412,3 +412,28 @@ def test_q398_matches_python(spark, sf_dir, docs):
     assert got == expected
     # range filter is selective both ways
     assert n_in > 0 and n_out > 0
+
+
+def test_q399_matches_python(spark, sf_dir, docs):
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.plans.analytics_ext8 import (
+        _ST_K,
+    )
+
+    got = {
+        r.doc_id: (r.n_candidates, r.first_candidate, r.boundary_gram)
+        for r in QUERIES["q399_doc_stitching"](spark, sf_dir).collect()
+    }
+    pre: dict[int, str] = {}
+    suf: dict[int, str] = {}
+    for did, (tk, _nch, _src) in docs.items():
+        if len(tk) >= 2 * _ST_K:
+            pre[did] = " ".join(tk[:_ST_K])
+            suf[did] = " ".join(tk[-_ST_K:])
+    expected = {}
+    for a, sa in suf.items():
+        cands = sorted(b for b, pb in pre.items() if pb == sa and b != a)
+        if cands:
+            expected[a] = (len(cands), cands[0], sa)
+    assert got == expected
+    # non-degenerate: some stitch candidates exist, but not everywhere
+    assert 0 < len(expected) < len(pre)
