@@ -148,11 +148,7 @@ def _cpu_reference() -> dict[str, float]:
     speed by ratioing against the committed artifact instead of
     adjudicating from per-query forensics."""
     out: dict[str, float] = {}
-    t0 = time.time()
-    acc = 0
-    for i in range(10_000_000):
-        acc += i * i
-    out["cpu_ref_1t_sec"] = round(time.time() - t0, 3)
+    out["cpu_ref_1t_sec"] = _cpu_ref_1t()
     try:
         import numpy as np
 
@@ -171,6 +167,31 @@ def _cpu_reference() -> dict[str, float]:
 # a judge can separate "slow code" from "stolen CPU" without adjudication.
 STEAL_THRESHOLD_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_THRESHOLD", "1.5"))
 _MAX_RETRIES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+
+# Machine-speed baseline for the normalized headline (round-9 verdict
+# task 1: two consecutive rounds of steal/clock adjudication is enough).
+# Pinned ONCE from the fastest cpu_ref readings recorded on this host
+# class (BENCH_r09.json's driver run: cpu_ref_1t 0.609 s at 1.2%
+# whole-bench steal — the quietest instrumented window on record, and
+# the machine-speed band in which the r01 21.16 s headline baseline was
+# measured). headline_normalized = value * (CPU_REF_BASELINE_1T /
+# cpu_ref_now): a slower clock window (frequency scaling, noisy
+# neighbor) scales the raw wall-clock DOWN toward what the quiet
+# machine would have measured; a faster window scales it up — symmetric,
+# so the gate can't be gamed by a lucky fast window either. The 2x gate
+# (tests/test_bench_gate.py) compares the NORMALIZED number; the raw
+# value stays in the artifact beside it.
+CPU_REF_BASELINE_1T = 0.609
+
+
+def _cpu_ref_1t() -> float:
+    """The fixed-work single-thread reference loop (same work as
+    _cpu_reference's 1t probe), run at a single point in time."""
+    t0 = time.time()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i * i
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -241,6 +262,7 @@ def main() -> None:
         return cold_sec, out
 
     bench_steal0 = _cpu_sample()
+    cpu_ref_start = _cpu_ref_1t()
     cold: dict[str, float] = {}
     mins: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -285,11 +307,25 @@ def main() -> None:
     # stay out of "value" so the round-over-round ratio is apples-to-apples).
     headline_names = [n for n in HEADLINE if n in mins and n not in _POST_R02]
     ext_names = [n for n in HEADLINE if n in mins]
+    cpu_refs = _cpu_reference()  # end-of-bench sample (1t + mt)
+    # Bracket the run: the 1t reference is sampled at bench start AND
+    # end; normalization uses the mean so a machine-speed change
+    # mid-run is split, not attributed to one endpoint.
+    cpu_ref_now = (cpu_ref_start + cpu_refs["cpu_ref_1t_sec"]) / 2.0
+    value = round(sum(mins[n] for n in headline_names), 3)
     summary = {
         "metric": "headline_queries_total",
         # Comparable with BENCH_r01/r02: steady-state total over the same
         # 21-query headline subset.
-        "value": round(sum(mins[n] for n in headline_names), 3),
+        "value": value,
+        # Machine-speed-normalized headline (round-9 verdict task 1): the
+        # raw wall-clock scaled by the pinned-baseline/now ratio of the
+        # fixed-work 1t reference (mean of the start/end brackets). THIS
+        # is the number the 2x gate compares (tests/test_bench_gate.py);
+        # raw stays beside it so both are always in the artifact.
+        "value_normalized": round(value * (CPU_REF_BASELINE_1T / cpu_ref_now), 3),
+        "cpu_ref_baseline_1t_sec": CPU_REF_BASELINE_1T,
+        "cpu_ref_1t_start_sec": cpu_ref_start,
         "unit": "sec",
         "sf": float(sf) if sf else None,
         "mode": f"steady-state (min of {n_runs} runs after 1 cold run)",
@@ -307,7 +343,7 @@ def main() -> None:
         # with exhausted retries means the number is environment-tainted
         # and says so in the artifact itself.
         "steal_pct_bench": _steal_pct(bench_steal0, _cpu_sample()),
-        **_cpu_reference(),
+        **cpu_refs,
         "headline_max_steal_pct": round(
             max(run_steal[n] for n in headline_live), 3
         ),

@@ -47,6 +47,7 @@ def load_all() -> None:
         analytics_ext6,
         analytics_ext7,
         analytics_ext8,
+        analytics_ext9,
         core,
         core_ext,
         corpus,

@@ -117,6 +117,49 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTD
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def pit_snapshot(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Point-in-time snapshot of a table: ES ``search_after`` + PIT /
+    ``scroll`` consistency semantics, stated and enforced (SURVEY §2.8c).
+
+    ES deep pagination needs a PIT because its index mutates between
+    page requests. In this engine's storage model a batch table is a
+    write-once parquet directory, so a single action is always snapshot-
+    consistent — but a *paginated session* spans many actions, and a
+    plain ``spark.read.parquet(dir)`` re-lists the directory at each
+    plan, so files appended between page N and page N+1 WOULD leak into
+    later pages (exactly the ES failure mode PIT exists for).
+
+    The fix is the same as ES's: pin the snapshot, not the query. This
+    helper captures the directory's file list ONCE and returns a reader
+    over those explicit paths; every subsequent keyset page (q100 /
+    q255's search_after analog) planned from the returned frame sees
+    exactly the files that existed at PIT-open time, regardless of
+    concurrent appends. Keep the handle for the session, like an ES PIT
+    id. ``scroll`` needs no separate machinery: scroll is PIT + cursor,
+    and the keyset predicate is the cursor. Verified against a live
+    concurrent append in tests/test_round10.py.
+
+    At 100 TB the file listing is driver-side metadata (one RPC per
+    directory, not per file, on object stores with list batching); a
+    production deployment would use a table format's snapshot id
+    (Iceberg/Delta) — same contract, catalog-managed.
+    """
+    # Hadoop FS listing via the JVM gateway — works for any Hadoop-
+    # supported scheme, not just local paths.
+    jvm = spark._jvm
+    jsc = spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{name}.parquet")
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    files = sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(path)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    )
+    if not files:  # unpartitioned single-file table
+        files = [f"{sf_dir}/{name}.parquet"]
+    return spark.read.parquet(*files)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """S4: parquet sink (reference preprocessing.py:24). ``partition_by``
     enables partition pruning for downstream readers at scale."""
