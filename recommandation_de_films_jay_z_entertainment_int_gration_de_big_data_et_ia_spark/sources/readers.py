@@ -10,6 +10,8 @@ DataFrames so Catalyst can push filters/projections into the scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -83,6 +85,18 @@ def _ntz_as_utc(col_name: str) -> F.Column:
     return F.timestamp_micros(micros)
 
 
+# Opt-in catalog-run table cache (round-9 verdict task 6): a full-
+# catalog bench run reads `documents`/`lineitem`/... hundreds of times;
+# with SPARK_GRAFT_CACHE_TABLES=1 each (session, sf_dir, table) scan is
+# persisted MEMORY_AND_DISK on first load and every later query plans on
+# the in-memory relation instead of re-scanning parquet — the build-
+# once-query-many posture a 100-TB deployment gets from a hot storage
+# tier. OFF by default: correctness runs (driver gate, check_parity,
+# pytest) never set the flag, so their plans stay the pinned
+# parquet-scan shapes.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S3: parquet scan of one driver testdata table.
 
@@ -102,6 +116,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       by the session offset on non-UTC drivers (caught by
       tests/test_timezone.py).
     """
+    cache_on = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+    key = (id(spark), sf_dir, name)
+    if cache_on and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -109,8 +127,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
             df = df.withColumn("ts", _ntz_as_utc("ts"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if cache_on:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
