@@ -713,7 +713,12 @@ def q153_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = sharded.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
 
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
-    path = os.path.join(root, f"shard_export_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    # pid in the tag: concurrent pytest workers / parity processes must
+    # not overwrite each other's in-flight export (scripts/fast_suite.sh)
+    path = os.path.join(
+        root,
+        f"shard_export_{hashlib.md5(f'{sf_dir}:{os.getpid()}'.encode()).hexdigest()[:8]}",
+    )
     (
         ordered.repartition("shard")
         .sortWithinPartitions("shard", "pos")

@@ -318,8 +318,13 @@ def bucketed_table(spark: SparkSession, df: DataFrame, name: str, key: str) -> D
 )
 def q144_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # sf-addressed AND process-addressed: the table cache is per-session
+    # anyway (in-memory catalog), and the pid component makes concurrent
+    # pytest workers / parity processes race-free on the shared
+    # .tmp/bucketed directory (scripts/fast_suite.sh).
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:8]
     orders = bucketed_table(
         spark,
         load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),

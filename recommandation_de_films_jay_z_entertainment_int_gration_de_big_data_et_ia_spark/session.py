@@ -18,6 +18,18 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Shuffle-width headroom (round-10 sf10 audit finding): AQE can
+    # COALESCE reducers below the initial number but never split above
+    # it, so a fixed 32 caps every aggregation at 32 reducers no matter
+    # the data — at sf10 the high-cardinality aggs (q300's candidate
+    # itemsets, q267's per-doc n-gram frames) hit per-task sort-spill
+    # and went super-linear (32x/15x at 10x data). 256 initial
+    # partitions give the decade headroom; AQE coalesces small shuffles
+    # right back down (tiny-query latency is unchanged — measured in
+    # PERF.md round-10 notes), which is exactly the "size reducers to
+    # the data, not the conf" posture a 1000-executor 100 TB deployment
+    # needs (there you'd raise this to O(cores x 2-3)).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# Parallel full-suite runner (round-9 verdict task 5: suite wall-clock
+# below 15 min with IDENTICAL coverage — no skips, no sampling).
+#
+# pytest-xdist is not installable in this environment, so this is the
+# same idea by hand: the test modules are partitioned across N pytest
+# processes, each with its own SparkSession JVM on a CPU slice. Module
+# side effects were made process-safe for this (pid-tagged bucketed
+# tables in plans/resolution.py and shard exports in plans/corpus.py;
+# everything else already writes per-tmpdir or per-session state).
+#
+# Groups are balanced by measured module durations (see PERF.md round-10
+# notes); worker 1 carries the oracle-parity matrix, which dominates.
+#
+# Usage: bash scripts/fast_suite.sh
+# Exit code: 0 iff every worker passed. Per-worker logs in .tmp/suite_*.log
+
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p .tmp
+
+# Worker 1: the oracle-parity matrix (399 sf0.001 comparisons + the
+# driver-unsampled insurance half at sf0.01) — the dominant module.
+G1="tests/test_oracle_parity.py"
+# Worker 2: the other long modules (streaming drains, dedup stress,
+# hypothesis properties, fuzz differential, full-catalog plan budget).
+G2="tests/test_streaming.py tests/test_dedup_stress.py tests/test_properties.py tests/test_fuzz_differential.py tests/test_plan_budget.py tests/test_skew_aqe.py"
+# Worker 3: everything else (explicit list is intentionally NOT used —
+# collect by deselecting groups 1-2 so a new test module can never be
+# silently dropped from coverage).
+G3_IGNORES=""
+for f in $G1 $G2; do G3_IGNORES="$G3_IGNORES --ignore=$f"; done
+
+CPUS_PER_WORKER="${SPARK_GRAFT_SUITE_CPUS:-10}"
+
+run_worker() {
+  local name="$1"; shift
+  SPARK_GRAFT_CPUS="$CPUS_PER_WORKER" \
+    python -m pytest "$@" -q -p no:cacheprovider \
+    >".tmp/suite_${name}.log" 2>&1
+  echo "$?" >".tmp/suite_${name}.rc"
+}
+
+start=$(date +%s)
+run_worker g1 $G1 &
+run_worker g2 $G2 &
+# shellcheck disable=SC2086
+run_worker g3 tests/ $G3_IGNORES &
+wait
+elapsed=$(( $(date +%s) - start ))
+
+fail=0
+for g in g1 g2 g3; do
+  rc=$(cat ".tmp/suite_${g}.rc")
+  tail -1 ".tmp/suite_${g}.log" | sed "s/^/[$g] /"
+  if [ "$rc" != "0" ]; then fail=1; echo "[$g] FAILED (rc=$rc) — see .tmp/suite_${g}.log"; fi
+done
+echo "fast_suite wall-clock: ${elapsed}s"
+exit $fail
