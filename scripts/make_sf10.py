@@ -16,6 +16,18 @@ un-capped in-bucket pair counts would grow ~100^2x — this is exactly
 the mega-bucket-cap stress the audit exists to certify, and why the
 pair families carry __rows_sf10__ output contracts in SCALE_BUDGET.json
 rather than a naive linear-time expectation.
+
+LAYOUT (the round-10 input-split-starvation finding, preserved in
+BENCH_sf10_singlefile_probe_r10.jsonl): a first sf10 cut wrote each
+table as ONE duckdb parquet file; 100-way-replicated text compresses so
+well that 500k documents landed in a single 4.5 MB file = ONE Spark
+input split, serializing every scan-local query onto 1 of 32 cores
+(q43 ran minutes single-threaded). No production 100 TB corpus is one
+file — object-store datasets arrive as thousands of splits — so each
+replicated table is now written as a DIRECTORY of N_FILES parquet parts
+(replica-range per part, keys identical to the single-file cut), which
+is both representative and exactly what Spark's scan parallelism keys
+on. Dimension tables stay single-file.
 """
 
 from __future__ import annotations
@@ -46,7 +58,12 @@ REPLICAS = {
 }
 
 
+N_FILES = 20  # parts per replicated table (5 replicas each)
+
+
 def main() -> None:
+    import shutil
+
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for tbl in ("region", "nation"):
@@ -54,18 +71,27 @@ def main() -> None:
             f"COPY (SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')) TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)"
         )
         print(tbl, "copied 1x", flush=True)
+    per_file = N_REPLICAS // N_FILES
     for tbl, sql in REPLICAS.items():
+        tbl_dir = f"{DST}/{tbl}.parquet"
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+        os.makedirs(tbl_dir)
         con.execute(
             f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')"
         )
-        con.execute(
-            f"CREATE OR REPLACE VIEW r AS SELECT CAST(range AS BIGINT) AS i FROM range({N_REPLICAS})"
-        )
-        con.execute(f"COPY ({sql}) TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)")
+        for j in range(N_FILES):
+            lo, hi = j * per_file, (j + 1) * per_file
+            con.execute(
+                "CREATE OR REPLACE VIEW r AS "
+                f"SELECT CAST(range AS BIGINT) AS i FROM range({lo}, {hi})"
+            )
+            con.execute(
+                f"COPY ({sql}) TO '{tbl_dir}/part-{j:04d}.parquet' (FORMAT PARQUET)"
+            )
         n = con.execute(
-            f"SELECT COUNT(*) FROM read_parquet('{DST}/{tbl}.parquet')"
+            f"SELECT COUNT(*) FROM read_parquet('{tbl_dir}/*.parquet')"
         ).fetchone()[0]
-        print(tbl, n, flush=True)
+        print(tbl, n, f"({N_FILES} files)", flush=True)
 
 
 if __name__ == "__main__":

@@ -170,3 +170,31 @@ def test_budget_covers_known_watch_items():
         "q106_unigram_lm_quality",
     ):
         assert name in budget and budget[name] is not None
+
+
+def test_sf10_output_growth_matches_pinned_rows():
+    """Second-decade contracts (round-10): the sf10 top-20 audit's pair-
+    family row counts must match their ``__rows_sf10__`` pins — same
+    rationale as the sf1 contract, one decade further into the
+    replication stress (100 copies, so un-capped pair plans would grow
+    ~100x in candidates; the pins certify the caps held)."""
+    sweep = os.path.join(ROOT, "BENCH_sf10_top20_r10.jsonl")
+    if not os.path.exists(sweep):
+        pytest.skip("no sf10 audit artifact present")
+    budget = json.load(open(BUDGET))
+    pins = budget.get("__rows_sf10__") or {}
+    if not pins:
+        pytest.skip("no __rows_sf10__ pins in SCALE_BUDGET.json")
+    recs = _load_sweep(sweep)
+    problems = []
+    for name, expected in sorted(pins.items()):
+        rec = recs.get(name)
+        if rec is None or "rows" not in rec:
+            continue
+        got = rec["rows"]
+        if abs(got - expected) > expected * ROWS_SLACK:
+            problems.append(
+                f"{name}: sf10 rows {got:,} vs pinned {expected:,} "
+                f"(±{ROWS_SLACK:.0%})"
+            )
+    assert not problems, "\n".join(problems)
