@@ -147,7 +147,17 @@ def jaccard_verify(
     |A∩B| / |A∪B| in double, rounded to 4."""
     sa = shingles_df.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__sa"))
     sb = shingles_df.select(F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__sb"))
-    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    # shuffle_hash hint (round-10 sf10 audit): BOTH sides here scale
+    # with the corpus (pairs with the duplication rate, shingles with
+    # doc count), but Catalyst's ESTIMATED post-explode/filter stats
+    # undersize the pairs side, and the initial plan's broadcast choice
+    # OOM'd the driver at sf10 ("Not enough memory to build and
+    # broadcast") on the localCheckpoint materialization path (q90/
+    # q199/q233), where the estimate-based plan executes as-is. AQE can
+    # promote a shuffle join to broadcast from accurate runtime sizes;
+    # it cannot demote a bogus initial broadcast — so never leave a
+    # corpus-scaled side broadcastable by estimate.
+    joined = pairs.hint("shuffle_hash").join(sa, "id_a").join(sb, "id_b")
     jac = F.round(
         F.size(F.array_intersect("__sa", "__sb")).cast("double")
         / F.size(F.array_union("__sa", "__sb")).cast("double"),
@@ -404,8 +414,17 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     iteration = 0
     while True:
         iteration += 1
+        # shuffle_hash hints (round-10 sf10 audit): both loop joins are
+        # node/edge-scaled, so broadcasting either side is never the
+        # right plan at scale — yet AQE promoted one to broadcast from
+        # its COMPRESSED runtime shuffle size (replicated ids compress
+        # ~100:1; "under 32 MB" deserialized into gigabytes) and the
+        # driver-side build OOM'd at sf10 (q90/q199/q233/q78, "Not
+        # enough memory to build and broadcast" on the localCheckpoint
+        # materialization). An explicit join hint survives AQE
+        # re-optimization, so the loop is pinned shuffle-side forever.
         neigh = (
-            edges.join(labels, edges.b == labels.node)
+            edges.join(labels.hint("shuffle_hash"), edges.b == labels.node)
             .select(F.col("a").alias("node"), "label")
         )
         new_labels = (
@@ -416,7 +435,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(labels.alias("o").hint("shuffle_hash"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )

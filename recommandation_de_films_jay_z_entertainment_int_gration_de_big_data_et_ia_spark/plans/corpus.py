@@ -1100,8 +1100,15 @@ def q267_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("doc_id", "gram")
     )
+    # shuffle_hash hint (round-10 sf10 audit finding): d5 is doc-scaled
+    # (duplicated 5-grams per doc), but Catalyst's ESTIMATED post-
+    # filter stats undersize it, so the initial plan picked a broadcast
+    # that OOM'd the driver at sf10 ("Not enough memory to build and
+    # broadcast") — AQE can promote to broadcast from accurate runtime
+    # sizes but cannot demote an initial-plan broadcast. Never
+    # broadcast a frame that grows with the corpus.
     cov = (
-        g5.join(d5, ["doc_id", "gram"])
+        g5.join(d5.hint("shuffle_hash"), ["doc_id", "gram"])
         .select("doc_id", F.explode(F.expr("sequence(i, i + 4)")).alias("p"))
         .distinct()
     )
@@ -1118,9 +1125,11 @@ def q267_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup5_frac = (
         F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double") / F.col("n_chars")
     )
+    # same rationale: top2/covch are one-row-per-doc frames — they scale
+    # with the corpus, so the doc_id joins must shuffle, not broadcast
     return (
-        chars.join(top2, "doc_id", "left")
-        .join(covch, "doc_id", "left")
+        chars.join(top2.hint("shuffle_hash"), "doc_id", "left")
+        .join(covch.hint("shuffle_hash"), "doc_id", "left")
         .filter(F.col("n_chars") > 0)
         .select(
             "doc_id",
