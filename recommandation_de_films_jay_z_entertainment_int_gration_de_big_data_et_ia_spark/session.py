@@ -23,13 +23,17 @@ DEFAULT_CONF: dict[str, str] = {
     # it, so a fixed 32 caps every aggregation at 32 reducers no matter
     # the data — at sf10 the high-cardinality aggs (q300's candidate
     # itemsets, q267's per-doc n-gram frames) hit per-task sort-spill
-    # and went super-linear (32x/15x at 10x data). 256 initial
-    # partitions give the decade headroom; AQE coalesces small shuffles
-    # right back down (tiny-query latency is unchanged — measured in
-    # PERF.md round-10 notes), which is exactly the "size reducers to
-    # the data, not the conf" posture a 1000-executor 100 TB deployment
-    # needs (there you'd raise this to O(cores x 2-3)).
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+    # and went super-linear (32x/15x at 10x data). 128 initial
+    # partitions give the decade headroom while AQE coalesces small
+    # shuffles right back down. 128, not 256: each map task writes one
+    # shuffle block per initial partition, and the A/B on the catalog's
+    # small iterative queries showed 256 paying ~2x on sub-second
+    # shuffles (q244 1.70->0.82 s, q69 1.15->0.72 s at 128, within 8%
+    # of the old 32) while q300 at sf10 got FASTER at 128 (275->147 s;
+    # fewer, larger, still-unspilled reducers). The "size reducers to
+    # the data, not the conf" posture of a 1000-executor 100 TB
+    # deployment — there you'd set this O(total cores x 2-3).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "128",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

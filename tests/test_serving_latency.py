@@ -17,11 +17,15 @@ import pytest
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.path.join(HERE, "BENCH_serving_r10.json")
 
+# ~4x the quiet-host cached p95s (BENCH_serving_r10.json: health 82,
+# movie 63, recommend 210, search 2620 — search is the fuzzy
+# multi_match expansion, inherently several jobs per request). The
+# re-tokenize failure mode multiplies all of these ~10x.
 P95_BOUNDS_MS = {
-    "health": 1000.0,
-    "movie": 1500.0,
-    "search": 3000.0,
-    "recommend": 6000.0,
+    "health": 500.0,
+    "movie": 500.0,
+    "search": 8000.0,
+    "recommend": 2000.0,
 }
 
 
