@@ -157,7 +157,16 @@ def jaccard_verify(
     # promote a shuffle join to broadcast from accurate runtime sizes;
     # it cannot demote a bogus initial broadcast — so never leave a
     # corpus-scaled side broadcastable by estimate.
-    joined = pairs.hint("shuffle_hash").join(sa, "id_a").join(sb, "id_b")
+    # ... and the hint must cover BOTH joins: hinting only `pairs` left
+    # the second join (vs `sb`, also corpus-scaled) eligible for AQE's
+    # runtime broadcast promotion from its compressed shuffle size — the
+    # same ~100:1-compression driver-OOM class. Hint each corpus-scaled
+    # side at its own join.
+    joined = (
+        pairs.hint("shuffle_hash")
+        .join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+    )
     jac = F.round(
         F.size(F.array_intersect("__sa", "__sb")).cast("double")
         / F.size(F.array_union("__sa", "__sb")).cast("double"),

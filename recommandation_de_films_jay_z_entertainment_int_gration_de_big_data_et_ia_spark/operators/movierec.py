@@ -45,13 +45,21 @@ class MovieIndex:
       expands query terms against the (small) vocabulary and probes by
       term equality instead of re-tokenizing every movie per request.
 
-    Both frames are plain DataFrames: build once per corpus snapshot,
+    - ``vocab`` — the per-field DISTINCT TERM dictionary (round-10
+      VERDICT task 4): fuzzy expansion probes this tiny frame, so the
+      ``postings.distinct()`` shuffle the old path re-ran on EVERY
+      ``/search`` request moves to index-build time (Lucene's terms
+      dictionary is likewise a build-time structure). Optional for
+      backward compatibility — ``None`` derives it per request.
+
+    All frames are plain DataFrames: build once per corpus snapshot,
     ``write_parquet`` them (postings bucketed by term at scale), and
     serve every request from the index alone.
     """
 
     docs: DataFrame
     postings: DataFrame
+    vocab: DataFrame | None = None
 
 
 def build_movie_index_tables(movies: DataFrame) -> MovieIndex:
@@ -73,7 +81,12 @@ def build_movie_index_tables(movies: DataFrame) -> MovieIndex:
         F.explode(F.array_distinct(tokens("genres_text"))).alias("term"),
         "movieId",
     )
-    return MovieIndex(docs=docs, postings=tp.unionByName(gp))
+    postings = tp.unionByName(gp)
+    return MovieIndex(
+        docs=docs,
+        postings=postings,
+        vocab=postings.select("field", "term").distinct(),
+    )
 
 
 def movie_frame(movies: DataFrame | MovieIndex) -> DataFrame:
@@ -205,19 +218,37 @@ def search_hits(movies: DataFrame | MovieIndex, query: str) -> DataFrame:
                 "qi int, qterm string, dist int",
             )
         )
-        vocab = movies.postings.select("field", "term").distinct()
+        # terms dictionary: prebuilt at index time when available (the
+        # round-10 serving fix — the per-request postings.distinct()
+        # shuffle was the dominant /search cost), else derived ad hoc
+        vocab = (
+            movies.vocab
+            if movies.vocab is not None
+            else movies.postings.select("field", "term").distinct()
+        )
         expanded = vocab.join(
             qf, F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("dist")
         ).select("field", "term", "qi")
         boost = F.when(F.col("field") == "title", F.lit(_SEARCH_FIELDS["title"])).otherwise(
             F.lit(_SEARCH_FIELDS["genres_text"])
         )
+        # ONE shuffle: presence-per-(field, query-term) dedup rides the
+        # per-movie collect_set (boost uniquely encodes the field, so
+        # (boost, qi) == (field, qi)) instead of a separate distinct
+        # exchange before the aggregation
         scores = (
             movies.postings.join(F.broadcast(expanded), ["field", "term"])
-            .select("movieId", "field", "qi")
-            .distinct()
             .groupBy("movieId")
-            .agg(F.round(F.sum(boost), 4).alias("score"))
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.collect_set(F.struct(boost.alias("b"), F.col("qi"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["b"],
+                    ),
+                    4,
+                ).alias("score")
+            )
         )
         return movies.docs.drop("__title_norm").join(scores, "movieId").filter(
             F.col("score") > 0
@@ -245,3 +276,35 @@ def search_movies(
         .limit(size)
         .select("movieId", "title", "release_date", "genres", "score")
     )
+
+
+def write_movie_index(idx: MovieIndex, index_dir: str) -> None:
+    """Persist all index frames as parquet tables under ``index_dir``
+    (the offline build step; at scale postings would be bucketed by
+    term)."""
+    idx.docs.write.mode("overwrite").parquet(f"{index_dir}/docs.parquet")
+    idx.postings.write.mode("overwrite").parquet(f"{index_dir}/postings.parquet")
+    vocab = (
+        idx.vocab
+        if idx.vocab is not None
+        else idx.postings.select("field", "term").distinct()
+    )
+    vocab.write.mode("overwrite").parquet(f"{index_dir}/vocab.parquet")
+
+
+def load_movie_index(spark, index_dir: str, pinned: bool = True) -> MovieIndex:
+    """Load a persisted MovieIndex. ``pinned=True`` (default, round-10
+    VERDICT task 7) plans every frame from a ``pit_snapshot`` file
+    listing, so an index rebuild or append that lands between requests —
+    or between the pages of one paginated ``/search`` session — cannot
+    duplicate or drop hits for readers opened on the old snapshot
+    (exactly ES's PIT contract; proven against a live concurrent append
+    in tests/test_serving.py)."""
+    from ..sources.readers import pit_snapshot
+
+    def rd(name: str):
+        if pinned:
+            return pit_snapshot(spark, index_dir, name)
+        return spark.read.parquet(f"{index_dir}/{name}.parquet")
+
+    return MovieIndex(docs=rd("docs"), postings=rd("postings"), vocab=rd("vocab"))

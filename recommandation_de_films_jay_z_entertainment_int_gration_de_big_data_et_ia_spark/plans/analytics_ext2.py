@@ -2929,6 +2929,14 @@ def q215_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("sup"))
+        # `pairs` feeds BOTH the truncated edge set and the direct-edge
+        # anti-join; without a lineage pin the basket-pair explode (the
+        # ~630M-row stage at sf10, SCALE_r10) and its (a,b) shuffle run
+        # TWICE — the round-10 sf10 flag (18.2x) was mostly this double
+        # computation. Lazy checkpoint: materialized on first use inside
+        # the job, reused by the second consumer, nothing executes at
+        # plan-build time.
+        .localCheckpoint(eager=False)
     )
     w_fwd = Window.partitionBy("a").orderBy(F.desc("sup"), F.asc("b"))
     fwd = pairs.withColumn("rn", F.row_number().over(w_fwd)).filter(

@@ -53,9 +53,7 @@ _ALS_K = 5
 _ALS_BAND = 1.0e4
 
 
-@register(
-    "q50_als_recommend",
-    oracle=f"""
+_ALS_CONTRACT_ORACLE = f"""
     WITH users AS (
       SELECT DISTINCT o.o_custkey AS u
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
@@ -66,17 +64,15 @@ _ALS_BAND = 1.0e4
            CAST(0 AS BIGINT) AS n_unknown_items,
            CAST(0 AS BIGINT) AS n_bad_scores
     FROM users
-    """,
-)
-def q50_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ratings = _ratings(spark, sf_dir)
-    model = REC.train_als(ratings, "user", "item", "rating", rank=8, max_iter=5, seed=42)
-    recs = REC.als_recommendations(model, k=_ALS_K).select(
-        "user", "item", F.col("predicted_rating").cast("double").alias("score")
-    )
-    # single pass over the rec frame: broadcast the training item set to
-    # mark unknown items, fold per-user, then one global fold — one
-    # shuffle (the per-user groupBy) against the old 3-branch shape
+    """
+
+
+def _als_contract_fold(recs: DataFrame, ratings: DataFrame) -> DataFrame:
+    """Fold a (user, item, score) rec frame into the one-row structural
+    contract the q50/q402 oracle pins: coverage, per-user k, item
+    provenance, bounded scores. Single pass: broadcast the training item
+    set to mark unknown items, fold per-user, then one global fold —
+    one shuffle (the per-user groupBy)."""
     items = ratings.select("item").distinct().withColumn("__known", F.lit(1))
     j = recs.join(F.broadcast(items), "item", "left")
     bad = (
@@ -97,6 +93,36 @@ def q50_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("unk").cast("bigint").alias("n_unknown_items"),
         F.sum("bad").cast("bigint").alias("n_bad_scores"),
     )
+
+
+@register("q50_als_recommend", oracle=_ALS_CONTRACT_ORACLE)
+def q50_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ratings = _ratings(spark, sf_dir)
+    model = REC.train_als(ratings, "user", "item", "rating", rank=8, max_iter=5, seed=42)
+    recs = REC.als_recommendations(model, k=_ALS_K).select(
+        "user", "item", F.col("predicted_rating").cast("double").alias("score")
+    )
+    return _als_contract_fold(recs, ratings)
+
+
+@register("q402_als_ann_topk", oracle=_ALS_CONTRACT_ORACLE)
+def q402_als_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe ALS batch scoring (round-10 VERDICT task 1): the same
+    per-user top-k contract as q50, computed via PQ-cell coarse search +
+    exact re-rank over the factor matrices instead of the users × items
+    block-matmul ``recommendForAllUsers`` runs (reference src/model.py:13).
+    Per-user cost O(cells + budget), independent of the item-catalog
+    size; recall@k vs exact is pinned >= 0.95 at sf0.1
+    (tests/test_recommend.py). Same structural oracle as q50 — exactly k
+    recs per training user, items from the training set, bounded scores."""
+    ratings = _ratings(spark, sf_dir)
+    model = REC.train_als(ratings, "user", "item", "rating", rank=8, max_iter=5, seed=42)
+    uf = model.userFactors.select(F.col("id").alias("id"), "features")
+    itf = model.itemFactors.select(F.col("id").alias("id"), "features")
+    recs = REC.ann_factor_topk(
+        uf, itf, rank=8, k=_ALS_K, cand_budget=3072, lloyd_iters=3
+    ).select("user", "item", F.col("predicted_rating").cast("double").alias("score"))
+    return _als_contract_fold(recs, ratings)
 
 
 @register(

@@ -94,7 +94,37 @@ def _ntz_as_utc(col_name: str) -> F.Column:
 # tier. OFF by default: correctness runs (driver gate, check_parity,
 # pytest) never set the flag, so their plans stay the pinned
 # parquet-scan shapes.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for a live session. ``id(spark)`` is unsafe here:
+    CPython reuses object ids after GC, so a stopped-and-collected
+    session's cache entries (DataFrames bound to a dead JVM context)
+    could be served to an unrelated new session. ``applicationId`` is
+    unique per SparkContext launch and changes when a context is
+    stopped/recreated, which also naturally orphans (rather than
+    resurrects) stale entries."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # stopped session: never cache-hit against it
+        return f"dead-{id(spark)}"
+
+
+def clear_table_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached tables (all sessions, or one). Unpersists best-effort
+    so executor memory is released, then forgets the entries — callers
+    stopping a session should invoke this to keep the process-lifetime
+    cache bounded."""
+    keys = list(_TABLE_CACHE)
+    sel = None if spark is None else _session_key(spark)
+    for k in keys:
+        if sel is None or k[0] == sel:
+            try:
+                _TABLE_CACHE[k].unpersist()
+            except Exception:
+                pass
+            del _TABLE_CACHE[k]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -117,7 +147,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       tests/test_timezone.py).
     """
     cache_on = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     if cache_on and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     if name == "events":
@@ -174,14 +204,35 @@ def pit_snapshot(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     jsc = spark._jsc
     path = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{name}.parquet")
     fs = path.getFileSystem(jsc.hadoopConfiguration())
-    files = sorted(
-        st.getPath().toString()
-        for st in fs.listStatus(path)
-        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
-    )
-    if not files:  # unpartitioned single-file table
-        files = [f"{sf_dir}/{name}.parquet"]
-    return spark.read.parquet(*files)
+    if fs.getFileStatus(path).isFile():
+        # table written as one bare parquet file: pinning the path IS
+        # pinning the snapshot (a rewrite replaces, never appends)
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    # Directory table: recurse so partitioned layouts (write_parquet's
+    # partition_by writes key=value subdirectories) pin their leaf files
+    # too. The earlier non-recursive listing saw only subdirectories,
+    # collected zero files, and silently fell back to the live directory
+    # path — the exact append-leaking read this helper exists to prevent.
+    files: list[str] = []
+    stack = [path]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            base = st.getPath().getName()
+            if base.startswith(("_", ".")):
+                continue
+            if st.isFile():
+                files.append(st.getPath().toString())
+            else:
+                stack.append(st.getPath())
+    if not files:
+        raise FileNotFoundError(
+            f"pit_snapshot: no data files under {sf_dir}/{name}.parquet; "
+            "refusing to fall back to a live (non-pinned) directory read"
+        )
+    # basePath keeps partition-column discovery identical to a plain
+    # directory read even though we enumerate leaf files explicitly.
+    return spark.read.option("basePath", f"{sf_dir}/{name}.parquet").parquet(*sorted(files))
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

@@ -42,7 +42,7 @@ from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_s
 
 DATA = "/root/reference/data"
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(HERE, "BENCH_serving_r10.json")
+OUT = os.path.join(HERE, "BENCH_serving_r11.json")
 IDX_DIR = os.path.join(HERE, ".tmp", "movieindex_bench")
 
 # Deterministic request mixes drawn from the MovieLens corpus: exact
@@ -79,22 +79,25 @@ def main() -> None:
     # only probe).
     frame = pipelines.build_movie_index(spark, f"{DATA}/u.item")
     built = movierec.build_movie_index_tables(frame)
-    built.docs.write.mode("overwrite").parquet(f"{IDX_DIR}/docs")
-    built.postings.write.mode("overwrite").parquet(f"{IDX_DIR}/postings")
-    idx_parquet = movierec.MovieIndex(
-        docs=spark.read.parquet(f"{IDX_DIR}/docs"),
-        postings=spark.read.parquet(f"{IDX_DIR}/postings"),
-    )
+    # Persist docs + postings + the prebuilt terms dictionary (round-10
+    # task 4: vocab moves to index-build time); both serving postures
+    # load through the PIT-pinned reader (round-10 task 7) so concurrent
+    # index rebuilds can't leak into open paginated sessions.
+    movierec.write_movie_index(built, IDX_DIR)
+    idx_parquet = movierec.load_movie_index(spark, IDX_DIR, pinned=True)
     # The hot-serving posture: ES keeps its index in the page cache /
     # heap; the Spark analog is an explicitly cached index frame. Both
     # variants are measured — parquet = cold-ish storage probe, cached =
     # steady-state production serving.
+    pinned = movierec.load_movie_index(spark, IDX_DIR, pinned=True)
     idx_cached = movierec.MovieIndex(
-        docs=spark.read.parquet(f"{IDX_DIR}/docs").cache(),
-        postings=spark.read.parquet(f"{IDX_DIR}/postings").cache(),
+        docs=pinned.docs.cache(),
+        postings=pinned.postings.cache(),
+        vocab=pinned.vocab.cache(),
     )
     idx_cached.docs.count()
     idx_cached.postings.count()
+    idx_cached.vocab.count()
 
     def endpoints(idx):
         return {

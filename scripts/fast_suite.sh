@@ -35,10 +35,12 @@ CPUS_PER_WORKER="${SPARK_GRAFT_SUITE_CPUS:-10}"
 
 run_worker() {
   local name="$1"; shift
+  local t0=$(date +%s)
   SPARK_GRAFT_CPUS="$CPUS_PER_WORKER" \
     python -m pytest "$@" -q -p no:cacheprovider \
     >".tmp/suite_${name}.log" 2>&1
   echo "$?" >".tmp/suite_${name}.rc"
+  echo "$(( $(date +%s) - t0 ))" >".tmp/suite_${name}.sec"
 }
 
 start=$(date +%s)
@@ -56,4 +58,18 @@ for g in g1 g2 g3; do
   if [ "$rc" != "0" ]; then fail=1; echo "[$g] FAILED (rc=$rc) — see .tmp/suite_${g}.log"; fi
 done
 echo "fast_suite wall-clock: ${elapsed}s"
+# Balance check (round-10 verdict task 8): coverage is safe by
+# construction (worker 3 collects by deselection), but a new slow module
+# landing in worker 3 silently skews the partition. Warn when any
+# worker's measured duration exceeds 60% of total worker time so the
+# hard-coded G1/G2 lists get re-balanced from the .sec files.
+total=0
+for g in g1 g2 g3; do total=$(( total + $(cat ".tmp/suite_${g}.sec") )); done
+for g in g1 g2 g3; do
+  sec=$(cat ".tmp/suite_${g}.sec")
+  echo "[$g] worker time: ${sec}s"
+  if [ "$total" -gt 0 ] && [ $(( sec * 100 / total )) -gt 60 ]; then
+    echo "BALANCE WARNING: $g carries ${sec}s of ${total}s total (>60%) — repartition G1/G2 from the measured .tmp/suite_*.sec durations"
+  fi
+done
 exit $fail

@@ -57,6 +57,16 @@ ROWS_WATCHLIST = {
     "q99_dedup_incremental",
     "q263_crossdoc_span_excise",
     "q269_crossdoc_keep_first",
+    # round-11 (r10 verdict task 5): the cluster-loop family adjudicated
+    # by ratio alone until now — pin their sf10 output rows too
+    "q78_dedup_clusters",
+    "q90_neardup_apply",
+    "q186_containment_pairs",
+    "q199_dedup_keep_best",
+    "q215_common_neighbors",
+    "q229_source_overlap",
+    "q233_cluster_size_histogram",
+    "q402_als_ann_topk",
 }
 
 

@@ -57,3 +57,41 @@ def test_normalized_headline_within_gate():
         f"{art['value']} s at cpu_ref_1t {art['cpu_ref_1t_sec']} s vs "
         f"baseline {CPU_REF_BASELINE_1T} s)"
     )
+
+
+def test_artifact_conf_matches_shipped_conf():
+    """Round-10 ADVICE: the committed artifact must have been measured
+    under the conf session.py ships — a conf change (e.g. the r10
+    initialPartitionNum 256->128 retune) invalidates the per-query
+    regression basis until the artifact is regenerated."""
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.session import (
+        DEFAULT_CONF,
+    )
+
+    art = _load()
+    if "conf" not in art:
+        pytest.skip("artifact predates conf self-description (regenerate via bench.py)")
+    for key, want in (
+        ("spark.sql.shuffle.partitions", DEFAULT_CONF["spark.sql.shuffle.partitions"]),
+        (
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            DEFAULT_CONF["spark.sql.adaptive.coalescePartitions.initialPartitionNum"],
+        ),
+    ):
+        assert art["conf"].get(key) == want, (
+            f"artifact measured at {key}={art['conf'].get(key)} but session.py "
+            f"ships {want} — regenerate BENCH_full_local.json on a quiet window"
+        )
+
+
+def test_artifact_declares_noise_segments():
+    """Round-10 verdict task 6: the artifact must carry the per-segment
+    steal/cpu_ref forensics so a noisy wall-clock window is localizable
+    without a second artifact."""
+    art = _load()
+    if "segments" not in art:
+        pytest.skip("artifact predates segment forensics (regenerate via bench.py)")
+    assert isinstance(art["tainted_segments"], list)
+    assert art["segments"], "no segments recorded"
+    for s in art["segments"]:
+        assert {"queries", "steal_pct", "cpu_ref_1t_sec", "wall_sec"} <= set(s)

@@ -36,7 +36,11 @@ def movies(spark, request):
     if request.param == "frame":
         return frame
     idx = movierec.build_movie_index_tables(frame)
-    return movierec.MovieIndex(docs=idx.docs.cache(), postings=idx.postings.cache())
+    return movierec.MovieIndex(
+        docs=idx.docs.cache(),
+        postings=idx.postings.cache(),
+        vocab=idx.vocab.cache(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -255,3 +259,58 @@ def test_serving_index_probe_plans(spark, movies):
         assert indexed == inline and len(inline) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-11: prebuilt terms dictionary + PIT-pinned index loading
+# ---------------------------------------------------------------------------
+
+
+def test_search_vocab_path_equals_derived(spark):
+    """The index-build-time vocab (round-10 task 4) must answer /search
+    identically to the legacy per-request postings.distinct() path."""
+    frame = pipelines.build_movie_index(spark, f"{DATA}/u.item")
+    idx = movierec.build_movie_index_tables(frame)
+    legacy = movierec.MovieIndex(docs=idx.docs, postings=idx.postings, vocab=None)
+    for q in ("stor wars", "toy story", "love"):
+        a = serving.search_endpoint(idx, {"q": q, "size": "10"})
+        b = serving.search_endpoint(legacy, {"q": q, "size": "10"})
+        assert a == b, f"vocab path diverged for {q!r}"
+
+
+def test_persisted_index_pit_isolated_from_rebuild(spark, tmp_path):
+    """Round-10 task 7: a serving session loaded via load_movie_index
+    (pinned) must keep answering from its open-time snapshot while the
+    index directory is appended to — the paginated-session guarantee
+    (page N and N+1 see the same corpus) that naive directory reads
+    break. Mirrors tests/test_round10.py's table-level proof at the
+    serving layer."""
+    frame = pipelines.build_movie_index(spark, f"{DATA}/u.item")
+    idx = movierec.build_movie_index_tables(frame)
+    idx_dir = str(tmp_path / "movieindex")
+    movierec.write_movie_index(idx, idx_dir)
+
+    served = movierec.load_movie_index(spark, idx_dir, pinned=True)
+    status, page1 = serving.search_endpoint(served, {"q": "love", "page": "1", "size": "5"})
+    assert status == 200
+    total0 = page1["total"]
+
+    # concurrent rebuild-ish append: duplicate some docs+postings with
+    # shifted ids between page requests
+    bump = F.col("movieId") + 100000
+    idx.docs.limit(20).withColumn("movieId", bump).write.mode("append").parquet(
+        f"{idx_dir}/docs.parquet"
+    )
+    idx.postings.limit(200).withColumn("movieId", bump).write.mode("append").parquet(
+        f"{idx_dir}/postings.parquet"
+    )
+
+    status, page2 = serving.search_endpoint(served, {"q": "love", "page": "2", "size": "5"})
+    assert status == 200
+    assert page2["total"] == total0, "pinned serving session saw the append"
+    assert all(m["movieId"] < 100000 for m in page2["movies"])
+    ids1 = {m["movieId"] for m in page1["movies"]}
+    assert ids1.isdisjoint({m["movieId"] for m in page2["movies"]})
+    # ...while a freshly-loaded (new-snapshot) session sees the appended docs
+    fresh = movierec.load_movie_index(spark, idx_dir, pinned=True)
+    assert fresh.docs.count() == idx.docs.count() + 20
