@@ -31,6 +31,21 @@ from . import search as S
 _SEARCH_FIELDS: dict[str, float] = {"title": 3.0, "genres_text": 1.0}
 
 
+def _literal_frame(spark, rows: list[tuple], fields: list[tuple[str, str]]) -> DataFrame:
+    """Tiny inline frame from literals via explode(array(struct...)) —
+    NOT ``spark.createDataFrame``, which pays a ~0.5-1 s local-relation
+    py4j round trip per call and was the dominant per-request cost of
+    the serving ``/search`` path (round-11 profiling: request build
+    474-937 ms, almost all in createDataFrame)."""
+    structs = [
+        F.struct(
+            *[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(row, fields)]
+        )
+        for row in rows
+    ]
+    return spark.range(1).select(F.explode(F.array(*structs)).alias("__r")).select("__r.*")
+
+
 @dataclass(frozen=True)
 class MovieIndex:
     """The serving tier's persisted index (the engine's analog of the
@@ -166,7 +181,9 @@ def recommend_by_title_keywords(
         mult: dict[str, int] = {}
         for w in words:
             mult[w] = mult.get(w, 0) + 1
-        wf = spark.createDataFrame(list(mult.items()), "term string, mult int")
+        wf = _literal_frame(
+            spark, list(mult.items()), [("term", "string"), ("mult", "int")]
+        )
         scores = (
             movies.postings.filter(F.col("field") == "title")
             .join(F.broadcast(wf), "term")
@@ -213,9 +230,10 @@ def search_hits(movies: DataFrame | MovieIndex, query: str) -> DataFrame:
             )
         spark = movies.docs.sparkSession
         qf = F.broadcast(
-            spark.createDataFrame(
+            _literal_frame(
+                spark,
                 [(i, t, S.auto_fuzziness(t)) for i, t in enumerate(terms)],
-                "qi int, qterm string, dist int",
+                [("qi", "int"), ("qterm", "string"), ("dist", "int")],
             )
         )
         # terms dictionary: prebuilt at index time when available (the

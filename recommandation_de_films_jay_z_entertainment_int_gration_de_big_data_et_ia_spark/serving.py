@@ -131,21 +131,32 @@ def search_endpoint(movies: DataFrame | MovieIndex, args: dict) -> Response:
         if size < 1 or size > 100:
             size = 10
 
-        # one multi_match evaluation serves both the page and the total
-        # (the ES reference gets hits + total from a single query too);
-        # without the cache the two actions would each rescan the corpus
-        hits = movierec.search_hits(movies, query).cache()
-        try:
-            total = hits.count()
-            page_rows = (
-                hits.orderBy(F.desc("score"), F.asc("movieId"))
-                .offset((page - 1) * size)
-                .limit(size)
-                .select("movieId", "title", "release_date", "genres")
-                .collect()
+        # one multi_match evaluation AND one Spark action serve both the
+        # page and the total (the ES reference gets hits + total from a
+        # single query too): the full hit count rides the page rows as a
+        # global count window instead of a separate count() job — at
+        # serving-request latency the per-job round-trip dominates, so
+        # halving the action count matters more than the single-partition
+        # exchange the window costs (the hit frame is catalog-bounded).
+        from pyspark.sql import Window
+
+        hits = movierec.search_hits(movies, query)
+        page_rows = (
+            hits.withColumn(
+                "__total", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
             )
-        finally:
-            hits.unpersist()
+            .orderBy(F.desc("score"), F.asc("movieId"))
+            .offset((page - 1) * size)
+            .limit(size)
+            .select("movieId", "title", "release_date", "genres", "__total")
+            .collect()
+        )
+        if page_rows:
+            total = int(page_rows[0]["__total"])
+        else:
+            # page beyond the last hit (or zero hits): the window rode
+            # rows that don't exist — one count() fallback, same frame
+            total = hits.count()
         return 200, {
             "movies": [_doc(r) for r in page_rows],
             "page": page,

@@ -71,7 +71,21 @@ def _cpu_ref_1t() -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    spark = get_spark("serving-bench")
+    # Serving-tier session conf (round-10 task 4): an online endpoint
+    # tier sizes its shuffle width to its request working set, not to
+    # the batch catalog's — every /search request moves a few thousand
+    # rows, so 32-task shuffles and AQE's per-stage re-planning rounds
+    # are pure scheduling latency here. 1 reducer + static plans is the
+    # standard low-latency posture (the batch engine keeps its own
+    # defaults; results are identical either way — tests/test_serving.py
+    # runs the same endpoints under the default conf).
+    spark = get_spark(
+        "serving-bench",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
     spark.range(1).count()
 
     # Build once, persist, serve from the parquet-backed index — the

@@ -15,18 +15,24 @@ import os
 import pytest
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT = os.path.join(HERE, "BENCH_serving_r10.json")
+ARTIFACT = os.path.join(HERE, "BENCH_serving_r11.json")
 
-# ~4x the quiet-host cached p95s (BENCH_serving_r10.json: health 82,
-# movie 63, recommend 210, search 2620 — search is the fuzzy
-# multi_match expansion, inherently several jobs per request). The
-# re-tokenize failure mode multiplies all of these ~10x.
+# ~4x the quiet-host cached p95s (BENCH_serving_r11.json: health 108,
+# movie 59, recommend 254, search 409 — the round-11 indexed posture:
+# build-time vocab, single-action page+total, literal-frame query
+# terms, serving-tier conf). The re-tokenize / per-request
+# createDataFrame failure modes multiply these ~4-10x.
 P95_BOUNDS_MS = {
-    "health": 500.0,
-    "movie": 500.0,
-    "search": 8000.0,
-    "recommend": 2000.0,
+    "health": 450.0,
+    "movie": 300.0,
+    "search": 1600.0,
+    "recommend": 1000.0,
 }
+
+# Round-10 verdict task 4 "done" bar: /search must stay an ONLINE
+# endpoint — p50 <= 400 ms on the cached-index posture (measured
+# 283.6 ms; the pre-round-11 path sat at 1261 ms).
+P50_BOUNDS_MS = {"search": 400.0}
 
 
 def test_serving_latency_bounds():
@@ -42,3 +48,10 @@ def test_serving_latency_bounds():
             f"per-request work regressed (re-tokenize/rebuild crept in?)"
         )
         assert eps[name]["n"] >= 20, f"{name}: too few requests for a p95"
+    for name, bound in P50_BOUNDS_MS.items():
+        p50 = eps[name]["p50_ms"]
+        assert p50 <= bound, (
+            f"{name} cached-index p50 {p50} ms exceeds {bound} ms — the "
+            f"indexed serving posture regressed (per-request vocab "
+            f"rebuild or createDataFrame crept back in?)"
+        )
