@@ -12,7 +12,7 @@ a corpus re-tokenize — plan-guarded by tests/test_serving.py). Request
 mix rotates deterministically over real corpus titles/ids/queries so
 no per-request plan or result is cached into triviality.
 
-Writes BENCH_serving_r10.json: per-endpoint p50/p95/max + request count
+Writes BENCH_serving_r11.json: per-endpoint p50/p95/max + request count
 + cpu_ref machine-speed reference; tests/test_serving_latency.py holds
 the regression bound against the committed artifact.
 
@@ -160,9 +160,10 @@ def main() -> None:
         "endpoints_parquet": variants["parquet"],
         "cpu_ref_1t_sec": _cpu_ref_1t(),
         "index": (
-            "persisted MovieIndex parquet (docs + postings); 'endpoints' = "
-            "memory-cached hot-serving posture, 'endpoints_parquet' = "
-            "storage-probe posture"
+            "persisted MovieIndex parquet (docs + postings + build-time "
+            "vocab), PIT-pinned loads; serving-tier conf (1 shuffle "
+            "partition, AQE off); 'endpoints' = memory-cached hot-serving "
+            "posture, 'endpoints_parquet' = storage-probe posture"
         ),
         "corpus": "MovieLens-100k u.item (1682 docs, the reference's own serving corpus)",
     }

@@ -178,14 +178,25 @@ def test_sf10_output_growth_matches_pinned_rows():
     rationale as the sf1 contract, one decade further into the
     replication stress (100 copies, so un-capped pair plans would grow
     ~100x in candidates; the pins certify the caps held)."""
-    sweep = os.path.join(ROOT, "BENCH_sf10_top20_r10.jsonl")
-    if not os.path.exists(sweep):
+    # union of the per-round sf10 sweeps, newest round winning — r11
+    # extended the rows watchlist to the cluster-loop family, so its
+    # sweep carries pins the r10 file records as rows=None
+    sweeps = sorted(
+        glob.glob(os.path.join(ROOT, "BENCH_sf10*_r*.jsonl")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    sweeps = [p for p in sweeps if "singlefile" not in p]
+    if not sweeps:
         pytest.skip("no sf10 audit artifact present")
     budget = json.load(open(BUDGET))
     pins = budget.get("__rows_sf10__") or {}
     if not pins:
         pytest.skip("no __rows_sf10__ pins in SCALE_BUDGET.json")
-    recs = _load_sweep(sweep)
+    recs: dict[str, dict] = {}
+    for p in sweeps:
+        for name, rec in _load_sweep(p).items():
+            if "rows" in rec or name not in recs:
+                recs[name] = rec
     problems = []
     for name, expected in sorted(pins.items()):
         rec = recs.get(name)
