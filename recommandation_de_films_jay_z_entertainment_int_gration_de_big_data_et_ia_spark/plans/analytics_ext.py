@@ -825,9 +825,24 @@ def q126_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode(pair_expr).alias("p"))
         .select("p.a", "p.b")
         .distinct()
+        # Lineage pin (guide §3.3 "materialise an intermediate to truncate
+        # the plan", q215's lazy-checkpoint pattern): `pairs` feeds the
+        # edge union, which feeds deg AND every iteration's contribution
+        # join — and each iteration's broadcast of `pr` re-embeds the
+        # whole prior lineage, so the basket-explode + distinct subtree
+        # appeared 8x in a 286-node physical plan (plans/r11/
+        # q126_pagerank_copurchase_before.txt). One shared RDD computes
+        # the subtree once; nothing executes at plan-build time.
+        .localCheckpoint(eager=False)
     )
     edges = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        # deg is re-read by pr0 and by every iteration's rank recompose
+        # (3 broadcasts) — pin the small (node, d) frame too.
+        .localCheckpoint(eager=False)
+    )
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     pr = deg.crossJoin(F.broadcast(n)).select(
         "node", "d", (F.lit(1.0) / F.col("n")).alias("pr")

@@ -2044,6 +2044,11 @@ def q200_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # NOTE(r11): `o` feeds both the latest-day aggregate and the scoring
+    # pass, but pinning it with a lazy localCheckpoint measured 1.9 ->
+    # 5.3 s at sf0.1: materializing the 600k-row join output costs more
+    # than running the (broadcast-joined, scan-fused) subtree twice.
+    # Deliberately left as a double evaluation.
     o = li.join(orders, li.l_orderkey == orders.o_orderkey).select("l_partkey", "day")
     g = o.groupBy().agg(F.max("day").alias("maxd"))
     t = (

@@ -422,45 +422,40 @@ def q294_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q295_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    ranked = li.withColumn("rn", F.row_number().over(w))
+    # row at rank lo+2 == the NEXT row of the same sorted partition, so it
+    # comes from lead() in the SAME window pass instead of a second join
+    # against a re-sorted copy of `ranked` (the rhi join re-ran the full
+    # 3-partition sort: 2 global sorts -> 1, one join -> zero non-broadcast
+    # joins; guide §2.4 "window functions partitioned the same way do not
+    # need a second shuffle").
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_quantity").alias("qlo"),
+        F.row_number().over(w).alias("rn_lo"),
+        F.lead("l_quantity").over(w).alias("qnext"),
+    )
     cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     pos = cnt.select(
         "l_returnflag",
         "n",
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("quartile"),
     ).select(
-        "l_returnflag",
+        F.col("l_returnflag").alias("flag_pos"),
         "n",
         "quartile",
         F.expr("(n - 1) * quartile DIV 4").alias("lo"),
         F.expr("(n - 1) * quartile % 4").alias("fnum"),
     )
-    rlo = ranked.select(
-        F.col("l_returnflag").alias("flag_lo"), F.col("rn").alias("rn_lo"),
-        F.col("l_quantity").alias("qlo"),
-    )
-    rhi = ranked.select(
-        F.col("l_returnflag").alias("flag_hi"), F.col("rn").alias("rn_hi"),
-        F.col("l_quantity").alias("qhi_raw"),
-    )
-    probe = (
-        rlo.join(
-            F.broadcast(pos),
-            (F.col("flag_lo") == F.col("l_returnflag")) & (F.col("rn_lo") == F.col("lo") + 1),
-        )
-        .join(
-            rhi,
-            (F.col("flag_hi") == F.col("l_returnflag")) & (F.col("rn_hi") == F.col("lo") + 2),
-            "left",
-        )
-        .select(
-            "l_returnflag",
-            "n",
-            F.col("quartile").cast("bigint").alias("quartile"),
-            "qlo",
-            F.coalesce(F.col("qhi_raw"), F.col("qlo")).alias("qhi"),
-            "fnum",
-        )
+    probe = ranked.join(
+        F.broadcast(pos),
+        (F.col("l_returnflag") == F.col("flag_pos")) & (F.col("rn_lo") == F.col("lo") + 1),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.col("quartile").cast("bigint").alias("quartile"),
+        "qlo",
+        F.coalesce(F.col("qnext"), F.col("qlo")).alias("qhi"),
+        "fnum",
     )
     qv = F.col("qlo") + (F.col("qhi") - F.col("qlo")) * (
         F.col("fnum").cast("double") / F.lit(4.0)
@@ -771,17 +766,25 @@ def q300_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(z AS string)))))))"
     )
 
-    def _count(combos, k: int) -> DataFrame:
-        return (
-            arr.select(F.explode(combos).alias("items"))
-            .groupBy("items")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-            .filter(F.col("support") >= 2)
-            .select(F.lit(k).cast("bigint").alias("k"), "items", "support")
+    # ONE explode + ONE aggregation for both set sizes: a 2-set string
+    # ("a,b") and a 3-set string ("a,b,c") can never collide, so counting
+    # them in the same groupBy is exact, and k falls out of the comma
+    # count afterwards. The previous two-branch union evaluated the
+    # per-order array aggregate (the lineitem shuffle) twice and ran two
+    # count shuffles (guide §2.4: remove shuffles outright — plan went
+    # 5 shuffle exchanges -> 3).
+    combined = F.concat(combos2, combos3)
+    return (
+        arr.select(F.explode(combined).alias("items"))
+        .groupBy("items")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(
+            (F.size(F.split("items", ",")) ).cast("bigint").alias("k"),
+            "items",
+            "support",
         )
-
-    return _count(combos2, 2).unionAll(_count(combos3, 3)).orderBy(
-        "k", F.desc("support"), "items"
+        .orderBy("k", F.desc("support"), "items")
     )
 
 
