@@ -74,7 +74,15 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     holds at most one such frame at a time, so the steady-state
     footprint is one (id, shingles) frame, reclaimed on the next GC.
     """
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+    from ..functions.plan import spread_small_scan
+
+    # Fan a sub-parallelism scan out before the tokenize/shingle folds
+    # (and the minhash signature folds every LSH consumer stacks on
+    # top) — single-row-group fixture files otherwise serialize the
+    # whole text pipeline onto one core (guide §2.5; no-op at scale).
+    toked = spread_small_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(text_col).alias("__tk")
+    )
     res = toked.select(
         F.col(id_col), F.array_distinct(word_shingles(F.col("__tk"), n)).alias(out)
     )
@@ -330,7 +338,13 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     sizes (and the quadratic in-bucket pair cost) stay small — 16-bit
     fingerprints produced 3M candidate pairs on a 5k corpus (58 s);
     32-bit cuts that ~15×."""
-    return df.select(F.col(id_col), simhash_hex(tokens(text_col), bits).alias("fingerprint"))
+    from ..functions.plan import spread_small_scan
+
+    # the per-token bit-vote fold is the dominant cost — spread a
+    # sub-parallelism scan before it (guide §2.5; no-op at scale)
+    return spread_small_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), simhash_hex(tokens(text_col), bits).alias("fingerprint")
+    )
 
 
 def simhash_pairs(

@@ -232,7 +232,11 @@ def embedding_neardup_pairs(
     # scan+fold subtree three times and shuffled every vector twice.
     # Vectors are single-bucketed (one table), so no pair can arise in
     # two buckets and no distinct is needed — identical output.
-    b = df.select(
+    from ..functions.plan import spread_small_scan
+
+    # spread a sub-parallelism corpus scan before the hyperplane/norm
+    # folds (guide §2.5; no-op when the scan already has >= cores splits)
+    b = spread_small_scan(df.select(id_col, vec_col)).select(
         F.struct(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),

@@ -4411,25 +4411,40 @@ def _boot_h_sql(expr: str) -> str:
 def q249_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
     rep = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("|"), F.col("r").cast("string"))),
-            1, 4,
-        ),
-        16, 10,
-    ).cast("long")
+    # Per-row cost surgery (guide §1.2 step 2, decomposed with the noop
+    # sink: explode 1.5 s, +concat 1.5 s, +md5 2.1 s, +conv 1.7 s, CASE
+    # references multiplying the chain 4x — 8.5 s total at sf0.1):
+    # 1. the threshold compare happens in HEX STRING space: md5 emits
+    #    fixed-width lowercase hex, whose lexicographic order equals the
+    #    numeric order of any fixed-width prefix, so
+    #    conv(substr(h,1,4),16,10) < T  <=>  h < lower_hex_4(T) as a
+    #    plain string compare — the conv (generic base conversion, the
+    #    single most expensive link) disappears; the oracle keeps the
+    #    conv spelling and the VALUES are provably identical;
+    # 2. the hash lives in its OWN projection so the 4-branch CASE
+    #    references an attribute, not 4 copies of the chain
+    #    (CollapseProject refuses to re-inline a non-cheap expression
+    #    referenced more than once — guide §4.4's pathology in built-in
+    #    form);
+    # 3. the orderkey is cast to string ONCE per order, before the
+    #    40-way replicate explode, not once per (order, r).
+    # Together: 8.5 -> 6.1 s at sf0.1 (min of 3, ~1% steal).
+    hexed = ["%04x" % t for t in _BOOT_T]
+    hc = F.col("__h")
     cnt = (
-        F.when(h < _BOOT_T[0], 0)
-        .when(h < _BOOT_T[1], 1)
-        .when(h < _BOOT_T[2], 2)
-        .when(h < _BOOT_T[3], 3)
+        F.when(hc < hexed[0], 0)
+        .when(hc < hexed[1], 1)
+        .when(hc < hexed[2], 2)
+        .when(hc < hexed[3], 3)
         .otherwise(4)
     )
+    h = F.md5(F.concat(F.col("__k"), F.lit("|"), F.col("r").cast("string")))
     drawn = orders.select(
+        F.col("o_orderkey").cast("string").alias("__k"),
         "o_orderpriority",
-        rep,
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
-        F.col("o_orderkey"),
+    ).select("o_orderpriority", rep, "price", "__k").select(
+        "o_orderpriority", "r", h.alias("__h"), "price"
     ).select("o_orderpriority", "r", cnt.alias("cnt"), "price")
     means = drawn.groupBy("o_orderpriority", "r").agg(
         (

@@ -96,6 +96,14 @@ def _ntz_as_utc(col_name: str) -> F.Column:
 # parquet-scan shapes.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Tables whose consumers are dominated by per-row expression work
+# (text tokenization/hash folds, embedding vector folds) rather than
+# scan/aggregate throughput — the two classes where a sub-parallelism
+# scan serializes the query (see load_table). Fact/dim tables stay
+# un-spread: shuffling raw fact rows costs more than their single-task
+# partial aggregation (measured 0.30 -> 1.17 s on a q01-class agg).
+_EXPANSION_HEAVY_TABLES = {"documents", "embeddings"}
+
 
 def _session_key(spark: SparkSession) -> str:
     """Stable identity for a live session. ``id(spark)`` is unsafe here:
@@ -159,6 +167,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", _ntz_as_utc("ts"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _EXPANSION_HEAVY_TABLES:
+        # documents/embeddings feed interpreted per-row folds (tokenize/
+        # shingle/md5 signatures, vector dot folds) in virtually every
+        # consumer, and a single-row-group fixture file is ONE input
+        # split no matter the split conf — serializing all of that onto
+        # one core (guide §2.5 input skew; the round-10 sf10 audit's
+        # starvation class, present in the driver's own sf0.1 layout).
+        # spread_small_scan is a no-op whenever the scan already yields
+        # >= defaultParallelism partitions, i.e. on any production-sized
+        # corpus; locally it shuffles <= a few MB once. Catalyst still
+        # pushes column pruning and filters below the round-robin
+        # exchange, so pruned scans stay pruned.
+        from ..functions.plan import spread_small_scan
+
+        df = spread_small_scan(df)
     if cache_on:
         from pyspark import StorageLevel
 
