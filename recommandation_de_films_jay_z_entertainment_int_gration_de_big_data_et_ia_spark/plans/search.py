@@ -1080,7 +1080,10 @@ _COMPOSITE_SIZE = 5
     """,
 )
 def q255_composite_agg_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=False: pure scan-aggregate — the partial agg collapses the
+    # table on the scan task, so the round-5 "ONE exchange" contract
+    # (test_round5_plan_shapes) holds and no full-row shuffle is paid.
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     a_lang, a_src = _COMPOSITE_AFTER
     after = (F.col("lang") > a_lang) | (
         (F.col("lang") == a_lang) & (F.col("source") > a_src)

@@ -135,8 +135,14 @@ def clear_table_cache(spark: SparkSession | None = None) -> None:
             del _TABLE_CACHE[k]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str, *, spread: bool = True) -> DataFrame:
     """S3: parquet scan of one driver testdata table.
+
+    ``spread=False`` opts a consumer out of the expansion-heavy
+    ``spread_small_scan`` (below): pure scan-aggregates whose partial
+    aggregation collapses the table before any exchange (q255's
+    composite-pagination contract is literally "ONE exchange") gain
+    nothing from the fan-out and would pay a full-row shuffle for it.
 
     ``events.parquet``'s ``ts`` is normalized to a UTC-anchored
     TIMESTAMP_LTZ regardless of how the fixture was written:
@@ -155,7 +161,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       tests/test_timezone.py).
     """
     cache_on = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
-    key = (_session_key(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, f"{name}|spread={spread}")
     if cache_on and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     if name == "events":
@@ -167,7 +173,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", _ntz_as_utc("ts"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _EXPANSION_HEAVY_TABLES:
+    if spread and name in _EXPANSION_HEAVY_TABLES:
         # documents/embeddings feed interpreted per-row folds (tokenize/
         # shingle/md5 signatures, vector dot folds) in virtually every
         # consumer, and a single-row-group fixture file is ONE input

@@ -171,24 +171,32 @@ def test_ivf_recall_floor_and_monotonicity(spark, sf_dir):
         similarity as SIM,
     )
 
+    # cache for the 48 collects below, but ALWAYS unpersist: a leaked
+    # cache entry is substituted by CacheManager into every later
+    # plan-matching subtree in the shared session, silently changing
+    # other tests' physical plans (test_plan_budget counted the cached
+    # build plan's spread Exchange as a live shuffle regression).
     emb = load_table(spark, sf_dir, "embeddings").cache()
+    try:
 
-    def recall(nprobe: int) -> float:
-        total = 0.0
-        for t in range(8):
-            exact = {r.vec_id for r in SIM.cosine_topk(emb, "vec_id", "embedding", t, k=10).collect()}
-            ann = {
-                r.vec_id
-                for r in SIM.cosine_topk_ivf(
-                    emb, "vec_id", "embedding", t, k=10, nlist=8, nprobe=nprobe
-                ).collect()
-            }
-            total += len(exact & ann) / 10
-        return total / 8
+        def recall(nprobe: int) -> float:
+            total = 0.0
+            for t in range(8):
+                exact = {r.vec_id for r in SIM.cosine_topk(emb, "vec_id", "embedding", t, k=10).collect()}
+                ann = {
+                    r.vec_id
+                    for r in SIM.cosine_topk_ivf(
+                        emb, "vec_id", "embedding", t, k=10, nlist=8, nprobe=nprobe
+                    ).collect()
+                }
+                total += len(exact & ann) / 10
+            return total / 8
 
-    r1, r2, r3 = recall(1), recall(2), recall(3)
-    assert r2 >= 0.8, f"IVF recall@10 floor broken: {r2}"
-    assert r1 <= r2 <= r3  # probing more cells never loses candidates
+        r1, r2, r3 = recall(1), recall(2), recall(3)
+        assert r2 >= 0.8, f"IVF recall@10 floor broken: {r2}"
+        assert r1 <= r2 <= r3  # probing more cells never loses candidates
+    finally:
+        emb.unpersist()
 
 
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
