@@ -21,6 +21,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.plan import with_once
+
 
 def train_als(
     ratings: DataFrame,
@@ -208,23 +210,26 @@ def pq_factor_codebook(
             ).alias("cents")
         )
 
-    assign_cid = None
+    dim = rank // m
     for _ in range(lloyd_iters):
         with_c = sub.crossJoin(F.broadcast(nest(cent)))
+        # Pin the distance fold to ONE evaluation per row: the
+        # array_position/array_min pair below references it twice, and
+        # interpreted lambdas do no CSE (functions/plan.with_once).
         dists = F.transform(
             F.element_at("cents", F.col("s") + 1), lambda cvec: _l2(F.col("sv"), cvec)
         )
-        assigned = with_c.select(
+        with_d = with_once(with_c, "__d", dists)
+        assigned = with_d.select(
             "__pid", "s", "sv",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cid"),
+            (F.array_position("__d", F.array_min("__d")) - 1).cast("int").alias("cid"),
         )
-        cent = (
-            assigned.select("s", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("s", "cid", "pos")
-            .agg(F.avg("x").alias("mx"))
-            .groupBy("s", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("ps"))
-            .select("s", "cid", F.transform("ps", lambda p: p["mx"]).alias("c"))
+        # Mean update in ONE partial-aggregatable shuffle: element-wise
+        # avg per (s, cid) with the sub-dimension unrolled statically
+        # (dim = rank/m is a small constant), instead of the
+        # posexplode -> groupBy(s,cid,pos) -> re-nest double shuffle.
+        cent = assigned.groupBy("s", "cid").agg(
+            F.array(*[F.avg(F.col("sv")[i]) for i in range(dim)]).alias("c")
         )
         # codebook is <= m*kcodes tiny rows but its lineage re-scans the
         # corpus per round; pin it so each Lloyd round scans once
@@ -267,7 +272,7 @@ def ann_factor_topk(
     rank: int,
     k: int,
     cand_budget: int = 2048,
-    m: int = 4,
+    m: int = 2,
     user_col: str = "user",
     item_col: str = "item",
     score_col: str = "predicted_rating",
@@ -282,7 +287,7 @@ def ann_factor_topk(
 
     n_items = itf.count()
     if kcodes is None:
-        kcodes = 8  # 8^4 = 4096 product cells; occupied <= min(4096, N)
+        kcodes = 16  # kcodes^m product cells (16^2 = 256 at the default m)
     kcodes = min(kcodes, max(2, n_items))
 
     cents1 = pq_factor_codebook(

@@ -329,13 +329,18 @@ def multi_match_bm25(
     for p in stats_parts[1:]:
         stats = stats.unionAll(p)
 
-    tfs = expl.groupBy("f", "__id", "__dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df per (field, term) = number of (doc, term) rows in tfs. The
-    # vocabulary branch re-evaluates the explode+agg subtree (Catalyst
-    # prunes the tf expression there, so the exchanges aren't
-    # reuse-equal): the inline path costs two corpus passes per query
-    # batch. At scale, persist the vocabulary once per corpus snapshot
-    # and substitute it here — the q68 prebuilt-index pattern.
+    # tfs feeds the vocabulary AND the final scoring join, and those
+    # consumers are strictly SEQUENTIAL (vocab -> fuzzy expansion ->
+    # scoring join back against tfs), so without a pin the tokenize +
+    # explode + (f,id,term) shuffle runs twice back-to-back — no
+    # parallel-stage overlap to lose (the pattern where a lazy pin was
+    # measured slower, q200/q216, does not apply). Lazy checkpoint:
+    # one corpus pass per query batch. At scale, persist the vocabulary
+    # once per corpus snapshot and substitute it — the q68
+    # prebuilt-index pattern (multi_match_bm25_indexed below).
+    tfs = expl.groupBy("f", "__id", "__dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     vocab = tfs.groupBy("f", "term").agg(F.count(F.lit(1)).alias("df"))
     # one pass over the vocabulary expands ALL query terms, with ES's
     # prefix_length / max_expansions enumeration bounds

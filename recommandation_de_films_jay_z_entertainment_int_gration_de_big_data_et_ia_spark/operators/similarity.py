@@ -354,14 +354,22 @@ def cosine_topk_lsh_batch(
     qv = b.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv"), F.col("__nrm").alias("__qn")
     ).filter(F.col("qid").isin(list(target_ids)))
+    # Join candidates to the RAW vectors and compute the candidate-side
+    # norm AFTER the join: the old plan joined against `b`, whose __nrm
+    # projection re-ran the interpreted norm fold over the FULL corpus a
+    # second time; candidates are a tiny fraction of the corpus, so the
+    # fold now runs only where it is consumed (guide §2.3: project early,
+    # compute late). Same expression per row — identical scores.
     scored = (
-        pairs.join(b.select(id_col, vec_col, "__nrm"), on=id_col)
+        pairs.join(df.select(id_col, vec_col), on=id_col)
         .join(F.broadcast(qv), on="qid")
         .select(
             "qid",
             id_col,
             F.round(
-                dot(F.col(vec_col), F.col("__qv")) / (F.col("__nrm") * F.col("__qn")), 4
+                dot(F.col(vec_col), F.col("__qv"))
+                / (norm(F.col(vec_col)) * F.col("__qn")),
+                4,
             ).alias(score_col),
         )
     )

@@ -461,6 +461,11 @@ def q75_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # baskets feeds BOTH the pair explode and the popularity count; the
+    # lazy pin makes its groupBy shuffle run once — and popularity comes
+    # from exploding the already-distinct parts arrays, which is
+    # value-identical to DISTINCT(l_orderkey, l_partkey) but drops the
+    # second full fact scan + distinct shuffle the old plan paid.
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
@@ -468,6 +473,8 @@ def q75_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flatten(transform(parts, (a, i) ->"
         " transform(slice(parts, i + 2, size(parts)), b -> struct(a AS part_a, b AS part_b))))"
     )
+    # support is consumed twice (the symmetric union below); pin it so
+    # the pair explode + (a, b) shuffle run once.
     support = (
         baskets.select(F.explode(pair_expr).alias("p"))
         .select("p.part_a", "p.part_b")
@@ -476,7 +483,7 @@ def q75_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup") >= 2)
     )
     pop = (
-        li.select("l_orderkey", F.col("l_partkey").alias("part")).distinct()
+        baskets.select(F.explode("parts").alias("part"))
         .groupBy("part").agg(F.count(F.lit(1)).alias("pop"))
     )
     sym = support.select(

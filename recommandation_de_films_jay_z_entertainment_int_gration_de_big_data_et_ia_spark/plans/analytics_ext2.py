@@ -1716,13 +1716,28 @@ def q195_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = pos_arms[0]
     for arm in pos_arms[1:]:
         pos = pos.unionAll(arm)
-    bits = pos.groupBy().agg(F.array_sort(F.collect_set("p")).alias("bs"))
-    probe = orders.crossJoin(F.broadcast(bits)).withColumn(
+    # 1-row frame, two consumers (dense probe + n_bits_set): pin it
+    bits = pos.groupBy().agg(
+        F.array_sort(F.collect_set("p")).alias("bs")
+    ).localCheckpoint(eager=False)
+    # Probe via a DENSE boolean array indexed by position: element_at on
+    # an array ordinal is O(1), while array_contains LINEARLY scans the
+    # ~0.5*M set per probe — at 3 probes x |orders| x |bs| comparisons
+    # that scan dominated the query. The dense form is built ONCE on the
+    # 1-row bits frame (O(M * |bs|), sub-second) and broadcast; the
+    # candidate predicate is value-identical.
+    dense = bits.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_M - 1)),
+            lambda i: F.array_contains("bs", i.cast("int")),
+        ).alias("bd")
+    )
+    probe = orders.crossJoin(F.broadcast(dense)).withColumn(
         "candidate",
         F.lit(True)
-        & F.array_contains("bs", _bloom_pos_col(0, F.col("o_custkey")))
-        & F.array_contains("bs", _bloom_pos_col(1, F.col("o_custkey")))
-        & F.array_contains("bs", _bloom_pos_col(2, F.col("o_custkey"))),
+        & F.element_at("bd", _bloom_pos_col(0, F.col("o_custkey")) + 1)
+        & F.element_at("bd", _bloom_pos_col(1, F.col("o_custkey")) + 1)
+        & F.element_at("bd", _bloom_pos_col(2, F.col("o_custkey")) + 1),
     )
     agg = probe.groupBy().agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -2105,10 +2120,12 @@ def q200_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q201_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # both rankings consume this aggregate: pin it so the fact scan +
+    # per-part shuffle run once instead of once per ranking branch
     per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).alias("rev"),
         F.sum(dec("l_quantity")).alias("qty"),
-    )
+    ).localCheckpoint(eager=False)
     ra = per_part.select(
         "partkey", F.row_number().over(Window.orderBy(F.desc("rev"), F.asc("partkey"))).alias("r_rev")
     ).filter(F.col("r_rev") <= 50)
@@ -2925,23 +2942,30 @@ def q215_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
+    # Generate each unordered pair ONCE (a < b): support is symmetric,
+    # so exploding both directions only to re-count them doubles the
+    # rows through the explode and the (a, b) shuffle — the ~630M-row
+    # stage at sf10 (SCALE_r10) becomes ~315M. The full symmetric table
+    # is mirrored AFTER the aggregate (a projection, no extra shuffle).
     pair_expr = F.expr(
-        "flatten(transform(parts, a -> transform(filter(parts, b -> b != a),"
+        "flatten(transform(parts, a -> transform(filter(parts, b -> b > a),"
         " b -> struct(a AS a, b AS b))))"
     )
-    pairs = (
+    half = (
         baskets.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("sup"))
-        # `pairs` feeds BOTH the truncated edge set and the direct-edge
-        # anti-join; without a lineage pin the basket-pair explode (the
-        # ~630M-row stage at sf10, SCALE_r10) and its (a,b) shuffle run
-        # TWICE — the round-10 sf10 flag (18.2x) was mostly this double
-        # computation. Lazy checkpoint: materialized on first use inside
-        # the job, reused by the second consumer, nothing executes at
-        # plan-build time.
+        # `half` feeds the truncated edge set (via the mirror) AND the
+        # direct-edge anti-join; without a lineage pin the basket-pair
+        # explode and its (a,b) shuffle run TWICE — the round-10 sf10
+        # flag (18.2x) was mostly this double computation. Lazy
+        # checkpoint: materialized on first use inside the job, reused
+        # by the second consumer, nothing executes at plan-build time.
         .localCheckpoint(eager=False)
+    )
+    pairs = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"), "sup")
     )
     w_fwd = Window.partitionBy("a").orderBy(F.desc("sup"), F.asc("b"))
     fwd = pairs.withColumn("rn", F.row_number().over(w_fwd)).filter(
@@ -2960,7 +2984,10 @@ def q215_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    cand = two_hop.join(pairs.select("a", "b"), ["a", "b"], "left_anti")
+    # two_hop already enforces a < b, so a candidate is a direct edge
+    # iff it appears in the a<b HALF — anti-join the un-mirrored side
+    # (half the build rows of the symmetric table).
+    cand = two_hop.join(half.select("a", "b"), ["a", "b"], "left_anti")
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     scored = (
@@ -3034,6 +3061,11 @@ def q215_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q216_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytics_ext import q75_item_item_similarity
 
+    # two consumers (coverage + diversity) replay the q75 pipeline; a
+    # lazy-checkpoint pin was MEASURED SLOWER here (3.61 vs 2.93 s at
+    # sf0.1): the two replayed subtrees run as parallel stages inside
+    # one job, while the pin serializes materialize-then-consume (the
+    # q200 lesson from batch 1). Left as a deliberate double evaluation.
     topk = q75_item_item_similarity(spark, sf_dir).select("item", "neigh")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     nparts = part.groupBy().agg(F.count(F.lit(1)).alias("n_parts"))

@@ -120,7 +120,7 @@ def q402_als_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uf = model.userFactors.select(F.col("id").alias("id"), "features")
     itf = model.itemFactors.select(F.col("id").alias("id"), "features")
     recs = REC.ann_factor_topk(
-        uf, itf, rank=8, k=_ALS_K, cand_budget=3072, lloyd_iters=3
+        uf, itf, rank=8, k=_ALS_K, cand_budget=4608, lloyd_iters=3
     ).select("user", "item", F.col("predicted_rating").cast("double").alias("score"))
     return _als_contract_fold(recs, ratings)
 

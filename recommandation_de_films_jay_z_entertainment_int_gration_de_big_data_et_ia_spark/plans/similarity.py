@@ -691,38 +691,75 @@ def _pq_encode(spark: SparkSession, sf_dir: str):
 def pq_encode_df(sub: DataFrame):
     """Returns (code, cent): final (vec_id, s, cid) encoding and the
     refined per-subspace codebook (s, cid, c). ``sub`` is the
-    (vec_id, s, sv) subspace frame from :func:`pq_sub_frame_df`."""
+    (vec_id, s, sv) subspace frame from :func:`pq_sub_frame_df`.
+
+    r11 plan surgery (values bit-identical to the window formulation the
+    DuckDB oracle mirrors):
+    - assignment is an expression-level argmin against the codebook
+      folded into ONE broadcast nested-array row, instead of a
+      sub x cents join + row_number window — the window cost a full
+      (vec_id, s) shuffle AND sort of the k-times-expanded frame, twice
+      (a0 and the final code). Ties resolve to the FIRST array position
+      = the smallest cid, exactly the old (dist, cid) window order; the
+      id array keeps original cids so a code that loses all members
+      can never renumber its survivors.
+    - the decimal mean update is one partial-aggregatable shuffle with
+      the position unrolled statically (decimal sums are exact, hence
+      order-independent), instead of posexplode -> groupBy(s,cid,pos)
+      -> collect_list re-nest (two shuffles + a sort).
+    """
     from pyspark.sql import Window
+
+    from ..functions.plan import with_once
 
     w_seed = Window.partitionBy("s").orderBy("vec_id")
     cent0 = sub.filter(F.col("vec_id") < _PQ_K).select(
         "s", (F.row_number().over(w_seed) - 1).cast("int").alias("cid"), F.col("sv").alias("c")
     )
-    w_min = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
+
+    def _nest(cent: DataFrame) -> DataFrame:
+        """(s, cid, c) -> one row: ids[s][j] = cid, cs[s][j] = c, both
+        cid-ascending within s, s-ascending outer."""
+        per_s = cent.groupBy("s").agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("e")
+        )
+        return per_s.agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("o")
+        ).select(
+            F.transform("o", lambda o: F.transform(o["e"], lambda x: x["cid"])).alias("__ids"),
+            F.transform("o", lambda o: F.transform(o["e"], lambda x: x["c"])).alias("__cs"),
+        )
 
     def assign(cent: DataFrame) -> DataFrame:
-        return (
-            sub.join(F.broadcast(cent), "s")
-            .withColumn("dist", _pq_dist(F.col("sv"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w_min))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "sv", "cid")
+        with_c = sub.crossJoin(F.broadcast(_nest(cent)))
+        dists = F.transform(
+            F.element_at("__cs", F.col("s") + 1), lambda cv: _pq_dist(F.col("sv"), cv)
+        )
+        with_d = with_once(with_c, "__d", dists)
+        return with_d.select(
+            "vec_id",
+            "s",
+            "sv",
+            F.element_at(
+                F.element_at("__ids", F.col("s") + 1),
+                F.array_position("__d", F.array_min("__d")).cast("int"),
+            ).alias("cid"),
         )
 
     a0 = assign(cent0)
-    sums = (
-        a0.select("s", "cid", F.posexplode("sv").alias("pos0", "x"))
-        .groupBy("s", "cid", "pos0")
-        .agg(
-            F.sum(F.round("x", 6).cast("decimal(18,6)")).alias("sx"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    sums = a0.groupBy("s", "cid").agg(
+        *[
+            F.sum(F.round(F.col("sv")[i], 6).cast("decimal(18,6)")).alias(f"__sx{i}")
+            for i in range(_PQ_SUB)
+        ],
+        F.count(F.lit(1)).alias("n"),
     )
-    cent = (
-        sums.select("s", "cid", "pos0", (F.col("sx").cast("double") / F.col("n")).alias("m"))
-        .groupBy("s", "cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos0", "m"))).alias("pm"))
-        .select("s", "cid", F.transform("pm", lambda st: st["m"]).alias("c"))
+    cent = sums.select(
+        "s",
+        "cid",
+        F.array(
+            *[(F.col(f"__sx{i}").cast("double") / F.col("n")) for i in range(_PQ_SUB)]
+        ).alias("c"),
     )
     code = assign(cent).select("vec_id", "s", "cid")
     return code, cent
