@@ -78,6 +78,8 @@ def test_table_cache_keyed_by_application_id(spark, sf_dir, monkeypatch):
     a = load_table(spark, sf_dir, "region")
     b = load_table(spark, sf_dir, "region")
     assert a is b
-    assert (key, sf_dir, "region") in readers._TABLE_CACHE
+    # key carries the spread variant since the r11 q255 opt-out, so a
+    # spread=False consumer can never be served a spread frame
+    assert (key, sf_dir, "region|spread=True") in readers._TABLE_CACHE
     clear_table_cache(spark)
     assert not readers._TABLE_CACHE
