@@ -21,7 +21,6 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.plan import with_once
 
 
 def train_als(
@@ -121,12 +120,12 @@ def popular_unseen(
 # operator wires them to the factor matrices:
 #
 #   1. Product-quantize the ITEM factor matrix: m subspaces of the
-#      rank-d vector, a tiny per-subspace codebook (Lloyd iterations
-#      with the codebook as a broadcast nested array — assignment is a
-#      per-row expression, never a shuffle), items grouped into product
-#      cells (cell = the m-tuple of code ids). kcodes adapts to the
-#      catalog size so cell count tracks items (IVF's sqrt-N discipline,
-#      capped): per-user coarse cost stays O(cells), bounded.
+#      rank-d vector, a tiny per-subspace codebook (Lloyd runs
+#      driver-side in numpy over a bounded id-sorted sample — the
+#      standard PQ training posture; r12 surgery, see ann_factor_topk),
+#      items grouped into product cells (cell = the m-tuple of code
+#      ids) by ONE vectorized mapInPandas pass — never a shuffle.
+#      Per-user coarse cost stays O(cells), bounded.
 #   2. Coarse stage, map-only over USERS: the whole index (per-subspace
 #      codebooks + occupied-cell directory with item counts) folds into
 #      ONE broadcast row (index metadata, the _centroid_frame idiom —
@@ -149,121 +148,77 @@ def popular_unseen(
 # ---------------------------------------------------------------------------
 
 
-def _sub_slices(vec_col, rank: int, m: int):
-    """array<array<double>>: the m contiguous rank/m-dim subvectors."""
-    sub = rank // m
-    return F.array(
-        *[
-            F.transform(F.slice(vec_col, s * sub + 1, sub), lambda x: x.cast("double"))
-            for s in range(m)
-        ]
-    )
+def pq_factor_codebook_np(
+    samp, rank: int, m: int, kcodes: int, lloyd_iters: int = 2
+):
+    """Train per-subspace codebooks over an id-SORTED factor sample
+    (numpy ``(n, rank)`` float64). Driver-side Lloyd — the standard PQ
+    training posture (Jégou et al. train codebooks on a bounded sample;
+    the sample here is the ``train_sample`` lowest-id vectors so the
+    seeding is deterministic and identical to the former distributed
+    form: seeds = the ``kcodes`` lowest-id vectors, assignment = L2
+    argmin with ties to the smallest surviving cid, update = per-(s,
+    cid) mean, codes that lose every member drop out while survivors
+    keep their cids). Returns ``(cids, cents)``: per subspace ``s``,
+    ``cids[s]`` the ascending surviving code ids and ``cents[s]`` the
+    matching ``(len(cids[s]), rank/m)`` centroid matrix.
 
-
-def _dotd(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def _l2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def pq_factor_codebook(
-    itf: DataFrame, id_col: str, vec_col: str, rank: int, m: int, kcodes: int,
-    lloyd_iters: int = 2,
-) -> DataFrame:
-    """Train per-subspace codebooks over a factor matrix; returns the
-    1-row nested-array frame ``cents[s][cid] -> array<double>`` (seeded
-    init = the kcodes lowest-id vectors, then ``lloyd_iters`` rounds of
-    expression-side assignment + partial-agg mean update; every shuffle
-    in here is a <= m*kcodes*dims-group partial aggregate)."""
-    sub = itf.select(
-        F.col(id_col).alias("__pid"),
-        F.posexplode(_sub_slices(F.col(vec_col), rank, m)).alias("s", "sv"),
-    )
-    seeds = itf.orderBy(id_col).limit(kcodes).select(
-        F.col(id_col).alias("__pid"),
-        F.posexplode(_sub_slices(F.col(vec_col), rank, m)).alias("s", "sv"),
-    )
-    w_seed = Window.partitionBy("s").orderBy("__pid")
-    cent = seeds.select(
-        "s", (F.row_number().over(w_seed) - 1).cast("int").alias("cid"), F.col("sv").alias("c")
-    )
-
-    def nest(cent_df: DataFrame) -> DataFrame:
-        """(s, cid, c) -> one row: cents[s][cid] = c (cid-sorted per s,
-        s-sorted outer)."""
-        per_s = cent_df.groupBy("s").agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
-        )
-        return per_s.agg(
-            F.array_sort(F.collect_list(F.struct("s", "cs"))).alias("__o")
-        ).select(
-            F.transform(
-                "__o", lambda o: F.transform(o["cs"], lambda e: e["c"])
-            ).alias("cents")
-        )
+    Replaces r11's distributed Lloyd (3 eager localCheckpoint jobs + a
+    codebook collect serialized on the driver, ~3 s of the q402 hot
+    path at sf0.1) with zero Spark jobs: the codebook is index METADATA
+    (m * kcodes * dim doubles), and the sample is bounded regardless of
+    catalog size, so this is driver-bounded work at any scale.
+    """
+    import numpy as np
 
     dim = rank // m
+    X = samp.reshape(len(samp), m, dim)
+    cids = [np.arange(min(kcodes, len(samp)), dtype=np.int64) for _ in range(m)]
+    cents = [X[: len(cids[s]), s].copy() for s in range(m)]
     for _ in range(lloyd_iters):
-        with_c = sub.crossJoin(F.broadcast(nest(cent)))
-        # Pin the distance fold to ONE evaluation per row: the
-        # array_position/array_min pair below references it twice, and
-        # interpreted lambdas do no CSE (functions/plan.with_once).
-        dists = F.transform(
-            F.element_at("cents", F.col("s") + 1), lambda cvec: _l2(F.col("sv"), cvec)
-        )
-        with_d = with_once(with_c, "__d", dists)
-        assigned = with_d.select(
-            "__pid", "s", "sv",
-            (F.array_position("__d", F.array_min("__d")) - 1).cast("int").alias("cid"),
-        )
-        # Mean update in ONE partial-aggregatable shuffle: element-wise
-        # avg per (s, cid) with the sub-dimension unrolled statically
-        # (dim = rank/m is a small constant), instead of the
-        # posexplode -> groupBy(s,cid,pos) -> re-nest double shuffle.
-        cent = assigned.groupBy("s", "cid").agg(
-            F.array(*[F.avg(F.col("sv")[i]) for i in range(dim)]).alias("c")
-        )
-        # codebook is <= m*kcodes tiny rows but its lineage re-scans the
-        # corpus per round; pin it so each Lloyd round scans once
-        cent = cent.localCheckpoint(eager=True)
-    return nest(cent)
+        for s in range(m):
+            d = ((X[:, s, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # first min = smallest surviving cid
+            keep = np.unique(a)  # ascending positions == ascending cids
+            cents[s] = np.stack([X[a == j, s].mean(axis=0) for j in keep])
+            cids[s] = cids[s][keep]
+    return cids, cents
 
 
-def pq_assign_cells(
-    itf: DataFrame, cents1: DataFrame, id_col: str, vec_col: str,
+def pq_assign_cells_np(
+    itf: DataFrame, cids, cents, id_col: str, vec_col: str,
     rank: int, m: int, kcodes: int,
 ) -> DataFrame:
-    """(id, features, cell_key): nearest-code product-cell assignment —
-    one corpus scan, assignment fully in-expression against the
-    broadcast codebook row."""
-    with_c = itf.crossJoin(F.broadcast(cents1))
-    subs = _sub_slices(F.col(vec_col), rank, m)
-    cids = F.zip_with(
-        subs,
-        F.col("cents"),
-        lambda sv, sc: (
-            F.array_position(
-                F.transform(sc, lambda cvec: _l2(sv, cvec)),
-                F.array_min(F.transform(sc, lambda cvec: _l2(sv, cvec))),
-            )
-            - 1
-        ).cast("int"),
-    )
-    key = F.aggregate(
-        cids, F.lit(0), lambda acc, c: acc * F.lit(kcodes) + c
-    ).cast("int")
-    return with_c.select(
-        F.col(id_col), F.col(vec_col), key.alias("cell_key"),
-        cids.alias("__cids"),
-    )
+    """(id, vec as double, cell_key): nearest-code product-cell
+    assignment — one corpus scan through ``mapInPandas`` with the tiny
+    codebook captured in the task closure; the argmin is a vectorized
+    numpy kernel instead of r11's interpreted zip_with/aggregate lambda
+    folds (which evaluated the distance fold twice per subspace)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = rank // m
+    out_schema = f"{id_col} int, {vec_col} array<double>, cell_key int"
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(len(pdf), m, dim)
+            key = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(m):
+                d = ((X[:, s, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+                key = key * kcodes + cids[s][d.argmin(axis=1)]
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell_key"] = key.astype("int32")
+            yield out
+
+    return itf.select(
+        F.col(id_col).cast("int").alias(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+    ).mapInPandas(_assign, out_schema)
 
 
 def ann_factor_topk(
@@ -278,44 +233,79 @@ def ann_factor_topk(
     score_col: str = "predicted_rating",
     kcodes: int | None = None,
     lloyd_iters: int = 2,
+    train_sample: int = 65536,
 ) -> DataFrame:
     """Approximate batch top-k over ALS factors: (user, item, score) with
     exactly k rows per user (budget >= k guaranteed by whole-cell
-    selection). See the module-level design note."""
+    selection). See the module-level design note.
+
+    ``m``/``kcodes`` defaults (2/16 = 256 product cells) were retuned in
+    r11 FOR rank=8, cand_budget≈4608 (recall@5 0.959 pinned at sf0.1);
+    other ranks/budgets should re-validate recall before relying on the
+    defaults. ``train_sample`` bounds the codebook-training sample (the
+    ``train_sample`` lowest-id item vectors — deterministic), so index
+    construction is driver-bounded at any catalog size; assignment and
+    scoring always cover EVERY item.
+
+    r12 index-build surgery (VERDICT r11 task 1 — the plan-build phase
+    serialized ~6 driver actions, ~4.6 s of the 12.8 s warm path):
+    ONE bounded collect fetches the training sample (replacing the
+    separate itf.count()), Lloyd runs driver-side in numpy (replacing 3
+    eager localCheckpoint jobs + a codebook collect), cell assignment is
+    a vectorized mapInPandas (replacing interpreted zip_with/aggregate
+    folds), the occupied-cell directory folds into ONE collect whose
+    cell ids decode arithmetically from cell_key (no first(__cids)
+    carry), and item_cells is lazily pinned so the directory action
+    materializes the one assignment pass the re-rank then reuses.
+    """
     import numpy as np
     import pandas as pd
 
-    n_items = itf.count()
     if kcodes is None:
         kcodes = 16  # kcodes^m product cells (16^2 = 256 at the default m)
-    kcodes = min(kcodes, max(2, n_items))
 
-    cents1 = pq_factor_codebook(
-        itf, "id", "features", rank, m, kcodes, lloyd_iters=lloyd_iters
+    # ONE bounded driver action: the id-sorted training sample
+    # (TakeOrderedAndProject — no full sort). Also yields the catalog
+    # size when the sample covers it, which is all the kcodes clamp
+    # needs (a sample >= train_sample rows already exceeds any kcodes).
+    samp_rows = (
+        itf.orderBy("id").limit(int(train_sample)).select("features").collect()
     )
-    item_cells = pq_assign_cells(itf, cents1, "id", "features", rank, m, kcodes)
+    samp = np.array([list(r["features"]) for r in samp_rows], dtype=np.float64)
+    kcodes = min(kcodes, max(2, len(samp)))
+
+    cids, cents = pq_factor_codebook_np(
+        samp, rank, m, kcodes, lloyd_iters=lloyd_iters
+    )
+    item_cells = pq_assign_cells_np(
+        itf, cids, cents, "id", "features", rank, m, kcodes
+    )
+    # Lazy pin: the directory collect below materializes the single
+    # assignment pass; the exact re-rank reuses it instead of re-running
+    # the corpus scan (the r11 sequential-consumer rule).
+    item_cells = item_cells.localCheckpoint(eager=False)
 
     # Occupied-cell directory: (cell_key, reconstructed centroid, item
-    # count) — index METADATA, <= kcodes^m (4096) rows regardless of
-    # corpus size. Collected once on the driver and shipped to executors
-    # as a broadcast variable for the numpy coarse stage; this is the
-    # same information _centroid_frame ships as a 1-row broadcast frame,
-    # in the representation the BLAS kernel wants. (The DATA — user and
-    # item factors — never touches the driver.)
+    # count) — index METADATA, <= kcodes^m rows regardless of corpus
+    # size, gathered in ONE collect (cell ids decode arithmetically from
+    # cell_key, so the assignment no longer carries a __cids array) and
+    # shipped to executors as a broadcast variable for the numpy coarse
+    # stage. (The DATA — user and item factors — never touches the
+    # driver.)
     spark = itf.sparkSession
     cells_rows = sorted(
-        item_cells.groupBy("cell_key")
-        .agg(F.count(F.lit(1)).alias("n"), F.first("__cids").alias("cids"))
-        .collect(),
+        item_cells.groupBy("cell_key").agg(F.count(F.lit(1)).alias("n")).collect(),
         key=lambda r: r["cell_key"],
     )
-    cents = cents1.collect()[0]["cents"]  # [s][cid] -> sub-centroid
     keys_np = np.array([r["cell_key"] for r in cells_rows], dtype=np.int64)
     counts_np = np.array([r["n"] for r in cells_rows], dtype=np.int64)
-    vecs_np = np.array(
-        [np.concatenate([cents[s][c] for s, c in enumerate(r["cids"])]) for r in cells_rows],
-        dtype=np.float64,
-    )
+    pos = [{int(c): j for j, c in enumerate(cids[s])} for s in range(m)]
+
+    def _cell_vec(key: int) -> "np.ndarray":
+        digits = [(key // kcodes ** (m - 1 - s)) % kcodes for s in range(m)]
+        return np.concatenate([cents[s][pos[s][d]] for s, d in enumerate(digits)])
+
+    vecs_np = np.array([_cell_vec(int(k)) for k in keys_np], dtype=np.float64)
     bc = spark.sparkContext.broadcast((keys_np, vecs_np, counts_np))
     budget = int(cand_budget)
 
@@ -368,8 +358,8 @@ def ann_factor_topk(
     # top-k merge stays JVM-side (WindowGroupLimit).
     items_side = item_cells.select(
         "cell_key",
-        F.col("id").cast("int").alias(item_col),
-        F.transform("features", lambda x: x.cast("double")).alias("__if"),
+        F.col("id").alias(item_col),
+        F.col("features").alias("__if"),
     )
     out_schema = f"{user_col} int, {item_col} int, {score_col} double"
 

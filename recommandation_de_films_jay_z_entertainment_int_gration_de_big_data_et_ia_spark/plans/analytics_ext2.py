@@ -2972,6 +2972,17 @@ def q215_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= _CN_FANOUT
     ).drop("rn")
     w_rev = Window.partitionBy("b").orderBy(F.desc("sup"), F.asc("a"))
+    # r12 NEGATIVE RESULT (VERDICT task 7, measured and reverted):
+    # edges is consumed three ways (deg + both self-join sides) and each
+    # replays the fanout/fanin WindowGroupLimit chain, but a lazy
+    # localCheckpoint measured consistently SLOWER in interleaved
+    # same-session A/B (min 6.17 unpinned vs 6.41 pinned; every paired
+    # run agreed): the replays are broadcast builds + join sides that
+    # overlap as parallel stages over `half`'s already-pinned output, so
+    # the pin only adds materialization (the r11 parallel-consumer
+    # rule). The WGL chains themselves consume the HALF-pair table via
+    # the mirror projection — the r10 fanout-sort concern was mostly
+    # addressed by the r11 half-pair fix.
     edges = fwd.withColumn("rn", F.row_number().over(w_rev)).filter(
         F.col("rn") <= _CN_FANIN
     ).select("a", "b")

@@ -107,32 +107,52 @@ def _ps_oracle() -> str:
 @register("q396_phrase_suggest", oracle=_ps_oracle())
 def q396_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_table(spark, sf_dir, "documents").select(tokens("text").alias("tk"))
-    # Checkpoint both corpus reductions: uni is referenced 4 times and
-    # bi twice below; without truncation each broadcast re-derives the
-    # corpus scan + tokenization (the q394 lineage lesson). Both outputs
-    # are vocabulary-bounded.
-    uni = (
-        t.select(F.explode("tk").alias("tok"))
-        .groupBy("tok")
+    # r12 surgery: BOTH corpus reductions in ONE pass + ONE shuffle —
+    # unigrams ride the same explode/aggregate as bigrams with w2=NULL
+    # (a NULL second word can't collide with any real bigram), where r11
+    # ran two separate corpus scans + two shuffles behind two EAGER
+    # checkpoints (two serialized jobs before the main query even
+    # started). The combined aggregate is vocabulary-bounded; the lazy
+    # pin materializes it inside the first broadcast build and every
+    # later consumer reads it back (sequential-consumer rule).
+    grams = F.expr(
+        "concat("
+        " transform(tk, x -> struct(x AS w1, CAST(NULL AS STRING) AS w2)),"
+        " if(size(tk) >= 2,"
+        "    transform(sequence(1, size(tk) - 1),"
+        "      i -> struct(tk[i - 1] AS w1, tk[i] AS w2)),"
+        "    array()))"
+    )
+    ab = (
+        t.select(F.explode(grams).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    bi = (
-        t.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tk) - 1), "
-                    "i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
-                )
-            ).alias("bg")
-        )
-        .groupBy("bg.w1", "bg.w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+    uni = ab.filter(F.col("w2").isNull()).select(F.col("w1").alias("tok"), "c")
+    bi = ab.filter(F.col("w2").isNotNull())
+    # the scoring lookups fold into TWO one-row broadcast maps (bigram
+    # key = "w1 w2") instead of five broadcast joins: element_at on a
+    # unique-keyed map is value-identical to the left equi-joins, and
+    # the per-request plan drops 3 broadcast exchanges.
+    unimap = uni.agg(
+        F.map_from_entries(F.collect_list(F.struct("tok", "c"))).alias("um")
     )
-    pos = spark.createDataFrame(
-        [(i, tkn) for i, tkn in enumerate(_PS_PHRASE)], "p int, orig string"
+    bimap = bi.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.concat_ws(" ", "w1", "w2").alias("k"), F.col("c")))
+        ).alias("bm")
     )
+    pos = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("p"), F.lit(tkn).alias("orig"))
+                    for i, tkn in enumerate(_PS_PHRASE)
+                ]
+            )
+        ).alias("v")
+    ).select("v.p", "v.orig")
     cand = uni.join(
         F.broadcast(pos),
         (F.abs(F.length("tok") - F.length("orig")) <= _PS_MAX_DIST)
@@ -146,29 +166,21 @@ def q396_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p") == 1, F.col("repl")).otherwise(F.lit(_PS_PHRASE[1])).alias("c2"),
         F.when(F.col("p") == 2, F.col("repl")).otherwise(F.lit(_PS_PHRASE[2])).alias("c3"),
     )
-    b12 = bi.select(F.col("w1").alias("b12_w1"), F.col("w2").alias("b12_w2"), F.col("c").alias("b12_c"))
-    b23 = bi.select(F.col("w1").alias("b23_w1"), F.col("w2").alias("b23_w2"), F.col("c").alias("b23_c"))
-    u = lambda k: uni.select(F.col("tok").alias(f"u{k}_tok"), F.col("c").alias(f"u{k}_c"))  # noqa: E731
+    lk_b = lambda a, b: F.coalesce(  # noqa: E731
+        F.element_at(F.col("bm"), F.concat_ws(" ", a, b)), F.lit(0)
+    )
+    lk_u = lambda cc: F.coalesce(F.element_at(F.col("um"), F.col(cc)), F.lit(0))  # noqa: E731
     sc = (
-        ph.join(F.broadcast(b12), (ph["c1"] == F.col("b12_w1")) & (ph["c2"] == F.col("b12_w2")), "left")
-        .join(F.broadcast(b23), (ph["c2"] == F.col("b23_w1")) & (ph["c3"] == F.col("b23_w2")), "left")
-        .join(F.broadcast(u(1)), ph["c1"] == F.col("u1_tok"), "left")
-        .join(F.broadcast(u(2)), ph["c2"] == F.col("u2_tok"), "left")
-        .join(F.broadcast(u(3)), ph["c3"] == F.col("u3_tok"), "left")
+        ph.crossJoin(F.broadcast(unimap))
+        .crossJoin(F.broadcast(bimap))
         .select(
             F.concat_ws(" ", "c1", "c2", "c3").alias("suggestion"),
             F.col("changed_pos").cast("bigint").alias("changed_pos"),
             "repl",
-            (F.coalesce("b12_c", F.lit(0)) + F.coalesce("b23_c", F.lit(0)))
+            (lk_b(F.col("c1"), F.col("c2")) + lk_b(F.col("c2"), F.col("c3")))
             .cast("bigint")
             .alias("score"),
-            (
-                F.coalesce("u1_c", F.lit(0))
-                + F.coalesce("u2_c", F.lit(0))
-                + F.coalesce("u3_c", F.lit(0))
-            )
-            .cast("bigint")
-            .alias("freq_sum"),
+            (lk_u("c1") + lk_u("c2") + lk_u("c3")).cast("bigint").alias("freq_sum"),
         )
     )
     w = Window.orderBy(F.col("score").desc(), F.col("freq_sum").desc(), "suggestion")

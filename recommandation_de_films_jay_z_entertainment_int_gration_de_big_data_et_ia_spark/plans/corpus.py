@@ -806,16 +806,34 @@ def q253_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.i").alias("i"), F.col("e.gram").alias("gram"))
-    w = Window.partitionBy("doc_id", "gram").orderBy("i")
-    cov = (
-        g.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
-        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("p"))
-        .distinct()
+    # r12: "every occurrence after the first" needs only each (doc,
+    # gram)'s min start — a hash AGGREGATE, not the r11 row_number
+    # window (which paid a sort of the full exploded gram table on top
+    # of the same exchange); duplicate starts are the collected starts
+    # minus the min (starts are distinct positions, so the min occurs
+    # once). The per-position dedup then rides the per-doc collect_set
+    # directly instead of a separate distinct exchange (3 exchanges + 1
+    # sort -> 2 exchanges). Values identical: rn>1 ⟺ i != min(i), and
+    # the output only tests membership in ps, so set order is free.
+    # Local wall is FLAT (interleaved A/B min 3.10 new vs 3.13 old —
+    # the removed sort/exchange overlap other stages at sf0.1); kept for
+    # the at-scale plan: a sort of the full exploded gram stream is
+    # O(n log n) in corpus size, the hash aggregate is O(n).
+    dup = (
+        g.groupBy("doc_id", "gram")
+        .agg(F.min("i").alias("i0"), F.collect_list("i").alias("occ"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("filter(occ, x -> x != i0)")).alias("i"),
+        )
     )
-    c = cov.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_removed"),
-        F.collect_list("p").alias("ps"),
+    c = (
+        dup.select(
+            "doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("p")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("ps"))
+        .select("doc_id", F.size("ps").cast("bigint").alias("n_removed"), "ps")
     )
     cleaned = F.expr(
         "transform(filter(sequence(1, size(tk)),"

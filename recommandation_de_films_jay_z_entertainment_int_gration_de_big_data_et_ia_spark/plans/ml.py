@@ -119,8 +119,11 @@ def q402_als_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = REC.train_als(ratings, "user", "item", "rating", rank=8, max_iter=5, seed=42)
     uf = model.userFactors.select(F.col("id").alias("id"), "features")
     itf = model.itemFactors.select(F.col("id").alias("id"), "features")
+    # m/kcodes passed EXPLICITLY (ADVICE r11): the 2/16 = 256-cell
+    # geometry was tuned for exactly this rank-8 / budget-4608 call and
+    # its recall pin; callers at other ranks must re-validate.
     recs = REC.ann_factor_topk(
-        uf, itf, rank=8, k=_ALS_K, cand_budget=4608, lloyd_iters=3
+        uf, itf, rank=8, k=_ALS_K, cand_budget=4608, m=2, kcodes=16, lloyd_iters=3
     ).select("user", "item", F.col("predicted_rating").cast("double").alias("score"))
     return _als_contract_fold(recs, ratings)
 

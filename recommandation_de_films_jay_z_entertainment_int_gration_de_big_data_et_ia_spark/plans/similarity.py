@@ -761,6 +761,23 @@ def pq_encode_df(sub: DataFrame):
             *[(F.col(f"__sx{i}").cast("double") / F.col("n")) for i in range(_PQ_SUB)]
         ).alias("c"),
     )
+    # r12 (VERDICT task 2): cent is <= m*kcodes tiny rows but its
+    # lineage is a FULL corpus pass (a0's assign + the mean-update
+    # shuffle), and every consumer re-evaluated it — code's
+    # broadcast(_nest(cent)) build AND each caller's own cent use
+    # (q148's broadcast join, q149/q234's LUT) each re-ran a0, so one
+    # q148 execution paid that pass up to 3x (overlapped on the
+    # broadcast thread pool locally; 3 real corpus passes on a
+    # saturated cluster). The lazy pin materializes 16 rows inside the
+    # first broadcast build; every later consumer reads them back.
+    # Decided by INTERLEAVED same-session A/B (cross-window minima on
+    # this host swing +-20-40% at zero steal, so only paired runs
+    # count): q148 1.91 -> 1.78 min, q234 3.91 -> 3.40, q149 flat
+    # (2.93/2.93). The r11 driver-window q148 min/median spread
+    # (3.75/10.03) did not reproduce locally (min/median 1.67/1.74
+    # quiet) — environmental, but the pin removes the structural 3x
+    # replay that amplified it.
+    cent = cent.localCheckpoint(eager=False)
     code = assign(cent).select("vec_id", "s", "cid")
     return code, cent
 

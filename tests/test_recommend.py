@@ -248,7 +248,11 @@ def test_ann_topk_recall_at_sf01(spark):
     model = REC.train_als(ratings, "user", "item", "rating", rank=8, max_iter=5, seed=42)
     uf, itf = _factor_frames(model)
     n_items = itf.count()
-    assert n_items > 4 * 4608, "sf0.1 catalog should dwarf the budget"
+    # intent: the budget covers well under the full catalog, so the
+    # coarse stage does real work (ADVICE r11: fraction-based so a small
+    # fixture regeneration can't flip the guard while the recall
+    # contract still holds)
+    assert 4608 < n_items // 4, "sf0.1 catalog should dwarf the budget"
     exact = REC.als_recommendations(model, k=K).select(
         "user", "item", F.lit(1).alias("__hit")
     )
