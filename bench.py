@@ -2,7 +2,11 @@
 """Benchmark harness: runs the catalog queries at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 ONE JSON line:
-``{"metric": ..., "value": headline_total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+``{"metric": ..., "value": headline_total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+where ``queries`` carries the HEADLINE-set per-query minima (bounded ~32
+entries — the full catalog's per-query map goes to the side artifact
+named by ``per_query_file``, a defense against driver stdout-tail
+truncation; see the write-up at the end of main()).
 
 Modes
 -----
@@ -405,6 +409,14 @@ def main() -> None:
         ),
         "steal_threshold_pct": STEAL_THRESHOLD_PCT,
         "steal_retries": retry_log,
+        # Per-query minima for the HEADLINE set only (r11 VERDICT task
+        # 4): bounded at ~32 entries so the driver's stdout-tail capture
+        # can't be pushed past the headline fields (the r03/r04 failure
+        # came from the 247-entry full map), while restoring the
+        # driver-side round-over-round per-query comparison the one-line
+        # format had lost. The FULL per-query map still goes to the side
+        # artifact below.
+        "queries": {n: mins[n] for n in HEADLINE if n in mins},
         "per_query_file": (
             "BENCH_headline_local.json"
             if headline_only

@@ -338,6 +338,12 @@ def multi_match_bm25(
     # one corpus pass per query batch. At scale, persist the vocabulary
     # once per corpus snapshot and substitute it — the q68
     # prebuilt-index pattern (multi_match_bm25_indexed below).
+    # Library-consumer note (ADVICE r11): the embedded checkpoint
+    # truncates lineage (tfs is NOT recomputed after executor loss —
+    # acceptable for a per-query-batch intermediate) and materializes
+    # tfs per invocation regardless of caller-side caching; callers
+    # that already persist a tf frame should use the *_indexed path
+    # instead of paying the double materialization.
     tfs = expl.groupBy("f", "__id", "__dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=False)

@@ -464,7 +464,13 @@ def cross_doc_span_excise(
         ).alias("e"),
     ).select("__id", F.col("e.i").alias("i"), F.col("e.gh").alias("gh"))
     if materialize:
-        g = g.localCheckpoint(eager=True)
+        # r12: LAZY (was eager). The eager form ran the n-gram explode
+        # as a separate blocking job before the query proper; lazily the
+        # boiler broadcast build — g's first, strictly-sequential
+        # consumer — materializes it in-flight and every later consumer
+        # (hits probe, cap branches) reads it back. Interleaved A/B:
+        # q263 3.12 -> 3.00 min, q269 3.30 -> 3.06.
+        g = g.localCheckpoint(eager=False)
     boiler = (
         g.groupBy("gh")
         .agg(

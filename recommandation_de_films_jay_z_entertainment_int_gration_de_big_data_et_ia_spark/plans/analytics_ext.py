@@ -461,11 +461,16 @@ def q75_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # baskets feeds BOTH the pair explode and the popularity count; the
-    # lazy pin makes its groupBy shuffle run once — and popularity comes
-    # from exploding the already-distinct parts arrays, which is
-    # value-identical to DISTINCT(l_orderkey, l_partkey) but drops the
-    # second full fact scan + distinct shuffle the old plan paid.
+    # baskets feeds BOTH the pair explode and the popularity count, and
+    # popularity derives from exploding the already-distinct parts
+    # arrays — value-identical to DISTINCT(l_orderkey, l_partkey)
+    # without a second full fact scan + distinct shuffle. DELIBERATELY
+    # UNPINNED (r11 negative result, restated r12 after the comments
+    # here had gone stale): lazy checkpoints on baskets/support measured
+    # 2.97 -> 3.07 s because the consumers replay as PARALLEL stages of
+    # one job — recompute overlaps for free, a pin only serializes. The
+    # committed plan therefore shows the baskets subtree replayed per
+    # consumer (4 lineitem scans), traded for zero materialization.
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts")
     )
@@ -473,8 +478,6 @@ def q75_item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flatten(transform(parts, (a, i) ->"
         " transform(slice(parts, i + 2, size(parts)), b -> struct(a AS part_a, b AS part_b))))"
     )
-    # support is consumed twice (the symmetric union below); pin it so
-    # the pair explode + (a, b) shuffle run once.
     support = (
         baskets.select(F.explode(pair_expr).alias("p"))
         .select("p.part_a", "p.part_b")

@@ -1089,6 +1089,12 @@ def q185_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("tk")
     )
+    # r12 NEGATIVE RESULT: a lazy pin on tok (vocab broadcast build,
+    # then the per-doc probe) measured only ~3% in interleaved A/B (min
+    # 2.90 vs 2.74 with overlapping run distributions) — below the
+    # keep bar, and at scale it would materialize the exploded token
+    # stream to save one cheap scan-local explode. Deliberately
+    # unpinned.
     tok = docs.select("doc_id", F.explode("tk").alias("token"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     vocab = (

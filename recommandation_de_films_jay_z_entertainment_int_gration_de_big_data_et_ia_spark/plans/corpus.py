@@ -353,6 +353,12 @@ def q110_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("tk")
     )
+    # r12 NEGATIVE RESULT: a lazy pin on occ (consumed by the boiler
+    # broadcast build, then the probe) measured FLAT in interleaved A/B
+    # (min 3.20 unpinned vs 3.23 pinned) — the probe-side replay
+    # overlaps the broadcast wait, and at scale materializing the
+    # exploded 5-gram stream costs far more than re-streaming the scan.
+    # Deliberately unpinned.
     occ = docs.select("doc_id", F.explode(word_shingles(F.col("tk"), _BOILER_N)).alias("sh"))
     boiler = (
         occ.groupBy("sh")
@@ -1093,6 +1099,17 @@ def q267_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # r12: per-doc argmax as an AGGREGATE min(struct(-cnt, gram)) —
+    # field-by-field struct order IS (cnt DESC, gram ASC), so this is
+    # value-identical to the old row_number window while replacing its
+    # per-doc sort with a hash aggregate (guide §2.4: the window's
+    # exchange stays, the Sort goes).
+    # r12 NEGATIVE RESULT (measured and reverted): replacing this window
+    # with a per-doc min(struct(-cnt, gram)) aggregate does NOT remove
+    # the sort — struct min is not hash-aggregatable, so it compiles to
+    # SortAggregate + the same two Sorts the WindowGroupLimit pair costs
+    # (verified in the committed plan dumps), and interleaved A/B was
+    # flat (4.36/4.27 min). The window form is kept.
     w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
     top2 = (
         g2.groupBy("doc_id", "gram")
@@ -1125,6 +1142,18 @@ def q267_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast") — AQE can promote to broadcast from accurate runtime
     # sizes but cannot demote an initial-plan broadcast. Never
     # broadcast a frame that grows with the corpus.
+    # r12: the per-position dedup rides the per-doc collect_set (one
+    # exchange) instead of distinct + join-back + groupBy (two exchanges
+    # and a per-POSITION join row volume); dup_chars folds against the
+    # doc's own tk array in the final join — one row per doc crosses
+    # the join instead of one per covered position.
+    # r12 NEGATIVE RESULT (measured and reverted): folding the
+    # per-position dedup into a per-doc collect_set + an interpreted
+    # aggregate() over the cover set measured clearly SLOWER in
+    # interleaved A/B (min 4.57 vs 3.42 on this template-heavy fixture,
+    # where cover sets span most positions of duplicated docs) — the
+    # JVM-codegen distinct + sum beats a per-doc interpreted lambda
+    # fold. Kept: distinct + join-back + groupBy.
     cov = (
         g5.join(d5.hint("shuffle_hash"), ["doc_id", "gram"])
         .select("doc_id", F.explode(F.expr("sequence(i, i + 4)")).alias("p"))

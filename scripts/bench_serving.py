@@ -42,7 +42,7 @@ from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_s
 
 DATA = "/root/reference/data"
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(HERE, "BENCH_serving_r11.json")
+OUT = os.path.join(HERE, "BENCH_serving_r12.json")
 IDX_DIR = os.path.join(HERE, ".tmp", "movieindex_bench")
 
 # Deterministic request mixes drawn from the MovieLens corpus: exact
@@ -108,6 +108,7 @@ def main() -> None:
         docs=pinned.docs.cache(),
         postings=pinned.postings.cache(),
         vocab=pinned.vocab.cache(),
+        terms=pinned.terms,
     )
     idx_cached.docs.count()
     idx_cached.postings.count()

@@ -15,24 +15,26 @@ import os
 import pytest
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT = os.path.join(HERE, "BENCH_serving_r11.json")
+ARTIFACT = os.path.join(HERE, "BENCH_serving_r12.json")
 
-# ~4x the quiet-host cached p95s (BENCH_serving_r11.json: health 108,
-# movie 59, recommend 254, search 409 — the round-11 indexed posture:
-# build-time vocab, single-action page+total, literal-frame query
-# terms, serving-tier conf). The re-tokenize / per-request
+# ~4x the quiet-host cached p95s (BENCH_serving_r12.json: health 70,
+# movie 40, recommend 155, search 208 — the round-12 posture: the
+# in-memory terms dictionary makes fuzzy expansion pure Python, and
+# literal frames build as ONE inline() SQL expression instead of
+# per-value py4j Column calls). The re-tokenize / per-request
 # createDataFrame failure modes multiply these ~4-10x.
 P95_BOUNDS_MS = {
-    "health": 450.0,
-    "movie": 300.0,
-    "search": 1600.0,
-    "recommend": 1000.0,
+    "health": 300.0,
+    "movie": 170.0,
+    "search": 850.0,
+    "recommend": 650.0,
 }
 
-# Round-10 verdict task 4 "done" bar: /search must stay an ONLINE
-# endpoint — p50 <= 400 ms on the cached-index posture (measured
-# 283.6 ms; the pre-round-11 path sat at 1261 ms).
-P50_BOUNDS_MS = {"search": 400.0}
+# Round-11 verdict task 10 "done" bar: /search p95 <= 300 ms on the
+# cached-index posture (measured p95 208 / p50 186 ms; r11 sat at
+# p95 409, the pre-round-11 path at p50 1261). The committed-artifact
+# pin holds the <= 300 line; this re-run bound allows ~1.6x host noise.
+P50_BOUNDS_MS = {"search": 300.0}
 
 
 def test_serving_latency_bounds():

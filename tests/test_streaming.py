@@ -378,3 +378,69 @@ def test_upsert_state_probe_accepts_file_uri(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_latest_per_key_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """r12 focused test for the user-grouped latest_per_key state layout
+    (one applyInPandasWithState group per USER, per-type array state):
+    a TWO-batch drain, read-side compacted by max-(ts_us, event_id) —
+    the documented CDC-log read pattern — must equal the batch
+    latest-per-(user, type) window. Exercises state carry across
+    batches and the all-types re-emission."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from recommandation_de_films_jay_z_entertainment_int_gration_de_big_data_et_ia_spark.streaming.stateful import (
+        latest_per_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    src = str(tmp_path / "ev_two_batches")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/b0.parquet"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/b1.parquet"
+    )
+    stream = (
+        spark.readStream.schema(
+            T.StructType()
+            .add("user_id", "long")
+            .add("event_type", "string")
+            .add("event_id", "long")
+            .add("ts", ev.schema["ts"].dataType)
+            .add("value", "double")
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    run_stream_to_memory(
+        latest_per_key(stream), "t_latest_mb", output_mode="update",
+        shuffle_partitions=None,
+    )
+    log = spark.table("t_latest_mb")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("last_event_id")
+    )
+    got = sorted(
+        (r.user_id, r.event_type, r.last_event_id, r.ts_us, r.last_value)
+        for r in log.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    wb = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = sorted(
+        (r.user_id, r.event_type, r.event_id, r.ts_us, r.value)
+        for r in ev.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    assert got == want
+    spark.catalog.dropTempView("t_latest_mb")
