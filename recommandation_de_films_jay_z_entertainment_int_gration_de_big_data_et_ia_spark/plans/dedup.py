@@ -221,6 +221,10 @@ splits AS (
 )
 def q81_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # r12 NEGATIVE RESULT: pinning sh (consumed by bands + both verify
+    # sides) measured FLAT in interleaved A/B (min 2.97 unpinned vs
+    # 3.04 pinned) — the three replays are parallel stage inputs of one
+    # job, the r11 parallel-consumer class. Deliberately unpinned.
     sh = D.doc_shingles(docs, "doc_id", "text", n=3)
     pairs = D.lsh_candidate_pairs(
         D.minhash_bands(sh, "doc_id", num_hashes=NUM_HASHES, bands=BANDS), "doc_id",
